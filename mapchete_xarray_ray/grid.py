@@ -1,0 +1,315 @@
+"""Tile-pyramid + cell-index math (pure numpy, no deps).
+
+Reimplements the tilematrix/mapchete grid contract that the reference
+plugin relies on (see SURVEY.md §1.1) with the reference's *exact*
+floating-point expressions so tile assignments are bit-identical:
+
+- geodetic grid: zoom 0 = 1 row x 2 cols over [-180, -90, 180, 90];
+  zoom z has 2^z rows, 2^(z+1) cols; tile span = 180/2^z degrees;
+  tile = 256 px; pixel size = 180/(2^z*256)
+  (reference: mapchete_xarray/_output.py:76-91).
+- mercator grid: square [-R, R] with R = 20037508.342789244;
+  zoom z has 2^z rows and cols.
+- snap_bounds expands arbitrary bounds outward to tile boundaries
+  (used at mapchete_xarray/_output.py:71-75, _input.py:36-40).
+- centroid -> zarr chunk uses the reference's round(pixel*tile, 20)
+  quirk (mapchete_xarray/_output.py:281-297).
+- bounds -> pixel ranges via the output affine
+  (mapchete_xarray/_output.py:202-205).
+
+All point kernels are vectorized over numpy arrays (the hot path runs
+inside ``map_batches`` over Arrow batches).
+
+Cell index (graft addition, S2-like): Morton/quadkey interleave of
+(row, col) bits at a given zoom, packed into uint64 with the zoom in
+the low 5 bits. Hierarchical: ``cell_parent`` right-shifts by one
+(row, col) bit pair; ``k_ring`` returns neighbor cells with
+antimeridian column wrap.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+MERC_R = 20037508.342789244
+
+_GRID_BOUNDS = {
+    "geodetic": (-180.0, -90.0, 180.0, 90.0),
+    "mercator": (-MERC_R, -MERC_R, MERC_R, MERC_R),
+}
+
+
+@dataclass(frozen=True)
+class Bounds:
+    left: float
+    bottom: float
+    right: float
+    top: float
+
+    def __iter__(self):
+        return iter((self.left, self.bottom, self.right, self.top))
+
+    def intersects(self, other: "Bounds") -> bool:
+        return not (
+            self.right <= other.left
+            or other.right <= self.left
+            or self.top <= other.bottom
+            or other.top <= self.bottom
+        )
+
+
+class TilePyramid:
+    """Geodetic / mercator tile pyramid with optional metatiling.
+
+    Mirrors the public ``tilematrix.TilePyramid`` contract the reference
+    exercises (tests/test_zarr_creation.py:14 uses
+    ``TilePyramid("geodetic")``).
+    """
+
+    def __init__(self, grid: str = "geodetic", tile_size: int = 256, metatiling: int = 1):
+        if grid not in _GRID_BOUNDS:
+            raise ValueError(f"unknown grid {grid!r}; use 'geodetic' or 'mercator'")
+        if metatiling not in (1, 2, 4, 8, 16):
+            raise ValueError("metatiling must be one of 1, 2, 4, 8, 16")
+        self.grid = grid
+        self.tile_size = tile_size
+        self.metatiling = metatiling
+        self.left, self.bottom, self.right, self.top = _GRID_BOUNDS[grid]
+        # zoom-0 matrix shape (rows, cols)
+        self._shape0 = (1, 2) if grid == "geodetic" else (1, 1)
+
+    # --- matrix geometry -------------------------------------------------
+    def matrix_height(self, zoom: int) -> int:
+        return max(1, (self._shape0[0] * 2**zoom) // self.metatiling)
+
+    def matrix_width(self, zoom: int) -> int:
+        return max(1, (self._shape0[1] * 2**zoom) // self.metatiling)
+
+    def tile_x_size(self, zoom: int) -> float:
+        return (self.right - self.left) / self.matrix_width(zoom)
+
+    def tile_y_size(self, zoom: int) -> float:
+        return (self.top - self.bottom) / self.matrix_height(zoom)
+
+    def pixel_x_size(self, zoom: int) -> float:
+        # reference semantics: tile span / tile pixels (constant per zoom)
+        return self.tile_x_size(zoom) / (self.tile_size * self.metatiling)
+
+    def pixel_y_size(self, zoom: int) -> float:
+        return self.tile_y_size(zoom) / (self.tile_size * self.metatiling)
+
+    # --- tile addressing -------------------------------------------------
+    def tile_bounds(self, zoom: int, row, col) -> Bounds:
+        """Bounds of tile(s); row 0 at the north edge (SURVEY §1.1)."""
+        tx, ty = self.tile_x_size(zoom), self.tile_y_size(zoom)
+        return Bounds(
+            self.left + np.asarray(col) * tx,
+            self.top - (np.asarray(row) + 1) * ty,
+            self.left + (np.asarray(col) + 1) * tx,
+            self.top - np.asarray(row) * ty,
+        )
+
+    def point_to_tile(self, x, y, zoom: int):
+        """Vectorized (x, y) -> (row, col).
+
+        Canonical floor-divide assignment: a point exactly on a tile
+        boundary belongs to the tile south/east of it (row grows south,
+        col grows east), except the grid's outer edge which is clamped
+        inward. This matches truncation in the reference's
+        ``_zarr_chunk_from_xy`` for interior points.
+        """
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        tx, ty = self.tile_x_size(zoom), self.tile_y_size(zoom)
+        col = np.floor((x - self.left) / tx).astype(np.int64)
+        row = np.floor((self.top - y) / ty).astype(np.int64)
+        np.clip(col, 0, self.matrix_width(zoom) - 1, out=col)
+        np.clip(row, 0, self.matrix_height(zoom) - 1, out=row)
+        return row, col
+
+    def snap_bounds(self, bounds, zoom: int) -> Bounds:
+        """Expand bounds outward to tile boundaries at ``zoom``.
+
+        Conformance vector (FIXTURES.md F3, from the reference fixture
+        s2_stack.zarr/.zmetadata delimiters): geodetic z5
+        [15.0064, 47.7604, 16.4863, 48.7485] -> [11.25, 45.0, 16.875, 50.625].
+        """
+        left, bottom, right, top = bounds
+        tx, ty = self.tile_x_size(zoom), self.tile_y_size(zoom)
+        return Bounds(
+            self.left + math.floor((left - self.left) / tx) * tx,
+            self.top - math.ceil((self.top - bottom) / ty) * ty,
+            self.left + math.ceil((right - self.left) / tx) * tx,
+            self.top - math.floor((self.top - top) / ty) * ty,
+        )
+
+
+# --- reference-exact pixel/affine kernels --------------------------------
+
+
+def pixel_x_size(right: float, left: float, width: int) -> float:
+    """mapchete_xarray/_output.py:586-587."""
+    return (right - left) / width
+
+
+def pixel_y_size(top: float, bottom: float, height: int) -> float:
+    """mapchete_xarray/_output.py:590-591 (negative: north-up affine)."""
+    return (top - bottom) / -height
+
+
+def output_shape(bounds: Bounds, pyramid: TilePyramid, zoom: int) -> tuple[int, int]:
+    """(height, width) of the global array over snapped bounds.
+
+    mapchete_xarray/_output.py:82-91 — note the reference uses
+    pixel_x_size for BOTH axes.
+    """
+    px = pyramid.pixel_x_size(zoom)
+    return (
+        math.ceil((bounds.top - bounds.bottom) / px),
+        math.ceil((bounds.right - bounds.left) / px),
+    )
+
+
+def bounds_to_ranges(out_bounds, left: float, top: float, px_x: float, px_y: float):
+    """Geographic bounds -> integer pixel ranges (minrow, maxrow, mincol, maxcol).
+
+    Equivalent of mapchete.io.raster.bounds_to_ranges used at
+    mapchete_xarray/_output.py:202-205 with the from_origin affine built
+    at _output.py:76-81: col = (x - left)/px_x, row = (top - y)/px_y.
+    """
+    l, b, r, t = out_bounds
+    minrow = int(round((top - t) / px_y))
+    maxrow = int(round((top - b) / px_y))
+    mincol = int(round((l - left) / px_x))
+    maxcol = int(round((r - left) / px_x))
+    return minrow, maxrow, mincol, maxcol
+
+
+def zarr_chunk_from_xy(x, y, bounds: Bounds, shape: tuple[int, int],
+                       tile_size: int, metatiling: int = 1):
+    """Vectorized reference-exact centroid -> zarr chunk (row, col).
+
+    Mirrors mapchete_xarray/_output.py:281-297 including the
+    ``round(pixel * tile_px, 20)`` quirk and the pixel-center coordinate
+    min/max: the reference divides offsets from the Y-coordinate *max*
+    (= top - pixel/2) and X-coordinate *min* (= left + pixel/2), then
+    truncates with abs(int(...)).
+    """
+    height, width = shape
+    py = pixel_y_size(bounds.top, bounds.bottom, height)  # negative
+    tile_y = round(py * tile_size * metatiling, 20)       # negative
+    y_max = bounds.top + py / 2                           # top + negative/2 = pixel center
+    row = np.abs(((y_max - np.asarray(y, dtype=np.float64)) / tile_y).astype(np.int64))
+    px = pixel_x_size(bounds.right, bounds.left, width)
+    tile_x = round(px * tile_size * metatiling, 20)
+    x_min = bounds.left + px / 2
+    col = np.abs(((np.asarray(x, dtype=np.float64) - x_min) / tile_x).astype(np.int64))
+    return row, col
+
+
+# --- packed ids ----------------------------------------------------------
+
+
+def pack_tile_id(zoom, row, col):
+    """(zoom, row, col) -> int64: zoom<<58 | row<<29 | col (SURVEY §1.2).
+
+    SQL equivalent: ``(zoom << 58) | (row << 29) | col``.
+    """
+    return (
+        (np.asarray(zoom, dtype=np.int64) << 58)
+        | (np.asarray(row, dtype=np.int64) << 29)
+        | np.asarray(col, dtype=np.int64)
+    )
+
+
+def unpack_tile_id(tile_id):
+    t = np.asarray(tile_id, dtype=np.int64)
+    return t >> 58, (t >> 29) & ((1 << 29) - 1), t & ((1 << 29) - 1)
+
+
+# --- Morton cell index (S2-like hierarchy over the tile grid) ------------
+
+_ZOOM_BITS = 5
+_ZOOM_MASK = (1 << _ZOOM_BITS) - 1
+
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 30 bits of v so bit i lands at bit 2i (uint64)."""
+    v = v.astype(np.uint64)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def _compact1by1(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64) & np.uint64(0x5555555555555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return v
+
+
+def cell_encode(row, col, zoom: int) -> np.ndarray:
+    """(row, col, zoom) -> uint64 cell id.
+
+    Layout: ``morton(row, col) << 5 | zoom`` where morton puts col bit i
+    at position 2i and row bit i at 2i+1 (col carries the extra
+    east/west bit of the geodetic grid at position 2*zoom). Parent of a
+    cell = drop one interleaved bit pair (see ``cell_parent``); children
+    = append one of the 4 pairs — the same prefix hierarchy S2/H3 give,
+    so a cell-id *prefix range* is a contiguous spatial region usable as
+    a partition key.
+    """
+    morton = _part1by1(np.asarray(col)) | (_part1by1(np.asarray(row)) << np.uint64(1))
+    return (morton << np.uint64(_ZOOM_BITS)) | np.uint64(zoom)
+
+
+def cell_decode(cell_id):
+    c = np.asarray(cell_id, dtype=np.uint64)
+    zoom = (c & np.uint64(_ZOOM_MASK)).astype(np.int64)
+    morton = c >> np.uint64(_ZOOM_BITS)
+    col = _compact1by1(morton).astype(np.int64)
+    row = _compact1by1(morton >> np.uint64(1)).astype(np.int64)
+    return row, col, zoom
+
+
+def cell_parent(cell_id, steps: int = 1):
+    """Parent ``steps`` zoom levels up: right-shift one bit pair per step."""
+    c = np.asarray(cell_id, dtype=np.uint64)
+    zoom = (c & np.uint64(_ZOOM_MASK)).astype(np.int64)
+    morton = c >> np.uint64(_ZOOM_BITS)
+    new_zoom = zoom - steps
+    if np.any(new_zoom < 0):
+        raise ValueError("cell_parent below zoom 0")
+    return ((morton >> np.uint64(2 * steps)) << np.uint64(_ZOOM_BITS)) | new_zoom.astype(np.uint64)
+
+
+def k_ring(cell_id, k: int = 1, grid: str = "geodetic"):
+    """All cells within Chebyshev distance k of each input cell.
+
+    Returns (ring_cells, owner_idx): flat uint64 array of neighbor cells
+    and the index of the input cell each belongs to. Columns wrap at the
+    antimeridian; rows are clamped at the poles (out-of-range rows
+    dropped).
+    """
+    row, col, zoom = cell_decode(cell_id)
+    z = int(zoom[0]) if zoom.ndim else int(zoom)
+    shape0 = (1, 2) if grid == "geodetic" else (1, 1)
+    nrows = shape0[0] * 2**z
+    ncols = shape0[1] * 2**z
+    offs = np.arange(-k, k + 1, dtype=np.int64)
+    dr, dc = np.meshgrid(offs, offs, indexing="ij")
+    dr, dc = dr.ravel(), dc.ravel()
+    rows = row[:, None] + dr[None, :]
+    cols = (col[:, None] + dc[None, :]) % ncols
+    owner = np.broadcast_to(np.arange(len(row))[:, None], rows.shape)
+    valid = (rows >= 0) & (rows < nrows)
+    return cell_encode(rows[valid], cols[valid], z), owner[valid]
