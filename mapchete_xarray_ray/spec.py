@@ -1,0 +1,177 @@
+"""Job specification — the engine's equivalent of a ``.mapchete`` config.
+
+Same keys and the same validation guards as the reference driver
+(mapchete_xarray/_output.py — M9 in SURVEY.md §2.2):
+
+- pixelbuffer must be 0            (_output.py:42-45)
+- output path must end ``.zarr``   (_output.py:51-52)
+- exactly one zoom level           (_output.py:343-344)
+- a time axis needs ``pattern`` or ``steps`` (_output.py:345-350)
+- band count via ``bands`` or ``band_names`` (_output.py:56-63)
+
+The spec is a plain dataclass — cheap to ship inside task closures.
+Derived geometry (snapped bounds, global array shape, pixel sizes) is
+computed once here, mirroring _output.py:71-94.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+from typing import Any
+
+import numpy as np
+
+from mapchete_xarray_ray.grid import Bounds, TilePyramid, output_shape
+
+DEFAULT_TIME_CHUNKSIZE = 8  # _output.py:32
+
+
+class JobSpecError(ValueError):
+    """Equivalent of MapcheteConfigError for spec validation failures."""
+
+
+def _expand_pattern(start: datetime, end: datetime, pattern: str) -> list[datetime]:
+    """Minimal cron-pattern expansion (the fixtures use daily/hourly
+    patterns; reference uses croniter_range at _output.py:641-649).
+
+    Supports ``"0 0 * * *"`` (daily) and ``"0 * * * *"`` (hourly) and the
+    generic 5-field form where minute/hour are fixed ints and the rest
+    are ``*`` — enough for the reference fixture space; anything else
+    raises.
+    """
+    fields = pattern.split()
+    if len(fields) != 5 or fields[2:] != ["*", "*", "*"]:
+        raise JobSpecError(f"unsupported cron pattern: {pattern!r}")
+    minute, hour = fields[0], fields[1]
+    out = []
+    if hour == "*":
+        step = timedelta(hours=1)
+        cur = start.replace(minute=int(minute), second=0, microsecond=0)
+        if cur < start:
+            cur += step
+    else:
+        step = timedelta(days=1)
+        cur = start.replace(hour=int(hour), minute=int(minute), second=0, microsecond=0)
+        if cur < start:
+            cur += step
+    while cur <= end:
+        out.append(cur)
+        cur += step
+    return out
+
+
+@dataclass
+class JobSpec:
+    path: str
+    zoom: int
+    bounds: tuple[float, float, float, float]
+    grid: str = "geodetic"
+    metatiling: int = 1
+    pixelbuffer: int = 0
+    tile_size: int = 256
+    dtype: str = "uint8"
+    nodata: float = 0
+    bands: int | None = None
+    band_names: list[str] | None = None
+    time: dict[str, Any] | None = None
+    x_axis_name: str = "X"
+    y_axis_name: str = "Y"
+    band_axis_name: str = "band"
+    time_axis_name: str = "time"
+    area_or_point: str = "Area"
+    cell_zoom: int | None = None  # fine zoom for the Morton cell index
+
+    # derived (filled in __post_init__)
+    pyramid: TilePyramid = field(init=False, repr=False)
+    snapped_bounds: Bounds = field(init=False)
+    shape: tuple[int, int] = field(init=False)
+    timestamps: np.ndarray | None = field(init=False, default=None)
+
+    def __post_init__(self):
+        if self.pixelbuffer > 0:
+            raise JobSpecError("a pixelbuffer larger than 0 is not allowed with zarr")
+        if not str(self.path).endswith(".zarr"):
+            raise JobSpecError("output path must end with .zarr")
+        if isinstance(self.zoom, (list, tuple)):
+            if len(self.zoom) > 1:
+                raise JobSpecError("zarr output can only be used with a single zoom")
+            self.zoom = int(self.zoom[0])
+        if self.band_names:
+            self.count = len(self.band_names)
+        elif self.bands:
+            self.count = int(self.bands)
+            self.band_names = [f"Band{i}" for i in range(1, self.count + 1)]
+        else:
+            raise JobSpecError("either 'bands' or 'band_names' has to be provided")
+        if self.time is not None:
+            if "pattern" not in self.time and "steps" not in self.time:
+                raise JobSpecError(
+                    "when using a time axis, please specify the time stamps "
+                    "either through 'pattern' or 'steps'"
+                )
+            self.timestamps = self._time_coords()
+        self.pyramid = TilePyramid(self.grid, self.tile_size, self.metatiling)
+        self.snapped_bounds = self.pyramid.snap_bounds(self.bounds, self.zoom)
+        self.shape = output_shape(self.snapped_bounds, self.pyramid, self.zoom)
+        if self.cell_zoom is None:
+            self.cell_zoom = self.zoom
+
+    def _time_coords(self) -> np.ndarray:
+        t = self.time
+        if "steps" in t:
+            return np.array(sorted(np.array(t["steps"], dtype="datetime64[us]")),
+                            dtype="datetime64[us]")
+        start = np.datetime64(t["start"]).astype("datetime64[us]").astype(datetime)
+        end = np.datetime64(t["end"]).astype("datetime64[us]").astype(datetime)
+        steps = _expand_pattern(start, end, t["pattern"])
+        return np.array(steps, dtype="datetime64[us]")
+
+    @property
+    def time_chunksize(self) -> int:
+        if not self.time:
+            return 0
+        return int(self.time.get("chunksize", DEFAULT_TIME_CHUNKSIZE))
+
+    @property
+    def chunk_px(self) -> int:
+        """Spatial chunk edge = tile_size * metatiling (_output.py:270)."""
+        return self.tile_size * self.metatiling
+
+    def tile_range(self):
+        """(row0, row1, col0, col1) inclusive tile range over snapped bounds."""
+        b = self.snapped_bounds
+        tx = self.pyramid.tile_x_size(self.zoom)
+        ty = self.pyramid.tile_y_size(self.zoom)
+        col0 = int(round((b.left - self.pyramid.left) / tx))
+        col1 = int(round((b.right - self.pyramid.left) / tx)) - 1
+        row0 = int(round((self.pyramid.top - b.top) / ty))
+        row1 = int(round((self.pyramid.top - b.bottom) / ty)) - 1
+        return row0, row1, col0, col1
+
+    def metadata(self) -> dict:
+        """Serializable job metadata stored in the archive (the
+        equivalent of the reference's global ``mapchete`` attr,
+        _output.py:702-704) and compared on reopen."""
+        return {
+            "driver": {
+                "format": "zarr",
+                "dtype": self.dtype,
+                "nodata": self.nodata,
+                "band_names": list(self.band_names),
+                "time": {k: (list(map(str, v)) if k == "steps" else v)
+                         for k, v in (self.time or {}).items()} or None,
+            },
+            "pyramid": {
+                "grid": {"type": self.grid},
+                "metatiling": self.metatiling,
+                "pixelbuffer": self.pixelbuffer,
+                "tile_size": self.tile_size,
+            },
+            "delimiters": {
+                "zoom": [self.zoom],
+                "process_bounds": list(self.bounds),
+                "effective_bounds": list(self.snapped_bounds),
+            },
+        }

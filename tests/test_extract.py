@@ -1,0 +1,50 @@
+"""Extraction kernel tests — byte-identity + exact semantics."""
+
+from mapchete_xarray_ray.fixtures import make_pages
+from mapchete_xarray_ray.functions.extract import extract_text
+
+
+def test_basic_extraction():
+    html = b"<html><head><title>T</title></head><body><p>hello world</p></body></html>"
+    assert extract_text(html) == "T\nhello world"
+
+
+def test_script_style_comment_dropped():
+    html = (b"<body><script>var x = '<p>not text</p>';</script>"
+            b"<style>p{color:red}</style><!-- secret -->visible</body>")
+    assert extract_text(html) == "visible"
+
+
+def test_entities():
+    assert extract_text(b"a &amp; b &lt;c&gt; &#65; &#x42; &quot;q&quot;") == 'a & b <c> A B "q"'
+
+
+def test_block_tags_newlines():
+    html = b"<p>one</p><p>two</p><div>three</div>"
+    assert extract_text(html) == "one\ntwo\nthree"
+
+
+def test_whitespace_collapse():
+    html = b"<p>a    b\t c</p>\n\n\n\n<p>d</p>"
+    assert extract_text(html) == "a b c\n\nd"
+
+
+def test_str_and_bytes_agree():
+    h = "<p>unicode äöü &#8364;</p>"
+    assert extract_text(h) == extract_text(h.encode("utf-8"))
+
+
+def test_fixture_ground_truth_is_kernel_output():
+    t = make_pages(n=50)
+    htmls = t.column("html").to_pylist()
+    texts = t.column("text").to_pylist()
+    for h, txt in zip(htmls, texts):
+        assert extract_text(h) == txt
+        assert txt  # non-empty
+        assert "script" not in txt and "color" not in txt
+
+
+def test_determinism_repeated():
+    t1 = make_pages(n=30, seed=42)
+    t2 = make_pages(n=30, seed=42)
+    assert t1.equals(t2)
