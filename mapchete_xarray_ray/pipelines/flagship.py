@@ -1,0 +1,157 @@
+"""E1 — the flagship pipeline: pages -> extract -> assign -> per-tile
+rasterize -> zarr-layout tile archive (+ lineage), Ray-Data-first.
+
+Shape (SURVEY.md §3 E1):
+
+    read pages (parquet fragments / in-memory table)
+    -> map_batches(extract_stage)            # html->text, html dropped
+    -> map_batches(assign)                   # lon/lat + tile_id/cell_id
+    -> [continue mode] filter out done tiles # broadcast done-set
+    -> groupby(tile_id).map_groups(write_tile)  # rasterize + sink + lineage
+    -> Dataset of per-tile summaries
+
+One tile = one group = one chunk file per band, so concurrent writers
+never share a chunk (the reference's safe_chunks invariant,
+_output.py:365-382). Exact url-dedup is free inside the group: the
+geocode key IS the url, so all re-crawls of a url land in the same
+tile group and are dropped there — no extra shuffle.
+
+The done-tile set is computed once on the driver (two directory
+listings) and shipped into the filter closure via ray.put — a
+broadcast, not a per-batch reload.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from mapchete_xarray_ray.fixtures import DEFAULT_BOUNDS, DEFAULT_ZOOM, make_pages
+from mapchete_xarray_ray.grid import unpack_tile_id
+from mapchete_xarray_ray.spec import JobSpec
+from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+from mapchete_xarray_ray.stages.assign import assign_pages_fn
+from mapchete_xarray_ray.stages.rasterize import rasterize_counts
+from mapchete_xarray_ray.stages.text import extract_stage
+from mapchete_xarray_ray.state.lineage import completed_tiles, write_record
+
+
+def default_spec(out_path: str, time: dict | None = None, **kw) -> JobSpec:
+    return JobSpec(
+        path=out_path,
+        zoom=kw.pop("zoom", DEFAULT_ZOOM),
+        bounds=kw.pop("bounds", tuple(DEFAULT_BOUNDS)),
+        band_names=kw.pop("band_names", ["count", "count_en", "count_long"]),
+        dtype=kw.pop("dtype", "uint16"),
+        time=time,
+        **kw,
+    )
+
+
+def _tile_writer(spec: JobSpec):
+    """map_groups fn: one tile's pages -> rasterize -> chunk write -> lineage."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        # exact dedup per url (re-crawls co-locate here; keep first by warc_ts)
+        order = pc.sort_indices(
+            group, sort_keys=[("url", "ascending"), ("warc_ts", "ascending")]
+        )
+        group = group.take(order)
+        keep = np.ones(group.num_rows, dtype=bool)
+        urls = group.column("url").to_numpy(zero_copy_only=False)
+        keep[1:] = urls[1:] != urls[:-1]
+        group = group.filter(pa.array(keep))
+
+        tile_id = int(group.column("tile_id")[0].as_py())
+        zoom, row, col = (int(x) for x in unpack_tile_id(tile_id))
+        lang = group.column("lang").to_numpy(zero_copy_only=False)
+        text_len = pc.utf8_length(group.column("text")).to_numpy(zero_copy_only=False)
+        masks = [None, lang == "en", text_len >= 80]
+        tensor = rasterize_counts(group, spec, masks)
+
+        store = ZarrTileStore(spec)
+        if spec.time is not None:
+            # split counts per timestamp -> (bands, T, h, w)
+            ts = group.column("warc_ts").to_numpy(zero_copy_only=False)
+            uniq = np.array(sorted(set(ts.tolist())), dtype="datetime64[us]")
+            per_t = []
+            for t in uniq:
+                sel = group.filter(pa.array(ts == t))
+                lang_t = sel.column("lang").to_numpy(zero_copy_only=False)
+                len_t = pc.utf8_length(sel.column("text")).to_numpy(zero_copy_only=False)
+                per_t.append(rasterize_counts(sel, spec, [None, lang_t == "en", len_t >= 80]))
+            tensor4 = np.stack(per_t, axis=1)  # (bands, T, h, w)
+            n_chunks = store.write_tile(row, col, tensor4, timestamps=uniq)
+        else:
+            n_chunks = store.write_tile(row, col, tensor)
+
+        checksum = zlib.crc32(np.ascontiguousarray(tensor).tobytes())
+        write_record(spec.path, {
+            "tile_id": tile_id, "zoom": zoom, "tile_row": row, "tile_col": col,
+            "rows_in": group.num_rows, "chunks_written": n_chunks,
+            "checksum": int(checksum),
+            "cell_range": [int(group.column("cell_id").to_numpy().min()),
+                           int(group.column("cell_id").to_numpy().max())],
+        })
+        return pa.table({
+            "tile_id": pa.array([tile_id], pa.int64()),
+            "tile_row": pa.array([row], pa.int64()),
+            "tile_col": pa.array([col], pa.int64()),
+            "n_pages": pa.array([group.num_rows], pa.int64()),
+            "chunks_written": pa.array([n_chunks], pa.int64()),
+            "checksum": pa.array([int(checksum)], pa.int64()),
+        })
+
+    return fn
+
+
+def run_pipeline(ds: ray.data.Dataset, spec: JobSpec, mode: str = "continue",
+                 already_extracted: bool = False) -> ray.data.Dataset:
+    """Run E1 over a pages Dataset. ``mode``: 'continue' (skip complete
+    tiles — reference tests/test_driver.py:107-118 semantics) or
+    'overwrite' (recompute all)."""
+    store = ZarrTileStore(spec)
+    store.prepare()
+
+    if not already_extracted:
+        ds = ds.map_batches(extract_stage, batch_format="pyarrow")
+    ds = ds.map_batches(
+        assign_pages_fn(spec.snapped_bounds, spec.zoom, spec.grid, spec.cell_zoom),
+        batch_format="pyarrow",
+    )
+
+    if mode == "continue":
+        done = completed_tiles(store)
+        if done:
+            done_ref = ray.put(np.array(sorted(done), dtype=np.int64))
+
+            def drop_done(batch: pa.Table) -> pa.Table:
+                done_arr = ray.get(done_ref)
+                tid = batch.column("tile_id").to_numpy()
+                keep = ~np.isin(tid, done_arr)
+                return batch.filter(pa.array(keep))
+
+            ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    return ds.groupby("tile_id").map_groups(_tile_writer(spec), batch_format="pyarrow")
+
+
+def run_flagship(sf_dir: str, out_path: str | None = None, n_pages: int = 2000,
+                 mode: str = "overwrite") -> ray.data.Dataset:
+    """Driver entry: deterministic pages table (input_hint shape) ->
+    full E1 -> per-tile summary Dataset. ``sf_dir`` only scales n."""
+    if out_path is None:
+        out_path = f"/tmp/mxr_flagship_{os.getpid()}.zarr"
+    if mode == "overwrite" and os.path.exists(out_path):
+        import shutil
+
+        shutil.rmtree(out_path)
+    pages = make_pages(n=n_pages)
+    spec = default_spec(out_path)
+    ds = ray.data.from_arrow(pages)
+    return run_pipeline(ds, spec, mode="continue")

@@ -1,0 +1,425 @@
+"""Zarr-v2-layout tile archive: pure stdlib + numpy, no zarr/xarray dep.
+
+Reimplements the reference output driver's storage contract
+(mapchete_xarray/_output.py:594-710 ``initialize_zarr``, :250-279
+``prepare``, :353-390 ``write``, :281-328 ``tiles_exist``) from the
+layout spec visible in the reference fixtures
+(tests/testdata/s2_stack.zarr/.zmetadata) and the zarr v2 format spec:
+
+- one archive per job over the snapped process bounds at ONE zoom;
+- per band a 2-D ``(H, W)`` or 3-D ``(T, H, W)`` array dir named
+  ``Band1..N`` (or custom), chunked ``([time_chunk,] tile_px, tile_px)``
+  with ``tile_px = tile_size * metatiling`` — chunk == tile, so one
+  writer task owns each chunk file and concurrent writers never touch
+  the same chunk (the reference's ``safe_chunks=True`` invariant);
+- coordinate arrays ``X``/``Y`` = pixel centers (_output.py:619-620),
+  optional ``time`` encoded int64 "days since <start>" with
+  proleptic_gregorian calendar (fixture time/.zattrs);
+- per-array attrs ``_ARRAY_DIMENSIONS``, ``_CRS {wkt}``,
+  ``AREA_OR_POINT`` (_output.py:697-700); global ``mapchete`` job
+  metadata (_output.py:702-704); consolidated ``.zmetadata``.
+
+Chunk files are written temp-then-``os.replace`` (atomic on POSIX) so
+a killed task never leaves a torn chunk — the resume probe (chunk
+existence, like the reference's ``tiles_exist``) stays truthful.
+
+At cluster scale the path would be a shared filesystem or object
+store; all writes go through ``_put_bytes`` so swapping in an fsspec
+backend is a one-function change.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import tempfile
+import zlib
+
+import numpy as np
+
+from mapchete_xarray_ray.spec import JobSpec
+
+WKT_4326 = (
+    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,'
+    'AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],PRIMEM["Greenwich",0,'
+    'AUTHORITY["EPSG","8901"]],UNIT["degree",0.0174532925199433,'
+    'AUTHORITY["EPSG","9122"]],AUTHORITY["EPSG","4326"]]'
+)
+WKT_3857 = (
+    'PROJCS["WGS 84 / Pseudo-Mercator",GEOGCS["WGS 84",DATUM["WGS_1984",'
+    'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433]],PROJECTION["Mercator_1SP"],'
+    'UNIT["metre",1],AUTHORITY["EPSG","3857"]]'
+)
+
+
+def _put_bytes(path: str, data: bytes) -> None:
+    """Atomic write: temp file in target dir + os.replace."""
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def _put_json(path: str, obj) -> None:
+    _put_bytes(path, json.dumps(obj, indent=1, sort_keys=True).encode())
+
+
+def _zarray_meta(shape, chunks, dtype, fill_value, compressor):
+    dt = np.dtype(dtype)
+    return {
+        "zarr_format": 2,
+        "shape": list(shape),
+        "chunks": list(chunks),
+        "dtype": dt.str,
+        "fill_value": fill_value,
+        "order": "C",
+        "filters": None,
+        "compressor": ({"id": "zlib", "level": compressor} if compressor else None),
+    }
+
+
+def _encode_chunk(arr: np.ndarray, compressor: int) -> bytes:
+    raw = np.ascontiguousarray(arr).tobytes()
+    return zlib.compress(raw, compressor) if compressor else raw
+
+
+def _decode_chunk(buf: bytes, shape, dtype, compressor: int) -> np.ndarray:
+    if compressor:
+        buf = zlib.decompress(buf)
+    return np.frombuffer(buf, dtype=dtype).reshape(shape)
+
+
+class ZarrTileStore:
+    """Open/create a zarr-layout tile archive for a :class:`JobSpec`."""
+
+    def __init__(self, spec: JobSpec, compressor: int = 1):
+        self.spec = spec
+        self.path = str(spec.path)
+        self.compressor = compressor
+        b = spec.snapped_bounds
+        self.height, self.width = spec.shape
+        self.chunk_px = spec.chunk_px
+        self.n_chunk_rows = math.ceil(self.height / self.chunk_px)
+        self.n_chunk_cols = math.ceil(self.width / self.chunk_px)
+        self.px_x = (b.right - b.left) / self.width
+        self.px_y = (b.top - b.bottom) / self.height
+        self.has_time = spec.time is not None
+        self.n_time = len(spec.timestamps) if self.has_time else 0
+        self.time_chunk = min(self.n_time, spec.time_chunksize) if self.has_time else 0
+
+    # --- S1: initialize --------------------------------------------------
+    def initialize(self) -> None:
+        """Create the empty archive (mirrors _output.py:594-710); rolls
+        back partial output on failure."""
+        if os.path.exists(self.path):
+            raise IOError(
+                f"cannot initialize zarr storage as path already exists: {self.path}"
+            )
+        spec, b = self.spec, self.spec.snapped_bounds
+        try:
+            os.makedirs(self.path)
+            _put_json(os.path.join(self.path, ".zgroup"), {"zarr_format": 2})
+            global_attrs = {"mapchete": spec.metadata()}
+            _put_json(os.path.join(self.path, ".zattrs"), global_attrs)
+
+            consolidated = {".zgroup": {"zarr_format": 2}, ".zattrs": global_attrs}
+            wkt = WKT_4326 if spec.grid == "geodetic" else WKT_3857
+
+            # pixel-center coordinate arrays (_output.py:616-620)
+            coord_x = b.left + self.px_x / 2 + np.arange(self.width) * self.px_x
+            coord_y = b.top - self.px_y / 2 - np.arange(self.height) * self.px_y
+            self._write_coord(spec.x_axis_name, coord_x, consolidated)
+            self._write_coord(spec.y_axis_name, coord_y, consolidated)
+
+            axis_names = [spec.y_axis_name, spec.x_axis_name]
+            if self.has_time:
+                axis_names = [spec.time_axis_name] + axis_names
+                self._write_time_coord(consolidated)
+
+            band_shape = (self.height, self.width)
+            band_chunks = (self.chunk_px, self.chunk_px)
+            if self.has_time:
+                band_shape = (self.n_time, *band_shape)
+                band_chunks = (self.time_chunk, self.chunk_px, self.chunk_px)
+            for band in spec.band_names:
+                zarray = _zarray_meta(band_shape, band_chunks, spec.dtype,
+                                      spec.nodata, self.compressor)
+                zattrs = {
+                    "_ARRAY_DIMENSIONS": axis_names,
+                    "_CRS": {"wkt": wkt},
+                    "AREA_OR_POINT": spec.area_or_point,
+                }
+                _put_json(os.path.join(self.path, band, ".zarray"), zarray)
+                _put_json(os.path.join(self.path, band, ".zattrs"), zattrs)
+                consolidated[f"{band}/.zarray"] = zarray
+                consolidated[f"{band}/.zattrs"] = zattrs
+
+            _put_json(os.path.join(self.path, ".zmetadata"),
+                      {"zarr_consolidated_format": 1, "metadata": consolidated})
+        except BaseException:
+            # cleanup leftovers (reference _output.py:707-710)
+            import shutil
+
+            shutil.rmtree(self.path, ignore_errors=True)
+            raise
+
+    def _write_coord(self, name: str, values: np.ndarray, consolidated: dict):
+        values = values.astype("<f8")
+        zarray = _zarray_meta((len(values),), (max(len(values), 1),), "<f8",
+                              None, self.compressor)
+        zattrs = {"_ARRAY_DIMENSIONS": [name]}
+        _put_json(os.path.join(self.path, name, ".zarray"), zarray)
+        _put_json(os.path.join(self.path, name, ".zattrs"), zattrs)
+        _put_bytes(os.path.join(self.path, name, "0"),
+                   _encode_chunk(values, self.compressor))
+        consolidated[f"{name}/.zarray"] = zarray
+        consolidated[f"{name}/.zattrs"] = zattrs
+
+    def _write_time_coord(self, consolidated: dict):
+        spec = self.spec
+        ts = spec.timestamps
+        start = ts[0]
+        days = ((ts - start) / np.timedelta64(1, "D")).astype("<i8")
+        start_str = np.datetime_as_string(start, unit="D")
+        zarray = _zarray_meta((len(ts),), (len(ts),), "<i8", None, self.compressor)
+        zattrs = {
+            "_ARRAY_DIMENSIONS": [spec.time_axis_name],
+            "units": f"days since {start_str}",
+            "calendar": "proleptic_gregorian",
+        }
+        name = spec.time_axis_name
+        _put_json(os.path.join(self.path, name, ".zarray"), zarray)
+        _put_json(os.path.join(self.path, name, ".zattrs"), zattrs)
+        _put_bytes(os.path.join(self.path, name, "0"),
+                   _encode_chunk(days, self.compressor))
+        consolidated[f"{name}/.zarray"] = zarray
+        consolidated[f"{name}/.zattrs"] = zattrs
+
+    # --- S2: prepare (open-or-create + metadata compat) ------------------
+    def prepare(self) -> None:
+        if os.path.exists(self.path):
+            attrs_path = os.path.join(self.path, ".zattrs")
+            if not os.path.exists(attrs_path):
+                raise TypeError(
+                    f"zarr archive at {self.path} exists but does not hold "
+                    "mapchete metadata"
+                )
+            with open(attrs_path) as f:
+                stored = json.load(f).get("mapchete")
+            if stored is None:
+                raise TypeError(
+                    f"zarr archive at {self.path} exists but does not hold "
+                    "mapchete metadata"
+                )
+            current = json.loads(json.dumps(self.spec.metadata()))
+            for section in ("driver", "pyramid"):
+                if stored.get(section) != current.get(section):
+                    raise ValueError(
+                        f"existing archive incompatible with job spec: "
+                        f"{section} {stored.get(section)} != {current.get(section)}"
+                    )
+        else:
+            self.initialize()
+
+    # --- chunk addressing -------------------------------------------------
+    def tile_to_chunk(self, tile_row: int, tile_col: int) -> tuple[int, int]:
+        """Process tile -> chunk indices relative to the snapped region.
+
+        Chunk == tile, so this is the tile's offset from the region's
+        north-west tile (reference derives it via centroid floor-divide,
+        _output.py:281-297 — same result for interior tiles).
+        """
+        row0, _r1, col0, _c1 = self.spec.tile_range()
+        return tile_row - row0, tile_col - col0
+
+    def chunk_files(self, band: str, crow: int, ccol: int) -> list[str]:
+        if self.has_time:
+            n_tchunks = math.ceil(self.n_time / self.time_chunk)
+            return [os.path.join(self.path, band, f"{t}.{crow}.{ccol}")
+                    for t in range(n_tchunks)]
+        return [os.path.join(self.path, band, f"{crow}.{ccol}")]
+
+    # --- S3: per-tile write ----------------------------------------------
+    def write_tile(self, tile_row: int, tile_col: int, data: np.ndarray,
+                   timestamps=None) -> int:
+        """Write one tile's tensor into its chunk file(s).
+
+        ``data``: ``(bands, h, w)`` or ``(bands, T, h, w)`` (band-first,
+        the canonical order of the reference's ``output_cleaned``,
+        _output.py:392-439). Zero-length data is a no-op
+        (_output.py:362-364). With a time axis, ``timestamps`` labels
+        ``data``'s time slices; they must exist in the archive's time
+        coordinate (_output.py:213-217) and are written into the right
+        positions of the (possibly larger) time chunks; missing
+        positions fill with nodata. Returns number of chunk files
+        written.
+        """
+        if data is None or data.size == 0:
+            return 0
+        spec = self.spec
+        dt = np.dtype(spec.dtype)
+        crow, ccol = self.tile_to_chunk(tile_row, tile_col)
+        if not (0 <= crow < self.n_chunk_rows and 0 <= ccol < self.n_chunk_cols):
+            raise ValueError(f"tile ({tile_row},{tile_col}) outside snapped bounds")
+        written = 0
+        if not self.has_time:
+            if data.ndim != 3:
+                raise ValueError(f"expected (bands, h, w), got {data.shape}")
+            for band_name, band_arr in zip(spec.band_names, data):
+                _put_bytes(
+                    os.path.join(self.path, band_name, f"{crow}.{ccol}"),
+                    _encode_chunk(band_arr.astype(dt), self.compressor),
+                )
+                written += 1
+            return written
+        # time axis: place labeled slices into time-chunked files
+        if data.ndim != 4:
+            raise ValueError(f"expected (bands, T, h, w), got {data.shape}")
+        if timestamps is None:
+            raise ValueError("timestamps required for time-axis writes")
+        coord = list(self.spec.timestamps)
+        idxs = []
+        for t in np.array(timestamps, dtype="datetime64[us]"):
+            if t not in coord:
+                raise ValueError(f"time slice {t} not available to insert: {coord}")
+            idxs.append(coord.index(t))
+        tc = self.time_chunk
+        # group written slices by their target time chunk
+        by_chunk: dict[int, list[tuple[int, int]]] = {}
+        for data_pos, coord_idx in enumerate(idxs):
+            by_chunk.setdefault(coord_idx // tc, []).append((data_pos, coord_idx))
+        for band_i, band_name in enumerate(spec.band_names):
+            for tchunk, positions in by_chunk.items():
+                fname = os.path.join(self.path, band_name, f"{tchunk}.{crow}.{ccol}")
+                if os.path.exists(fname):
+                    with open(fname, "rb") as f:
+                        chunk = _decode_chunk(
+                            f.read(), (tc, self.chunk_px, self.chunk_px), dt,
+                            self.compressor).copy()
+                else:
+                    chunk = np.full((tc, self.chunk_px, self.chunk_px),
+                                    spec.nodata, dtype=dt)
+                for data_pos, coord_idx in positions:
+                    chunk[coord_idx - tchunk * tc] = data[band_i, data_pos].astype(dt)
+                _put_bytes(fname, _encode_chunk(chunk, self.compressor))
+                written += 1
+        return written
+
+    # --- resume probes (reference tiles_exist, _output.py:299-328) --------
+    def tile_exists(self, tile_row: int, tile_col: int) -> bool:
+        crow, ccol = self.tile_to_chunk(tile_row, tile_col)
+        for band in self.spec.band_names:
+            if self.has_time:
+                if os.path.exists(os.path.join(self.path, band, f"0.{crow}.{ccol}")):
+                    return True
+            elif os.path.exists(os.path.join(self.path, band, f"{crow}.{ccol}")):
+                return True
+        return False
+
+    def existing_tiles(self) -> set[tuple[int, int]]:
+        """All (tile_row, tile_col) with any chunk present — one listdir
+        per band (cheap driver-side probe for continue mode; at object-
+        store scale this is one LIST per band prefix)."""
+        row0, _r1, col0, _c1 = self.spec.tile_range()
+        out: set[tuple[int, int]] = set()
+        for band in self.spec.band_names:
+            band_dir = os.path.join(self.path, band)
+            if not os.path.isdir(band_dir):
+                continue
+            for fn in os.listdir(band_dir):
+                if fn.startswith("."):
+                    continue
+                parts = fn.split(".")
+                if self.has_time and len(parts) == 3:
+                    _t, r, c = parts
+                elif not self.has_time and len(parts) == 2:
+                    r, c = parts
+                else:
+                    continue
+                out.add((int(r) + row0, int(c) + col0))
+        return out
+
+    # --- S4/S7: windowed read --------------------------------------------
+    def read_tile(self, tile_row: int, tile_col: int, bands=None,
+                  time_idxs=None) -> np.ndarray:
+        """Read one tile back: ``(bands, h, w)`` or ``(bands, T', h, w)``.
+
+        Missing chunks yield fill_value (reference test_driver.py:39-46).
+        ``bands``: list of band names (already resolved). ``time_idxs``:
+        indices into the time coordinate.
+        """
+        spec = self.spec
+        dt = np.dtype(spec.dtype)
+        bands = bands or spec.band_names
+        crow, ccol = self.tile_to_chunk(tile_row, tile_col)
+        hw = (self.chunk_px, self.chunk_px)
+        if not self.has_time:
+            out = np.full((len(bands), *hw), spec.nodata, dtype=dt)
+            for i, band in enumerate(bands):
+                f = os.path.join(self.path, band, f"{crow}.{ccol}")
+                if os.path.exists(f):
+                    with open(f, "rb") as fh:
+                        out[i] = _decode_chunk(fh.read(), hw, dt, self.compressor)
+            return out
+        time_idxs = list(time_idxs) if time_idxs is not None else list(range(self.n_time))
+        tc = self.time_chunk
+        out = np.full((len(bands), len(time_idxs), *hw), spec.nodata, dtype=dt)
+        for i, band in enumerate(bands):
+            cache: dict[int, np.ndarray | None] = {}
+            for j, ti in enumerate(time_idxs):
+                tchunk = ti // tc
+                if tchunk not in cache:
+                    f = os.path.join(self.path, band, f"{tchunk}.{crow}.{ccol}")
+                    if os.path.exists(f):
+                        with open(f, "rb") as fh:
+                            cache[tchunk] = _decode_chunk(fh.read(), (tc, *hw), dt,
+                                                          self.compressor)
+                    else:
+                        cache[tchunk] = None
+                chunk = cache[tchunk]
+                if chunk is not None:
+                    out[i, j] = chunk[ti - tchunk * tc]
+        return out
+
+    def resolve_bands(self, indexes=None) -> list[str]:
+        """Band selector normalization (M7, _output.py:569-583): None ->
+        all; int -> positional name; str -> name, order-preserving."""
+        if indexes is None:
+            return list(self.spec.band_names)
+        if not isinstance(indexes, list):
+            indexes = [indexes]
+        out = []
+        for i in indexes:
+            if isinstance(i, int):
+                out.append(self.spec.band_names[i])
+            elif isinstance(i, str):
+                out.append(i)
+            else:
+                raise TypeError(
+                    f"band indexes must either be integers or strings, not: {i}"
+                )
+        return out
+
+    def resolve_time(self, start_time=None, end_time=None, timestamps=None):
+        """Time selector -> coordinate indices (reference _input.py:174-201
+        label-slice semantics: inclusive start/end)."""
+        if not self.has_time:
+            return None
+        coord = self.spec.timestamps
+        if timestamps is not None:
+            wanted = np.array(timestamps, dtype="datetime64[us]")
+            return [int(np.where(coord == t)[0][0]) for t in wanted]
+        if start_time is not None or end_time is not None:
+            lo = np.datetime64(start_time, "us") if start_time is not None else coord[0]
+            hi = np.datetime64(end_time, "us") if end_time is not None else coord[-1]
+            return [i for i, t in enumerate(coord) if lo <= t <= hi]
+        return list(range(self.n_time))

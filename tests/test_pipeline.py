@@ -1,0 +1,105 @@
+"""E1 end-to-end: pages -> zarr archive, resume semantics, oracle parity."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from mapchete_xarray_ray.fixtures import DEFAULT_BOUNDS, DEFAULT_ZOOM, make_pages
+from mapchete_xarray_ray.grid import pack_tile_id
+from mapchete_xarray_ray.oracle import oracle_tile_assign
+from mapchete_xarray_ray.pipelines.flagship import default_spec, run_pipeline
+from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+from mapchete_xarray_ray.state.lineage import completed_tiles, read_records
+
+
+def _collect(ds) -> pa.Table:
+    return pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+
+
+def test_e2e_counts_match_oracle(tmp_path):
+    pages = make_pages(n=600, dup_frac=0.1)
+    spec = default_spec(str(tmp_path / "out.zarr"))
+    summary = _collect(run_pipeline(ray.data.from_arrow(pages), spec))
+
+    # oracle: sequential assignment, dedup by url, count per tile
+    assign = oracle_tile_assign(pages, DEFAULT_BOUNDS, DEFAULT_ZOOM)
+    seen, per_tile = set(), {}
+    for url, tid in zip(assign.column("url").to_pylist(),
+                        assign.column("tile_id").to_pylist()):
+        if url in seen:
+            continue
+        seen.add(url)
+        per_tile[tid] = per_tile.get(tid, 0) + 1
+
+    got = dict(zip(summary.column("tile_id").to_pylist(),
+                   summary.column("n_pages").to_pylist()))
+    assert got == per_tile
+
+    # total count band sums to total deduped pages
+    store = ZarrTileStore(spec)
+    total = 0
+    for (r, c) in store.existing_tiles():
+        total += int(store.read_tile(r, c, bands=["count"]).sum())
+    assert total == len(seen)
+
+
+def test_e2e_resume_skips_done_tiles(tmp_path):
+    """Mirror of reference tests/test_driver.py:107-118: second run in
+    continue mode computes zero tiles."""
+    pages = make_pages(n=300)
+    spec = default_spec(str(tmp_path / "out.zarr"))
+    first = _collect(run_pipeline(ray.data.from_arrow(pages), spec, mode="continue"))
+    assert first.num_rows > 0
+    second = _collect(run_pipeline(ray.data.from_arrow(pages), spec, mode="continue"))
+    assert second.num_rows == 0
+
+
+def test_e2e_resume_redoes_torn_tile(tmp_path):
+    """A chunk written without a lineage record (killed task) is redone."""
+    pages = make_pages(n=300)
+    spec = default_spec(str(tmp_path / "out.zarr"))
+    _collect(run_pipeline(ray.data.from_arrow(pages), spec, mode="continue"))
+    recs = read_records(spec.path)
+    assert recs
+    # delete one lineage record -> that tile must be recomputed
+    (zoom, row, col) = next(iter(recs))
+    os.unlink(os.path.join(spec.path, "_lineage", f"{zoom}-{row}-{col}.json"))
+    store = ZarrTileStore(spec)
+    assert pack_tile_id(zoom, row, col) not in completed_tiles(store)
+    redo = _collect(run_pipeline(ray.data.from_arrow(pages), spec, mode="continue"))
+    assert redo.num_rows == 1
+    assert redo.column("tile_row").to_pylist() == [row]
+
+
+def test_e2e_4d_time_axis(tmp_path):
+    pages = make_pages(n=300)
+    time = {"start": "2022-06-01", "end": "2022-06-11",
+            "steps": ["2022-06-01", "2022-06-04", "2022-06-06",
+                      "2022-06-09", "2022-06-11"]}
+    spec = default_spec(str(tmp_path / "out4d.zarr"), time=time)
+    summary = _collect(run_pipeline(ray.data.from_arrow(pages), spec))
+    assert summary.num_rows > 0
+    store = ZarrTileStore(spec)
+    r, c = next(iter(store.existing_tiles()))
+    data = store.read_tile(r, c)
+    assert data.shape == (3, 5, 256, 256)
+    # per-timestamp counts sum to the tile total
+    total = int(_collect(run_pipeline(ray.data.from_arrow(pages),
+                                      default_spec(str(tmp_path / "o3.zarr")))
+                         ).column("n_pages").to_numpy().sum())
+    assert int(sum(store.read_tile(rr, cc, bands=["count"]).sum()
+                   for rr, cc in store.existing_tiles())) == total
+
+
+def test_entry_smoke():
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    mod = importlib.import_module("__ray_entry__")
+    res = mod.entry()
+    t = _collect(res)
+    assert t.num_rows >= 0
+    assert "tile_id" in t.column_names

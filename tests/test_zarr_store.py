@@ -1,0 +1,159 @@
+"""Zarr-layout store conformance (FIXTURES.md F4, mirrors reference
+tests/test_zarr_creation.py + test_driver.py storage assertions)."""
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+from mapchete_xarray_ray.spec import JobSpec, JobSpecError
+
+BOUNDS_3D = (-180.0, 45.0, -135.0, 90.0)
+
+
+def make_spec(tmp_path, time=None, **kw):
+    return JobSpec(
+        path=str(tmp_path / "out.zarr"),
+        zoom=5,
+        bounds=BOUNDS_3D,
+        bands=kw.pop("bands", 3),
+        dtype=kw.pop("dtype", "uint8"),
+        time=time,
+        **kw,
+    )
+
+
+TIME = {"start": "2022-06-01", "end": "2022-06-11",
+        "steps": ["2022-06-01", "2022-06-04", "2022-06-06", "2022-06-09", "2022-06-11"]}
+
+
+def test_initialize_layout_3d(tmp_path):
+    spec = make_spec(tmp_path)
+    store = ZarrTileStore(spec)
+    store.initialize()
+    p = spec.path
+    # required members (test_zarr_creation.py:12-45)
+    for member in [".zgroup", ".zattrs", ".zmetadata", "X", "Y", "Band1", "Band2", "Band3"]:
+        assert os.path.exists(os.path.join(p, member)), member
+    za = json.load(open(os.path.join(p, "Band1", ".zarray")))
+    assert za["shape"] == [2048, 2048]          # test_zarr_creation.py:46-51
+    assert za["chunks"] == [256, 256]
+    assert za["dtype"] == "|u1"
+    attrs = json.load(open(os.path.join(p, "Band1", ".zattrs")))
+    assert attrs["_ARRAY_DIMENSIONS"] == ["Y", "X"]
+    assert "wkt" in attrs["_CRS"]
+    assert attrs["AREA_OR_POINT"] == "Area"
+    # global metadata round-trip (test_zarr_creation.py:122-134)
+    g = json.load(open(os.path.join(p, ".zattrs")))
+    assert "pyramid" in g["mapchete"] and "driver" in g["mapchete"]
+    # coord values strictly inside bounds (test_zarr_creation.py:52-57)
+    za_x = json.load(open(os.path.join(p, "X", ".zarray")))
+    comp = za_x["compressor"]
+    buf = open(os.path.join(p, "X", "0"), "rb").read()
+    if comp:
+        buf = zlib.decompress(buf)
+    x = np.frombuffer(buf, dtype="<f8")
+    assert x.min() > -180 and x.max() < -135
+    assert len(x) == 2048
+    assert x[0] == -180 + 0.02197265625 / 2
+
+
+def test_initialize_layout_4d(tmp_path):
+    spec = make_spec(tmp_path, time=dict(TIME, chunksize=10))
+    store = ZarrTileStore(spec)
+    store.initialize()
+    za = json.load(open(os.path.join(spec.path, "Band1", ".zarray")))
+    assert za["shape"] == [5, 2048, 2048]
+    assert za["chunks"] == [5, 256, 256]  # min(T, chunksize)
+    t_attrs = json.load(open(os.path.join(spec.path, "time", ".zattrs")))
+    assert t_attrs["units"] == "days since 2022-06-01"
+    assert t_attrs["calendar"] == "proleptic_gregorian"
+    buf = zlib.decompress(open(os.path.join(spec.path, "time", "0"), "rb").read())
+    np.testing.assert_array_equal(np.frombuffer(buf, "<i8"), [0, 3, 5, 8, 10])
+
+
+def test_write_read_roundtrip_3d(tmp_path):
+    spec = make_spec(tmp_path, dtype="uint16")
+    store = ZarrTileStore(spec)
+    store.prepare()
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 1000, (3, 256, 256), dtype=np.uint16)
+    assert store.write_tile(2, 3, data) == 3
+    got = store.read_tile(2, 3)
+    np.testing.assert_array_equal(got, data)
+    # unwritten tile reads back all-nodata (test_driver.py:39-46)
+    empty = store.read_tile(4, 4)
+    assert (empty == spec.nodata).all()
+    # band select by index / by name (test_driver.py:137-150)
+    sel = store.read_tile(2, 3, bands=store.resolve_bands([0, 2]))
+    np.testing.assert_array_equal(sel, data[[0, 2]])
+    sel = store.read_tile(2, 3, bands=store.resolve_bands(["Band2"]))
+    np.testing.assert_array_equal(sel[0], data[1])
+
+
+def test_write_read_roundtrip_4d_time_select(tmp_path):
+    spec = make_spec(tmp_path, time=dict(TIME), dtype="uint16")
+    store = ZarrTileStore(spec)
+    store.prepare()
+    rng = np.random.default_rng(2)
+    # write three of the five timestamps
+    ts = np.array(["2022-06-01", "2022-06-06", "2022-06-11"], dtype="datetime64[us]")
+    data = rng.integers(0, 500, (3, 3, 256, 256), dtype=np.uint16)
+    store.write_tile(1, 1, data, timestamps=ts)
+    # full read: 5 slices, unwritten ones nodata
+    full = store.read_tile(1, 1)
+    assert full.shape == (3, 5, 256, 256)
+    np.testing.assert_array_equal(full[:, [0, 2, 4]], data)
+    assert (full[:, [1, 3]] == 0).all()
+    # time range select (test_driver.py:153-161 cardinality pattern)
+    assert len(store.resolve_time(start_time="2022-06-05")) == 3
+    assert len(store.resolve_time(start_time="2022-06-05", end_time="2022-06-09")) == 2
+    assert len(store.resolve_time(end_time="2022-06-09")) == 4
+    # explicit timestamps (test_driver.py:164-167)
+    idx = store.resolve_time(timestamps=["2022-06-01", "2022-06-06"])
+    got = store.read_tile(1, 1, time_idxs=idx)
+    np.testing.assert_array_equal(got, data[:, [0, 1]])
+
+
+def test_empty_write_is_noop(tmp_path):
+    spec = make_spec(tmp_path)
+    store = ZarrTileStore(spec)
+    store.prepare()
+    assert store.write_tile(0, 0, np.empty((3, 0, 0), dtype="uint8")) == 0
+    assert not store.tile_exists(0, 0)
+
+
+def test_prepare_validates_metadata_compat(tmp_path):
+    spec = make_spec(tmp_path)
+    ZarrTileStore(spec).prepare()
+    # same spec: fine
+    ZarrTileStore(make_spec(tmp_path)).prepare()
+    # incompatible dtype: raises (reference _output.py:250-261)
+    with pytest.raises(ValueError, match="incompatible"):
+        ZarrTileStore(make_spec(tmp_path, dtype="uint16")).prepare()
+
+
+def test_spec_validation_guards(tmp_path):
+    # mirrors reference tests/test_driver.py:220-245
+    with pytest.raises(JobSpecError, match="pixelbuffer"):
+        JobSpec(path=str(tmp_path / "x.zarr"), zoom=5, bounds=BOUNDS_3D,
+                bands=1, pixelbuffer=5)
+    with pytest.raises(JobSpecError, match="must end with"):
+        JobSpec(path=str(tmp_path / "x.tif"), zoom=5, bounds=BOUNDS_3D, bands=1)
+    with pytest.raises(JobSpecError, match="single zoom"):
+        JobSpec(path=str(tmp_path / "x.zarr"), zoom=[5, 6], bounds=BOUNDS_3D, bands=1)
+    with pytest.raises(JobSpecError, match="pattern"):
+        JobSpec(path=str(tmp_path / "x.zarr"), zoom=5, bounds=BOUNDS_3D, bands=1,
+                time={"start": "2022-06-01", "end": "2022-06-02"})
+    with pytest.raises(JobSpecError, match="band"):
+        JobSpec(path=str(tmp_path / "x.zarr"), zoom=5, bounds=BOUNDS_3D)
+
+
+def test_cron_pattern_expansion(tmp_path):
+    spec = make_spec(tmp_path, time={"start": "2022-06-01", "end": "2022-06-05",
+                                     "pattern": "0 0 * * *"})
+    assert len(spec.timestamps) == 5
+    assert str(spec.timestamps[0])[:10] == "2022-06-01"
