@@ -1,0 +1,127 @@
+"""E3 — process-output-as-input: build zoom z-1 from zoom z.
+
+The reference's self-referential path (output driver as input,
+_output.py:146-163 + get_raw_output at :556, mosaic at :165-200) maps
+to: enumerate parent tiles at z-1 (driver), prune against the input
+footprint (J3), then one ``map_batches`` stage whose tasks each read
+their 2x2 child window from the source archive (mosaic read) and write
+the downsampled parent tile + lineage — no shuffle at all: the tile
+grid itself is the partitioning, each task's read set is disjoint.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from mapchete_xarray_ray.grid import pack_tile_id
+from mapchete_xarray_ray.spec import JobSpec
+from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+from mapchete_xarray_ray.sources.zarr_input import (
+    archive_bbox,
+    check_grid_compatible,
+    prune_tiles,
+    read_window,
+    spec_from_archive,
+)
+from mapchete_xarray_ray.state.lineage import completed_tiles, write_record
+
+
+def _downsample2(arr: np.ndarray, how: str = "sum") -> np.ndarray:
+    """2x block-reduce the last two axes (vectorized reshape trick)."""
+    *lead, h, w = arr.shape
+    r = arr.reshape(*lead, h // 2, 2, w // 2, 2).astype(np.int64)
+    if how == "sum":
+        return r.sum(axis=(-3, -1))
+    if how == "max":
+        return r.max(axis=(-3, -1))
+    raise ValueError(how)
+
+
+class PyramidReducer:
+    """Actor-pool stage: child-window read -> 2x downsample -> parent write."""
+
+    def __init__(self, in_path: str, out_spec: JobSpec, how: str = "sum"):
+        self.in_spec = spec_from_archive(in_path)
+        self.in_store = ZarrTileStore(self.in_spec)
+        self.out_spec = out_spec
+        self.out_store = ZarrTileStore(out_spec)
+        self.how = how
+        self.info = np.iinfo(np.dtype(out_spec.dtype))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"tile_id": [], "tile_row": [], "tile_col": [], "checksum": []}
+        for r, c in zip(batch.column("tile_row").to_pylist(),
+                        batch.column("tile_col").to_pylist()):
+            tb = self.out_spec.pyramid.tile_bounds(self.out_spec.zoom, r, c)
+            window = read_window(self.in_store, tuple(tb))
+            tensor = (
+                _downsample2(window, self.how)
+                .clip(self.info.min, self.info.max)
+                .astype(self.out_spec.dtype)
+            )
+            if self.in_store.has_time:
+                ts = self.in_spec.timestamps
+                self.out_store.write_tile(r, c, tensor, timestamps=ts)
+            else:
+                self.out_store.write_tile(r, c, tensor)
+            checksum = zlib.crc32(np.ascontiguousarray(tensor).tobytes())
+            write_record(self.out_spec.path, {
+                "tile_id": int(pack_tile_id(self.out_spec.zoom, r, c)),
+                "zoom": self.out_spec.zoom, "tile_row": r, "tile_col": c,
+                "rows_in": 0, "chunks_written": len(self.out_spec.band_names),
+                "checksum": int(checksum),
+                "input_fragments": [f"{self.in_spec.path}@z{self.in_spec.zoom}"],
+            })
+            out["tile_id"].append(int(pack_tile_id(self.out_spec.zoom, r, c)))
+            out["tile_row"].append(r)
+            out["tile_col"].append(c)
+            out["checksum"].append(int(checksum))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+def run_pyramid_step(in_path: str, out_path: str, how: str = "sum",
+                     mode: str = "continue", concurrency: int | None = None
+                     ) -> ray.data.Dataset:
+    in_spec = spec_from_archive(in_path)
+    out_spec = JobSpec(
+        path=out_path,
+        zoom=in_spec.zoom - 1,
+        bounds=tuple(in_spec.bounds),
+        grid=in_spec.grid,
+        metatiling=in_spec.metatiling,
+        tile_size=in_spec.tile_size,
+        dtype="uint32" if how == "sum" else in_spec.dtype,
+        nodata=in_spec.nodata,
+        band_names=list(in_spec.band_names),
+        time=in_spec.time,
+    )
+    check_grid_compatible(in_spec, out_spec)
+    out_store = ZarrTileStore(out_spec)
+    out_store.prepare()
+
+    r0, r1, c0, c1 = out_spec.tile_range()
+    tiles = [(r, c) for r in range(r0, r1 + 1) for c in range(c0, c1 + 1)]
+    tiles = prune_tiles(tiles, out_spec, archive_bbox(in_spec))
+    if mode == "continue":
+        done = completed_tiles(out_store)
+        tiles = [(r, c) for r, c in tiles
+                 if int(pack_tile_id(out_spec.zoom, r, c)) not in done]
+
+    items = pa.table({
+        "tile_row": pa.array([t[0] for t in tiles], pa.int64()),
+        "tile_col": pa.array([t[1] for t in tiles], pa.int64()),
+    })
+    ds = ray.data.from_arrow(items)
+    # spread the tile work-list across blocks so the actor pool fills
+    ds = ds.repartition(max(1, len(tiles) // 4))
+    return ds.map_batches(
+        PyramidReducer,
+        fn_constructor_kwargs=dict(in_path=in_path, out_spec=out_spec, how=how),
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=concurrency or 4,
+    )
