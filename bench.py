@@ -1,0 +1,181 @@
+"""Benchmark harness (driver contract + scaling protocol).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "pages_per_sec": ..., "tiles_per_sec": ...}
+
+--scaling: run the flagship pipeline twice in FRESH subprocesses
+(num_cpus=8 then 32) on the same input and print throughputs +
+scaling efficiency (BASELINE.md protocol).
+
+The flagship input is a deterministically synthesized pages table
+(BASELINE.json input_hint shape) written once to /tmp and reused; the
+synthesis itself is distributed (ray.data.range -> map_batches) and
+excluded from the timed window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "200000"))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def synth_pages_parquet(n: int, path: str) -> str:
+    """Distributed deterministic pages synthesis (cached on disk)."""
+    import ray
+    import pyarrow as pa
+
+    marker = os.path.join(path, f".complete-{n}")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+
+    from mapchete_xarray_ray.fixtures import TIME_STEPS, _LANGS, _make_html
+    from mapchete_xarray_ray.functions.extract import extract_text
+
+    def make_batch(batch):
+        import numpy as np
+
+        ids = batch["id"]
+        urls, htmls, texts, langs, ts = [], [], [], [], []
+        for i in ids.tolist():
+            host = f"h{(i * 2654435761) % 97 if (i * 40503) % 100 >= 20 else 0:03d}.example"
+            lang = _LANGS[i % len(_LANGS)]
+            html = _make_html(i, host, lang)
+            urls.append(f"https://{host}/p/{i:08d}")
+            htmls.append(html)
+            texts.append(extract_text(html))
+            langs.append(lang)
+            ts.append(TIME_STEPS[i % len(TIME_STEPS)])
+        import numpy as _np
+
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(_np.array(ts, dtype="datetime64[us]")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        })
+
+    (
+        ray.data.range(n)
+        .map_batches(make_batch, batch_format="numpy", batch_size=4096)
+        .write_parquet(path)
+    )
+    open(marker, "w").close()
+    return path
+
+
+def run_flagship_bench(pages_path: str, out_path: str) -> dict:
+    import pyarrow as pa
+    import ray
+
+    from mapchete_xarray_ray.pipelines.flagship import default_spec, run_pipeline
+
+    shutil.rmtree(out_path, ignore_errors=True)
+    spec = default_spec(out_path)
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(pages_path)
+    summary = run_pipeline(ds, spec, mode="overwrite")
+    tabs = [ray.get(r) for r in summary.to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_columns > 0]
+    tbl = pa.concat_tables(tabs)
+    dt = time.perf_counter() - t0
+    n_tiles = tbl.num_rows
+    n_pages = int(tbl.column("n_pages").to_numpy().sum()) if n_tiles else 0
+    return {"sec": dt, "tiles": n_tiles, "pages": n_pages,
+            "pages_per_sec": n_pages / dt, "tiles_per_sec": n_tiles / dt}
+
+
+def run_queries(sf_dir: str) -> dict:
+    """Time each registry query (the driver-facing operator set)."""
+    import pyarrow as pa
+    import ray
+
+    from mapchete_xarray_ray.pipelines.queries import REGISTRY
+
+    out = {}
+    for name, (fn, _sql) in REGISTRY.items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            # consume without driver materialization of data values
+            for _ in res.iter_batches(batch_size=8192, batch_format="pyarrow"):
+                pass
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    pages_path = os.environ.get("GRAFT_BENCH_PAGES_DIR",
+                                f"/tmp/mxr_bench_pages_{BENCH_PAGES}")
+    synth_pages_parquet(BENCH_PAGES, pages_path)
+    # warm page cache (measure compute+shuffle, not first disk read)
+    import pyarrow.parquet as pq
+
+    for f in os.listdir(pages_path):
+        if f.endswith(".parquet"):
+            pq.read_table(os.path.join(pages_path, f))
+
+    flagship = run_flagship_bench(pages_path, f"/tmp/mxr_bench_out_{NUM_CPUS}.zarr")
+    queries = run_queries(SF_DIR)
+    total = round(flagship["sec"] + sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "tile-assignment + spatial-join throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": {"flagship": round(flagship["sec"], 3), **queries},
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "num_cpus": NUM_CPUS,
+        "pages": flagship["pages"],
+        "tiles": flagship["tiles"],
+        "pages_per_sec": round(flagship["pages_per_sec"], 1),
+        "tiles_per_sec": round(flagship["tiles_per_sec"], 2),
+    }))
+    ray.shutdown()
+
+
+def scaling():
+    """Two fresh processes at num_cpus=8 and 32; report efficiency."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    thr_lo, thr_hi = r_lo["pages_per_sec"], r_hi["pages_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    print(json.dumps({
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "pages_per_sec_lo": thr_lo, "pages_per_sec_hi": thr_hi,
+        "sec_lo": r_lo["queries"]["flagship"], "sec_hi": r_hi["queries"]["flagship"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

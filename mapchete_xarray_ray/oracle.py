@@ -105,7 +105,10 @@ def oracle_pip_join(pages: pa.Table, regions: pa.Table, bounds: Bounds,
 def oracle_knn(pages: pa.Table, bounds: Bounds, zoom: int, k: int = 3,
                grid: str = "geodetic") -> pa.Table:
     """(url, neighbor_url, rank, dist2) — k nearest distinct-url pages by
-    squared planar degree distance; ties by neighbor_url ascending."""
+    squared planar degree distance; ties by neighbor id (stable url
+    hash) ascending — the engine's documented tie rule."""
+    from mapchete_xarray_ray.functions.geocode import stable_hash64
+
     pyramid = TilePyramid(grid)
     urls = pages.column("url").to_numpy(zero_copy_only=False)
     # dedup urls (first occurrence) so re-crawls don't produce self-pairs
@@ -116,6 +119,7 @@ def oracle_knn(pages: pa.Table, bounds: Bounds, zoom: int, k: int = 3,
             uu.append(u)
     uu = np.array(uu, dtype=object)
     lon, lat = geocode_url(uu, bounds, zoom, pyramid)
+    hid = stable_hash64(uu).astype(np.int64)
     out = {"url": [], "neighbor_url": [], "rank": [], "dist2": []}
     for i in range(len(uu)):
         cand = []
@@ -123,9 +127,9 @@ def oracle_knn(pages: pa.Table, bounds: Bounds, zoom: int, k: int = 3,
             if uu[j] == uu[i]:
                 continue
             d2 = (lon[i] - lon[j]) ** 2 + (lat[i] - lat[j]) ** 2
-            cand.append((d2, uu[j]))
+            cand.append((d2, int(hid[j]), uu[j]))
         cand.sort()
-        for rank, (d2, nu) in enumerate(cand[:k], start=1):
+        for rank, (d2, _h, nu) in enumerate(cand[:k], start=1):
             out["url"].append(uu[i])
             out["neighbor_url"].append(nu)
             out["rank"].append(rank)

@@ -118,10 +118,15 @@ def run_pyramid_step(in_path: str, out_path: str, how: str = "sum",
     ds = ray.data.from_arrow(items)
     # spread the tile work-list across blocks so the actor pool fills
     ds = ds.repartition(max(1, len(tiles) // 4))
+    # num_cpus=0.5: the reducers are IO-bound (chunk read/write); a full
+    # CPU per actor can starve upstream operators when the pool size
+    # equals the session's CPU count (deadlock observed at 4 actors on a
+    # 4-CPU session — the guide's actor-pool sizing pitfall).
     return ds.map_batches(
         PyramidReducer,
         fn_constructor_kwargs=dict(in_path=in_path, out_spec=out_spec, how=how),
         batch_format="pyarrow",
         batch_size=4,
-        concurrency=concurrency or 4,
+        num_cpus=0.5,
+        concurrency=concurrency or 2,
     )

@@ -145,10 +145,324 @@ GROUP BY cell3
 """
 
 
+def q_pip_join(sf_dir: str):
+    """Point-in-polygon broadcast join (J4) in integer pixel space.
+
+    The polygon side is 4 axis-aligned rectangles (generic polygon code
+    path — PIPJoiner treats them as rings); overlaps exercise the
+    lowest-region_id tie rule. The SQL twin uses BETWEEN containment +
+    min(region_id), which equals the ring test exactly because all
+    coordinates are integers.
+    """
+    from mapchete_xarray_ray.stages.join import PIPJoiner
+
+    rects = _PIP_RECTS
+    regions = [
+        (rid, [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        for rid, x0, y0, x1, y1 in rects
+    ]
+    ds = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(assign_doc_ids_fn(ZOOM), batch_format="pyarrow")
+        .map_batches(
+            PIPJoiner,
+            fn_constructor_kwargs=dict(regions=regions, x_col="px", y_col="py"),
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .select_columns(["doc_id", "region_id"])
+    )
+    return ds
+
+
+# (region_id, minx, miny, maxx, maxy) in global z5 pixel coords;
+# region 1 overlaps region 0; region 2 shares an edge with region 1.
+_PIP_RECTS = [
+    (0, 1000, 1000, 5000, 4000),
+    (1, 4000, 3000, 9000, 6000),
+    (2, 9000, 3000, 12000, 6000),
+    (3, 13000, 500, 16000, 7500),
+]
+
+SQL_PIP_JOIN = """
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id * 2654435761) % 16384 AS px,
+         (doc_id * 40503) % 8192 AS py
+  FROM documents
+), regions(region_id, minx, miny, maxx, maxy) AS (
+  VALUES (0, 1000, 1000, 5000, 4000),
+         (1, 4000, 3000, 9000, 6000),
+         (2, 9000, 3000, 12000, 6000),
+         (3, 13000, 500, 16000, 7500)
+)
+SELECT doc_id, min(region_id)::BIGINT AS region_id
+FROM pts JOIN regions
+  ON px BETWEEN minx AND maxx AND py BETWEEN miny AND maxy
+GROUP BY doc_id
+"""
+
+
+def q_knn(sf_dir: str):
+    """Exact kNN (J5) via k-ring gather + refinement in pixel space.
+
+    k=3 nearest other documents by squared pixel distance; cell grid =
+    zoom-3 cells (1024 px). dist2 stays int64-exact (float64 holds
+    integers < 2^53 exactly), so the brute-force SQL twin matches
+    bit-for-bit.
+    """
+    from mapchete_xarray_ray.stages.knn import knn_pipeline
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        px = (doc_id * 2654435761) % 16384
+        py = (doc_id * 40503) % 8192
+        return pa.table({
+            "id": pa.array(doc_id, pa.int64()),
+            "x": pa.array(px.astype(np.float64)),
+            "y": pa.array(py.astype(np.float64)),
+        })
+
+    pts = _docs(sf_dir, ["doc_id"]).map_batches(to_points, batch_format="pyarrow")
+    out = knn_pipeline(pts, k=3, cell_span=1024.0, ncols=16, nrows=8)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if "id" not in batch.column_names:  # empty block from a dry round
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "dist2": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "doc_id": batch.column("id"),
+            "neighbor_id": batch.column("neighbor_id"),
+            "rank": batch.column("rank"),
+            "dist2": batch.column("dist2").cast(pa.int64()),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_KNN = """
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id * 2654435761) % 16384 AS px,
+         (doc_id * 40503) % 8192 AS py
+  FROM documents
+)
+SELECT a.doc_id, b.doc_id AS neighbor_id,
+       row_number() OVER (
+         PARTITION BY a.doc_id
+         ORDER BY (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py),
+                  b.doc_id
+       )::BIGINT AS rank,
+       ((a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py))::BIGINT AS dist2
+FROM pts a JOIN pts b ON a.doc_id <> b.doc_id
+QUALIFY rank <= 3
+"""
+
+
+# --- training-data ops: dedup / text analysis / ANN ----------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup (§2.7): hash-partition by content, per-group min id.
+
+    Shuffle moves (doc_id, text_hash) projections; within a hash group,
+    grouping is by the exact text so collisions can't merge docs.
+    """
+    from mapchete_xarray_ray.functions.geocode import stable_hash64
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = stable_hash64(batch.column("text").to_numpy(zero_copy_only=False))
+        return batch.append_column("text_hash", pa.array(h.astype(np.int64)))
+
+    def first_per_text(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas()
+        agg = df.groupby("text", sort=False)["doc_id"].agg(["min", "count"])
+        return pa.table({
+            "doc_id": pa.array(agg["min"].to_numpy(), pa.int64()),
+            "n_dups": pa.array(agg["count"].to_numpy(), pa.int64()),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_hash")
+        .map_groups(first_per_text, batch_format="pyarrow")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups
+FROM documents GROUP BY text
+"""
+
+
+def q_text_quality(sf_dir: str):
+    """Quality metrics (training-data text analysis), integer-exact."""
+    from mapchete_xarray_ray.stages.text import quality_stage
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(quality_stage, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_chars", "n_tokens", "n_punct", "n_digits"])
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       array_length(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS n_punct,
+       len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits
+FROM documents
+"""
+
+
+def q_lang_id(sf_dir: str):
+    """Stopword-heuristic language ID with per-lang hit counts."""
+    from mapchete_xarray_ray.stages.text import langid_stage
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(langid_stage, batch_format="pyarrow")
+        .select_columns(["doc_id", "lang_pred", "hits_de", "hits_en",
+                         "hits_es", "hits_fr"])
+    )
+
+
+def _langid_sql() -> str:
+    from mapchete_xarray_ray.stages.text import langid_sql_parts
+
+    hits, case = langid_sql_parts("text")
+    inner = ", ".join(hits[L] for L in sorted(hits))
+    return f"""
+WITH h AS (SELECT doc_id, {inner} FROM documents)
+SELECT doc_id, {case} AS lang_pred,
+       h_de AS hits_de, h_en AS hits_en, h_es AS hits_es, h_fr AS hits_fr
+FROM h
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    """Rolling-hash document fingerprint (not SQL-expressible —
+    rows-only check; exactness covered by tests/test_text.py oracle)."""
+    from mapchete_xarray_ray.stages.text import fingerprint_stage
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(fingerprint_stage, batch_format="pyarrow")
+        .select_columns(["doc_id", "fingerprint"])
+    )
+
+
+def q_minhash_neardup(sf_dir: str):
+    """MinHash+LSH near-dup pairs with exact-Jaccard verify >= 0.5.
+
+    Not SQL-expressible (rows-only driver check); pair-exactness vs a
+    sequential brute-force oracle is tested in tests/test_dedup.py.
+    """
+    from mapchete_xarray_ray.stages.dedup import (
+        candidate_pairs_from_bands,
+        jaccard,
+        minhash_stage,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bands = docs.map_batches(minhash_stage, batch_format="pyarrow")
+    cands = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(candidate_pairs_from_bands, batch_format="pyarrow")
+    )
+
+    # dedup candidate pairs, then verify exact Jaccard against the texts
+    # (texts for the candidate ids are broadcast — the candidate set is
+    # orders of magnitude smaller than the corpus)
+    def uniq_pairs(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    cands = cands.groupby(["id_a", "id_b"]).map_groups(uniq_pairs,
+                                                       batch_format="pyarrow")
+    texts_tbl = pa.concat_tables(
+        [ray.get(r) for r in docs.to_arrow_refs()])
+    text_ref = ray.put(dict(zip(texts_tbl.column("doc_id").to_pylist(),
+                                texts_tbl.column("text").to_pylist())))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "id_a" not in batch.column_names:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        lookup = ray.get(text_ref)
+        ia = batch.column("id_a").to_pylist()
+        ib = batch.column("id_b").to_pylist()
+        keep = [jaccard(lookup[a], lookup[b]) >= 0.5 for a, b in zip(ia, ib)]
+        return batch.filter(pa.array(keep))
+
+    return cands.map_batches(verify, batch_format="pyarrow")
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash signature per doc (rows-only; oracle in tests)."""
+    from mapchete_xarray_ray.stages.dedup import simhash_stage
+
+    def sig_only(batch: pa.Table) -> pa.Table:
+        out = simhash_stage(batch)
+        # one row per doc (simhash_stage emits 4 blocking rows)
+        return (out.group_by("doc_id")
+                   .aggregate([("sig", "min")])
+                   .rename_columns(["doc_id", "simhash"]))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        sig_only, batch_format="pyarrow")
+
+
+def q_ann_cosine(sf_dir: str):
+    """Exact cosine top-5 per embedding vs the whole corpus (brute
+    force, broadcast query matrix). Output keeps only (vec_id,
+    neighbor_id, rank) — rank ordering is float-stable because both
+    sides compute double-precision cosines.
+    """
+    from mapchete_xarray_ray.stages.ann import ann_brute_pipeline
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    tbl = pa.concat_tables([ray.get(r) for r in emb.to_arrow_refs()])
+    q_ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    q_mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    out = ann_brute_pipeline(emb, q_ids, q_mat, k=5)
+    return out.select_columns(["vec_id", "neighbor_id", "rank"])
+
+
+SQL_ANN_COSINE = """
+SELECT a.vec_id, b.vec_id AS neighbor_id,
+       row_number() OVER (
+         PARTITION BY a.vec_id
+         ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) DESC,
+                  b.vec_id
+       )::BIGINT AS rank
+FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+QUALIFY rank <= 5
+"""
+
+
 # --- registry ------------------------------------------------------------
 
 REGISTRY: dict[str, tuple] = {
     "tile_assign": (q_tile_assign, SQL_TILE_ASSIGN),
     "tile_density": (q_tile_density, SQL_TILE_DENSITY),
     "cell_parent_rollup": (q_cell_parent_rollup, SQL_CELL_PARENT_ROLLUP),
+    "pip_join": (q_pip_join, SQL_PIP_JOIN),
+    "knn": (q_knn, SQL_KNN),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": (q_lang_id, _langid_sql()),
+    "fingerprint": (q_fingerprint, None),
+    "minhash_neardup": (q_minhash_neardup, None),
+    "simhash": (q_simhash, None),
+    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
 }

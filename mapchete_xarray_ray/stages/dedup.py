@@ -1,0 +1,129 @@
+"""Deduplication operators (SURVEY.md §2.7 graft + training-data ops).
+
+- exact dedup: content-hash partition + per-group first (the classic
+  ``groupby(hash).map_groups`` shape; within a hash group, grouping is
+  by the exact content so hash collisions cannot merge distinct texts).
+- MinHash + LSH near-dup: per-batch vectorized shingle->minhash
+  signatures, banded into (band_id, band_hash) keys, ``groupby`` over
+  bands yields candidate pairs, exact Jaccard verify. All hash
+  parameters are fixed constants so the sequential oracle in
+  tests/test_dedup.py reproduces identical pairs.
+- SimHash near-dup: 64-bit signatures, blocked into 4x16-bit chunks
+  (two signatures within Hamming distance<=3 share at least one chunk),
+  verified by exact Hamming distance.
+
+Every kernel is numpy-vectorized per batch; signatures are tiny
+(8-64 bytes/doc) so the shuffles move signature projections, never the
+documents themselves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from mapchete_xarray_ray.functions.geocode import stable_hash64
+
+# --- MinHash parameters (fixed; shared with the test oracle) -------------
+_MERSENNE = np.uint64((1 << 61) - 1)
+_N_PERM = 64
+_N_BANDS = 16  # 16 bands x 4 rows
+_ROWS_PER_BAND = _N_PERM // _N_BANDS
+_RNG = np.random.default_rng(0xC0FFEE)
+PERM_A = _RNG.integers(1, _MERSENNE, size=_N_PERM, dtype=np.uint64)
+PERM_B = _RNG.integers(0, _MERSENNE, size=_N_PERM, dtype=np.uint64)
+
+
+def shingle_hashes(text: str, width: int = 3) -> np.ndarray:
+    """Word-``width``-gram shingles -> uint64 hashes (deterministic)."""
+    words = text.split()
+    if len(words) < width:
+        grams = [" ".join(words)] if words else [""]
+    else:
+        grams = [" ".join(words[i:i + width]) for i in range(len(words) - width + 1)]
+    return stable_hash64(np.array(grams, dtype=object))
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    """(64,) uint64 signature: min over shingles of (a*h + b) mod p."""
+    h = shingle_hashes(text)
+    # (shingles, perms) — modmul in python ints would be slow; stay in
+    # uint64 with overflow-safe 128-bit emulation via float is unsafe, so
+    # use modular arithmetic on uint64 pairs
+    vals = (h[:, None] * PERM_A[None, :] + PERM_B[None, :]) % _MERSENNE
+    return vals.min(axis=0)
+
+
+def minhash_stage(batch: pa.Table, id_col: str = "doc_id",
+                  text_col: str = "text") -> pa.Table:
+    """doc -> one row per band: (id, band_id, band_hash)."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    sigs = np.stack([minhash_signature(t) for t in texts])  # (n, 64)
+    bands = sigs.reshape(len(ids), _N_BANDS, _ROWS_PER_BAND)
+    # band hash: fold rows with a stable mix
+    bh = bands[:, :, 0]
+    for r in range(1, _ROWS_PER_BAND):
+        bh = (bh * np.uint64(1099511628211)) ^ bands[:, :, r]
+    n = len(ids)
+    return pa.table({
+        id_col: pa.array(np.repeat(ids, _N_BANDS), pa.int64()),
+        "band_id": pa.array(np.tile(np.arange(_N_BANDS, dtype=np.int64), n)),
+        "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+    })
+
+
+def jaccard(a: str, b: str, width: int = 3) -> float:
+    sa, sb = set(shingle_hashes(a, width).tolist()), set(shingle_hashes(b, width).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def candidate_pairs_from_bands(group: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Within one (band_id, band_hash) bucket: all id pairs (a < b)."""
+    ids = np.unique(group.column(id_col).to_numpy(zero_copy_only=False))
+    if len(ids) < 2:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return pa.table({"id_a": pa.array(ids[ia], pa.int64()),
+                     "id_b": pa.array(ids[ib], pa.int64())})
+
+
+# --- SimHash -------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (unweighted)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    h = stable_hash64(np.array(toks, dtype=object))
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+    score = bits.sum(axis=0) * 2 - len(toks)  # (+1 / -1 votes)
+    return int(((score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash_stage(batch: pa.Table, id_col: str = "doc_id",
+                  text_col: str = "text") -> pa.Table:
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    sigs = np.array([simhash64(t) for t in batch.column(text_col).to_pylist()],
+                    dtype=np.uint64)
+    n = len(ids)
+    chunks = np.stack([(sigs >> np.uint64(16 * i)) & np.uint64(0xFFFF)
+                       for i in range(4)], axis=1).astype(np.int64)
+    return pa.table({
+        id_col: pa.array(np.repeat(ids, 4), pa.int64()),
+        "sig": pa.array(np.repeat(sigs.astype(np.int64), 4)),
+        "chunk_id": pa.array(np.tile(np.arange(4, dtype=np.int64), n)),
+        "chunk_val": pa.array(chunks.reshape(-1)),
+    })
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a.astype(np.uint64)) ^ (b.astype(np.uint64))
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt

@@ -1,0 +1,232 @@
+"""kNN join (J5): k-ring candidate gather + exact refinement.
+
+Semantics: for every point, the k nearest OTHER points by squared
+planar distance ``dx^2 + dy^2``, ties broken by neighbor id ascending —
+row-exact vs a brute-force oracle (SQL ``row_number() over (partition
+by id order by dist2, neighbor_id)``).
+
+Distributed shape (SURVEY.md J5, classic replicate-and-partition
+spatial join):
+
+- candidates: every point lands in exactly ONE cell group (its home
+  cell — the same Morton/tile grid the sink partitions by).
+- queries: replicated to every cell within Chebyshev radius R of their
+  home cell (R=1 first; only the NEW shell cells in later rounds).
+- ``groupby(cell).map_groups``: per cell, top-k of each query copy vs
+  the cell's candidates (vectorized distance matrix).
+- ``groupby(id).map_groups``: merge partial top-k lists across a
+  query's cells with the running best-so-far, emit ``resolved`` =
+  (count >= k) AND (kth dist2 < (R * cell_span)^2) — the geometric
+  guarantee that no unseen cell can hold a closer neighbor.
+- unresolved queries loop with doubled R (cell-edge points, sparse
+  neighborhoods); terminates at grid extent. Each round ships only the
+  new shell, so total replication is O(cells visited), not O(R^2) per
+  round.
+
+Scale notes: the shuffle key is the flat cell index (one int64);
+queries/candidates carry only (id, x, y) — the wide payload never
+enters the join. Unresolved-id broadcast is an 8-byte-per-id numpy
+array via ``ray.put`` (at 10^12-doc scale this would stay a Dataset
+and the filter becomes a hash semi-join; same structure).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _shell_offsets(lo: int, hi: int):
+    """Offsets with lo < Chebyshev distance <= hi (lo=0 includes home)."""
+    offs = np.arange(-hi, hi + 1, dtype=np.int64)
+    dr, dc = np.meshgrid(offs, offs, indexing="ij")
+    dr, dc = dr.ravel(), dc.ravel()
+    cheb = np.maximum(np.abs(dr), np.abs(dc))
+    keep = (cheb > lo) & (cheb <= hi)
+    if lo == 0:
+        keep |= cheb == 0
+    return dr[keep], dc[keep]
+
+
+_EMPTY = pa.table({
+    "id": pa.array([], pa.int64()),
+    "x": pa.array([], pa.float64()),
+    "y": pa.array([], pa.float64()),
+    "grp": pa.array([], pa.int64()),
+    "is_query": pa.array([], pa.bool_()),
+})
+
+
+def _replicate(ncols: int, nrows: int, lo: int, hi: int, as_query: bool):
+    dr, dc = _shell_offsets(lo, hi)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _EMPTY
+        crow = batch.column("crow").to_numpy(zero_copy_only=False)
+        ccol = batch.column("ccol").to_numpy(zero_copy_only=False)
+        rows = crow[:, None] + dr[None, :]
+        cols = (ccol[:, None] + dc[None, :]) % ncols
+        valid = (rows >= 0) & (rows < nrows)
+        idx = np.broadcast_to(np.arange(n)[:, None], rows.shape)[valid]
+        grp = rows[valid] * ncols + cols[valid]
+        return pa.table({
+            "id": batch.column("id").take(pa.array(idx)),
+            "x": batch.column("x").take(pa.array(idx)),
+            "y": batch.column("y").take(pa.array(idx)),
+            "grp": pa.array(grp),
+            "is_query": pa.array(np.full(len(grp), as_query)),
+        })
+
+    return fn
+
+
+def _cell_topk(k: int):
+    """Per-cell: top-k of each query copy vs the cell's candidates."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        isq = group.column("is_query").to_numpy(zero_copy_only=False)
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        xs = group.column("x").to_numpy(zero_copy_only=False)
+        ys = group.column("y").to_numpy(zero_copy_only=False)
+        cid, cx, cy = ids[~isq], xs[~isq], ys[~isq]
+        out_id, out_nb, out_d2 = [], [], []
+        if len(cid):
+            for qi in np.nonzero(isq)[0]:
+                d2 = (xs[qi] - cx) ** 2 + (ys[qi] - cy) ** 2
+                mask = cid != ids[qi]
+                d2m, cidm = d2[mask], cid[mask]
+                if len(d2m) == 0:
+                    continue
+                take = min(k, len(d2m))
+                order = np.lexsort((cidm, d2m))[:take]
+                out_id.extend([ids[qi]] * take)
+                out_nb.extend(cidm[order].tolist())
+                out_d2.extend(d2m[order].tolist())
+        return pa.table({
+            "id": pa.array(out_id, pa.int64()),
+            "neighbor_id": pa.array(out_nb, pa.int64()),
+            "dist2": pa.array(out_d2, pa.float64()),
+        })
+
+    return fn
+
+
+def _merge_topk(k: int, guaranteed_d2: float, need: int):
+    """Per-query: merge partial candidate lists, keep global top-k,
+    flag resolution."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        nbs = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        d2s = group.column("dist2").to_numpy(zero_copy_only=False)
+        # dedup neighbors (a neighbor reappears when prior partials merge
+        # with a re-scan of the same cell)
+        _, uidx = np.unique(nbs, return_index=True)
+        nbs, d2s = nbs[uidx], d2s[uidx]
+        order = np.lexsort((nbs, d2s))[: min(k, len(nbs))]
+        nbs, d2s = nbs[order], d2s[order]
+        resolved = len(nbs) >= need and (len(nbs) > 0 and d2s[-1] < guaranteed_d2)
+        n = len(nbs)
+        return pa.table({
+            "id": pa.array(np.full(n, ids[0]), pa.int64()),
+            "neighbor_id": pa.array(nbs, pa.int64()),
+            "rank": pa.array(np.arange(1, n + 1), pa.int64()),
+            "dist2": pa.array(d2s, pa.float64()),
+            "resolved": pa.array(np.full(n, resolved)),
+        })
+
+    return fn
+
+
+def knn_pipeline(points: ray.data.Dataset, k: int, cell_span: float,
+                 ncols: int, nrows: int, origin_x: float = 0.0,
+                 origin_y: float = 0.0, max_rounds: int = 16) -> ray.data.Dataset:
+    """Exact kNN over a Dataset with columns (id:int64, x, y:float64).
+
+    Returns a Dataset (id, neighbor_id, rank, dist2). The cell grid is
+    ``nrows x ncols`` cells of edge ``cell_span`` anchored at
+    (origin_x, origin_y), y growing DOWN (pixel/tile row order).
+    """
+
+    def add_cells(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        ccol = np.clip(((x - origin_x) // cell_span).astype(np.int64), 0, ncols - 1)
+        crow = np.clip(((y - origin_y) // cell_span).astype(np.int64), 0, nrows - 1)
+        return (batch.append_column("crow", pa.array(crow))
+                     .append_column("ccol", pa.array(ccol)))
+
+    pts = points.map_batches(add_cells, batch_format="pyarrow").materialize()
+    n_total = pts.count()
+    need = min(k, max(n_total - 1, 0))
+    cand = pts.map_batches(_replicate(ncols, nrows, 0, 0, as_query=False),
+                           batch_format="pyarrow").materialize()
+
+    finals = []
+    unresolved = pts
+    prev_r, radius, rounds = -1, 1, 0
+    partial: ray.data.Dataset | None = None
+    while True:
+        rounds += 1
+        rep = unresolved.map_batches(
+            _replicate(ncols, nrows, max(prev_r, 0), radius, as_query=True),
+            batch_format="pyarrow",
+        )
+        cell_partial = (cand.union(rep)
+                        .groupby("grp")
+                        .map_groups(_cell_topk(k), batch_format="pyarrow")
+                        .select_columns(["id", "neighbor_id", "dist2"]))
+        if partial is not None:
+            cell_partial = cell_partial.union(partial)
+        done_all = radius >= max(ncols, nrows) or rounds >= max_rounds
+        guaranteed = float("inf") if done_all else (radius * cell_span) ** 2
+        merged = cell_partial.groupby("id").map_groups(
+            _merge_topk(k, guaranteed, need), batch_format="pyarrow"
+        ).materialize()
+
+        import pyarrow.compute as pc
+
+        finals.append(
+            merged.map_batches(
+                lambda b: b.filter(b.column("resolved")).drop_columns(["resolved"]),
+                batch_format="pyarrow",
+            ).materialize()
+        )
+        if done_all:
+            break
+        # ids still unresolved (driver gets only the id column — small)
+        unres_tabs = [
+            ray.get(r) for r in merged.map_batches(
+                lambda b: b.filter(pc.invert(b.column("resolved"))).select(["id"]),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        ]
+        unres_tabs = [t for t in unres_tabs if t.num_columns > 0]
+        if not unres_tabs:
+            break
+        unres_tbl = pa.concat_tables(unres_tabs)
+        unres_ids = np.unique(unres_tbl.column("id").to_numpy())
+        if len(unres_ids) == 0:
+            break
+        ref = ray.put(unres_ids)
+
+        def keep_unres(batch: pa.Table, _ref=ref) -> pa.Table:
+            arr = ray.get(_ref)
+            return batch.filter(pa.array(np.isin(batch.column("id").to_numpy(), arr)))
+
+        unresolved = pts.map_batches(keep_unres, batch_format="pyarrow")
+        partial = merged.map_batches(
+            lambda b, _ref=ref: b.filter(pa.array(np.isin(
+                b.column("id").to_numpy(), ray.get(_ref)))).select(
+                ["id", "neighbor_id", "dist2"]),
+            batch_format="pyarrow",
+        ).materialize()
+        prev_r, radius = radius, radius * 2
+
+    out = finals[0]
+    for f in finals[1:]:
+        out = out.union(f)
+    return out

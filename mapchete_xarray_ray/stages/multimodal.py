@@ -1,0 +1,118 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata columns alongside. Decode / feature-extract / resize /
+frame-sample run as actor-pool ``map_batches`` stages: codec/model
+setup happens once per actor in ``__init__`` (ST3 pattern), batches
+stay SMALL (wide binary rows — SURVEY.md §7 hard part 6; pass
+``batch_size=`` explicitly at call sites).
+
+The decode libraries (Pillow/ffmpeg/torchaudio) are NOT in this
+container, so the codec step is STUBBED: ``backend="fake"`` (default)
+derives deterministic per-item features from the payload bytes (real
+Ray plumbing — schema, batching, actor lifecycle — with fake pixels);
+``backend="pil"``-style real backends raise ``NotImplementedError``
+until the dependency exists. The stage interface (input/output
+schema) is what downstream stages compile against and is fully tested.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+IMAGE_FEATURE_DIM = 8
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: ``(id, payload: binary)`` -> decoded metadata +
+    feature vector.
+
+    Output schema: id passthrough, ``width:int64, height:int64,
+    feature: fixed_size_list<float64>[IMAGE_FEATURE_DIM]``.
+    """
+
+    def __init__(self, backend: str = "fake", target_size: int = 64,
+                 id_col: str = "id", payload_col: str = "payload"):
+        if backend not in ("fake",):
+            raise NotImplementedError(
+                f"image backend {backend!r} requires a decode library that "
+                "is not available in this environment; use backend='fake'"
+            )
+        self.target_size = target_size
+        self.id_col = id_col
+        self.payload_col = payload_col
+        # expensive setup (model load / codec init) would happen HERE,
+        # once per actor — not per batch.
+
+    def _decode_fake(self, buf: bytes):
+        """Deterministic pseudo-decode: crc-seeded dims + byte-histogram
+        features. Pure function of the payload bytes."""
+        crc = zlib.crc32(buf)
+        width = 16 + (crc & 0xFF)
+        height = 16 + ((crc >> 8) & 0xFF)
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        if len(arr) == 0:
+            feat = np.zeros(IMAGE_FEATURE_DIM)
+        else:
+            hist = np.bincount(arr >> 5, minlength=IMAGE_FEATURE_DIM)[:IMAGE_FEATURE_DIM]
+            feat = hist / len(arr)
+        return width, height, feat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        widths, heights, feats = [], [], []
+        for buf in payloads:
+            w, h, f = self._decode_fake(buf or b"")
+            widths.append(w)
+            heights.append(h)
+            feats.append(f)
+        feat_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(feats) if feats else np.array([], dtype=np.float64)),
+            IMAGE_FEATURE_DIM,
+        )
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "width": pa.array(widths, pa.int64()),
+            "height": pa.array(heights, pa.int64()),
+            "feature": feat_arr,
+        })
+
+
+class FrameSampleStage:
+    """Actor-pool stage: ``(id, payload: binary, n_frames:int64)`` ->
+    one row PER SAMPLED FRAME (flat_map shape): ``(id, frame_idx,
+    frame_payload: binary)``. Sampling is deterministic: every
+    ``stride``-th frame. The fake backend slices the payload bytes into
+    equal frame segments."""
+
+    def __init__(self, backend: str = "fake", stride: int = 2,
+                 id_col: str = "id", payload_col: str = "payload"):
+        if backend not in ("fake",):
+            raise NotImplementedError(
+                f"video backend {backend!r} not available; use backend='fake'"
+            )
+        self.stride = stride
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, idx_out, frames = [], [], []
+        ids = batch.column(self.id_col).to_pylist()
+        payloads = batch.column(self.payload_col).to_pylist()
+        nframes = batch.column("n_frames").to_pylist()
+        for i, (buf, nf) in enumerate(zip(payloads, nframes)):
+            buf = buf or b""
+            nf = max(int(nf), 1)
+            seg = max(len(buf) // nf, 1)
+            for fi in range(0, nf, self.stride):
+                ids_out.append(ids[i])
+                idx_out.append(fi)
+                frames.append(buf[fi * seg:(fi + 1) * seg])
+        return pa.table({
+            self.id_col: pa.array(ids_out, pa.int64()),
+            "frame_idx": pa.array(idx_out, pa.int64()),
+            "frame_payload": pa.array(frames, pa.binary()),
+        })

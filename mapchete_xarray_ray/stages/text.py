@@ -42,3 +42,91 @@ def token_count_stage(batch: pa.Table, col: str = "text") -> pa.Table:
     trimmed = pc.utf8_trim_whitespace(batch.column(col))
     toks = pc.split_pattern_regex(trimmed, r"\s+")
     return batch.append_column("n_tokens", pc.list_value_length(toks).cast(pa.int64()))
+
+
+# --- quality scoring (integer metrics -> SQL-twin exactness) -------------
+
+def quality_stage(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Quality metrics per doc, all integers so the DuckDB twin matches
+    exactly: n_chars (codepoints), n_tokens, n_punct, n_digits."""
+    text = batch.column(col)
+    trimmed = pc.utf8_trim_whitespace(text)
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    return (
+        batch
+        .append_column("n_chars", pc.utf8_length(text).cast(pa.int64()))
+        .append_column("n_tokens", pc.list_value_length(toks).cast(pa.int64()))
+        .append_column("n_punct",
+                       pc.count_substring_regex(text, r"[.,;:!?]").cast(pa.int64()))
+        .append_column("n_digits",
+                       pc.count_substring_regex(text, r"[0-9]").cast(pa.int64()))
+    )
+
+
+# --- language id (stopword-hit heuristic; deterministic + SQL twin) ------
+
+STOPWORDS = {
+    "de": ["das", "der", "die", "ist", "und"],
+    "en": ["and", "of", "the", "this", "to"],
+    "es": ["el", "las", "los", "que", "una"],
+    "fr": ["dans", "des", "et", "la", "les"],
+}
+_LANGS_SORTED = sorted(STOPWORDS)  # tie -> lexicographically smallest lang
+_PATTERNS = {L: r"\b(?:" + "|".join(ws) + r")\b" for L, ws in STOPWORDS.items()}
+
+
+def langid_stage(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Predicted language = argmax stopword hits; ties -> smallest lang
+    code; all-zero -> 'unknown'. Mirrors the SQL CASE twin exactly."""
+    text = batch.column(col)
+    counts = {L: pc.count_substring_regex(text, _PATTERNS[L]).to_numpy(
+        zero_copy_only=False).astype(np.int64) for L in _LANGS_SORTED}
+    stacked = np.stack([counts[L] for L in _LANGS_SORTED])  # (L, n)
+    best = np.argmax(stacked, axis=0)  # first max wins = smallest lang code
+    allzero = stacked.sum(axis=0) == 0
+    pred = np.array(_LANGS_SORTED, dtype=object)[best]
+    pred[allzero] = "unknown"
+    out = batch.append_column("lang_pred", pa.array(pred, pa.string()))
+    for L in _LANGS_SORTED:
+        out = out.append_column(f"hits_{L}", pa.array(counts[L]))
+    return out
+
+
+def langid_sql_parts(text_expr: str = "text"):
+    """DuckDB twin of langid_stage, generated from the same STOPWORDS so
+    the two can't drift. Returns (hit_exprs, case_expr): hit_exprs is
+    ``{lang: "len(regexp_extract_all(...)) AS h_<lang>"}``; case_expr
+    selects the predicted language from the ``h_<lang>`` aliases
+    (first-max-wins over the sorted lang codes == numpy argmax)."""
+    order = _LANGS_SORTED
+    hits = {L: f"len(regexp_extract_all({text_expr}, '{_PATTERNS[L]}'))::BIGINT AS h_{L}"
+            for L in order}
+    greatest = f"greatest({', '.join('h_' + L for L in order)})"
+    case = "CASE WHEN " + " + ".join("h_" + L for L in order) + " = 0 THEN 'unknown' "
+    for L in order:
+        case += f"WHEN h_{L} = {greatest} THEN '{L}' "
+    case += "END"
+    return hits, case
+
+
+# --- document fingerprint (rolling hash; not SQL-expressible) ------------
+
+_FP_BASE = np.uint64(257)
+
+
+def fingerprint_stage(batch: pa.Table, col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """Polynomial rolling hash of the utf-8 bytes, mod 2^64 (numpy
+    wraparound): fp = sum(byte[i] * 257^(n-1-i)). Vectorized per doc
+    with a precomputed power table."""
+    texts = batch.column(col).to_pylist()
+    maxlen = max((len(t.encode("utf-8")) for t in texts), default=1)
+    pows = np.ones(maxlen, dtype=np.uint64)
+    for i in range(1, maxlen):
+        pows[i] = pows[i - 1] * _FP_BASE  # wraps mod 2^64
+    fps = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        n = len(b)
+        fps[i] = (b * pows[:n][::-1]).sum() if n else np.uint64(0)
+    return batch.append_column("fingerprint", pa.array(fps.astype(np.int64)))

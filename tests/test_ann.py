@@ -1,0 +1,98 @@
+"""ANN similarity search: brute-force exactness + LSH recall."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from mapchete_xarray_ray.stages.ann import (
+    ann_brute_pipeline,
+    ann_lsh_pipeline,
+    normalize_rows,
+)
+
+
+def _collect(ds) -> pa.Table:
+    tabs = [ray.get(r) for r in ds.to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_columns > 0]
+    return pa.concat_tables(tabs) if tabs else pa.table({})
+
+
+def _corpus(n=200, dim=16, seed=5):
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, dim))
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([row.tolist() for row in mat],
+                              pa.list_(pa.float64())),
+    })
+    return tbl, ids, mat
+
+
+def _oracle_topk(ids, mat, k):
+    m = normalize_rows(mat.astype(np.float64))
+    sims = m @ m.T
+    out = {}
+    for i in range(len(ids)):
+        s = sims[i].copy()
+        order = [j for j in np.lexsort((ids, -s)) if ids[j] != ids[i]][:k]
+        out[int(ids[i])] = [int(ids[j]) for j in order]
+    return out
+
+
+def test_brute_topk_matches_oracle():
+    tbl, ids, mat = _corpus()
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = _collect(ann_brute_pipeline(ds, ids, mat, k=5))
+    want = _oracle_topk(ids, mat, 5)
+    got_map = {}
+    for v, n, r in zip(got.column("vec_id").to_pylist(),
+                       got.column("neighbor_id").to_pylist(),
+                       got.column("rank").to_pylist()):
+        got_map.setdefault(v, {})[r] = n
+    assert set(got_map) == set(want)
+    for v, ranked in got_map.items():
+        assert [ranked[r] for r in sorted(ranked)] == want[v]
+
+
+def test_lsh_ann_recall_and_determinism():
+    tbl, ids, mat = _corpus(n=400, dim=16, seed=7)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got1 = _collect(ann_lsh_pipeline(ds, dim=16, k=5, n_planes=4))
+    got2 = _collect(ann_lsh_pipeline(ds, dim=16, k=5, n_planes=4))
+    # deterministic across runs (fixed hyperplanes)
+    s1 = sorted(zip(got1.column("vec_id").to_pylist(),
+                    got1.column("neighbor_id").to_pylist(),
+                    got1.column("rank").to_pylist()))
+    s2 = sorted(zip(got2.column("vec_id").to_pylist(),
+                    got2.column("neighbor_id").to_pylist(),
+                    got2.column("rank").to_pylist()))
+    assert s1 == s2
+    # recall@1 vs brute force: same-bucket neighbors are a biased sample,
+    # but with 400 random vectors most rank-1 neighbors should appear
+    want = _oracle_topk(ids, mat, 1)
+    got_r1 = {v: n for v, n, r in s1 if r == 1}
+    hits = sum(1 for v, n in got_r1.items() if want[v] and n == want[v][0])
+    assert len(got_r1) > 0
+    # loose deterministic bound: fixed seed makes this stable
+    assert hits / max(len(want), 1) > 0.05
+
+
+def test_ann_query_matches_duckdb(sf_dir):
+    """Float-ordering parity between numpy and DuckDB at small scale —
+    guards the SQL twin registered for ann_cosine."""
+    import duckdb
+
+    from mapchete_xarray_ray.pipelines.queries import SQL_ANN_COSINE, q_ann_cosine
+
+    got = _collect(q_ann_cosine(sf_dir)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')")
+    want = con.execute(SQL_ANN_COSINE).fetch_df()
+    con.close()
+    got = got.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    want = want.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    mismatch = (got["neighbor_id"].to_numpy() != want["neighbor_id"].to_numpy()).sum()
+    assert mismatch == 0

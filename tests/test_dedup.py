@@ -1,0 +1,142 @@
+"""Dedup operators vs sequential brute-force oracles."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from mapchete_xarray_ray.stages.dedup import (
+    candidate_pairs_from_bands,
+    hamming64,
+    jaccard,
+    minhash_signature,
+    minhash_stage,
+    simhash64,
+    simhash_stage,
+)
+
+
+def _collect(ds) -> pa.Table:
+    tabs = [ray.get(r) for r in ds.to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_columns > 0]
+    return pa.concat_tables(tabs) if tabs else pa.table({})
+
+
+def _neardup_corpus():
+    """Deterministic corpus with planted near-dups and exact dups."""
+    rng = np.random.default_rng(99)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    texts, ids = [], []
+    for i in range(40):
+        words = [vocab[int(rng.integers(len(vocab)))] for _ in range(60)]
+        texts.append(" ".join(words))
+        ids.append(i)
+    # planted near-dups: copy with 3 word substitutions (J ~ 0.85+)
+    for j, src in enumerate([0, 5, 10, 15]):
+        words = texts[src].split()
+        for pos in (7, 23, 41):
+            words[pos] = vocab[(pos + j) % len(vocab)]
+        texts.append(" ".join(words))
+        ids.append(100 + j)
+    # one exact dup
+    texts.append(texts[3])
+    ids.append(200)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def _oracle_pairs(tbl, threshold):
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if jaccard(texts[i], texts[j]) >= threshold:
+                out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    return out
+
+
+def test_minhash_lsh_finds_planted_neardups():
+    tbl = _neardup_corpus()
+    bands = ray.data.from_arrow(tbl).map_batches(minhash_stage,
+                                                 batch_format="pyarrow")
+    cands = _collect(bands.groupby(["band_id", "band_hash"]).map_groups(
+        candidate_pairs_from_bands, batch_format="pyarrow"))
+    cand_pairs = set(zip(cands.column("id_a").to_pylist(),
+                         cands.column("id_b").to_pylist()))
+    texts = dict(zip(tbl.column("doc_id").to_pylist(),
+                     tbl.column("text").to_pylist()))
+    verified = {(a, b) for a, b in cand_pairs
+                if jaccard(texts[a], texts[b]) >= 0.5}
+    want = _oracle_pairs(tbl, 0.5)
+    # high-similarity pairs must all be caught (fixed hashes -> this is
+    # deterministic, not flaky); verified set must be a subset of truth
+    assert verified <= want
+    planted = {(0, 100), (5, 101), (10, 102), (15, 103), (3, 200)}
+    assert planted <= verified
+    assert verified == want  # at J>=0.5 the banding catches everything planted
+
+
+def test_minhash_signature_properties():
+    s1 = minhash_signature("the quick brown fox jumps over the lazy dog today")
+    s2 = minhash_signature("the quick brown fox jumps over the lazy dog today")
+    assert (s1 == s2).all()
+    assert s1.shape == (64,)
+    # near-identical texts share most signature slots
+    s3 = minhash_signature("the quick brown fox jumps over the lazy cat today")
+    assert (s1 == s3).mean() > 0.3
+
+
+def test_simhash_blocking_finds_small_hamming():
+    tbl = _neardup_corpus()
+    rows = _collect(ray.data.from_arrow(tbl).map_batches(
+        simhash_stage, batch_format="pyarrow"))
+    # distributed blocking: pairs sharing any 16-bit chunk
+    import collections
+
+    buckets = collections.defaultdict(set)
+    for did, sig, cid, cval in zip(rows.column("doc_id").to_pylist(),
+                                   rows.column("sig").to_pylist(),
+                                   rows.column("chunk_id").to_pylist(),
+                                   rows.column("chunk_val").to_pylist()):
+        buckets[(cid, cval)].add((did, sig))
+    cand = set()
+    for members in buckets.values():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cand.add((members[i], members[j]))
+    found = {(a[0], b[0]) for a, b in cand
+             if hamming64(np.array([a[1]]), np.array([b[1]]))[0] <= 3}
+    # sequential oracle: all pairs with hamming <= 3 (blocking guarantees
+    # recall for <=3 over 4 chunks by pigeonhole)
+    ids = tbl.column("doc_id").to_pylist()
+    sigs = {i: np.uint64(simhash64(t))
+            for i, t in zip(ids, tbl.column("text").to_pylist())}
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = hamming64(np.array([sigs[ids[i]]], dtype=np.uint64),
+                          np.array([sigs[ids[j]]], dtype=np.uint64))[0]
+            if d <= 3:
+                want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    norm_found = {(min(a, b), max(a, b)) for a, b in found}
+    assert norm_found == want
+    assert (3, 200) in want  # the exact dup has hamming 0
+
+
+def test_queries_dedup_and_neardup_run(sf_dir):
+    from mapchete_xarray_ray.pipelines.queries import (
+        q_dedup_exact,
+        q_minhash_neardup,
+        q_simhash,
+    )
+
+    d = _collect(q_dedup_exact(sf_dir))
+    assert d.num_rows == 500  # all sf0.001 texts are distinct
+    assert set(d.column_names) == {"doc_id", "n_dups"}
+    s = _collect(q_simhash(sf_dir))
+    assert s.num_rows == 500
+    nd = q_minhash_neardup(sf_dir)
+    t = _collect(nd)
+    assert t.num_rows >= 0  # word-salad corpus may or may not have near-dups

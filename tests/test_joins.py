@@ -1,0 +1,105 @@
+"""Spatial joins over pages vs the sequential oracle (FIXTURES.md F5):
+general polygons (convex, concave, shared edges) and float-space kNN."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from mapchete_xarray_ray.fixtures import (
+    DEFAULT_BOUNDS,
+    DEFAULT_ZOOM,
+    make_pages,
+    make_regions,
+)
+from mapchete_xarray_ray.functions.geocode import stable_hash64
+from mapchete_xarray_ray.oracle import oracle_knn, oracle_pip_join, point_in_ring
+from mapchete_xarray_ray.stages.assign import assign_pages_fn
+from mapchete_xarray_ray.stages.join import PIPJoiner
+from mapchete_xarray_ray.stages.knn import knn_pipeline
+
+
+def _collect(ds) -> pa.Table:
+    tabs = [ray.get(r) for r in ds.to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_columns > 0]
+    return pa.concat_tables(tabs)
+
+
+def test_pip_join_matches_oracle():
+    pages = make_pages(n=800)
+    regions = make_regions()
+    ds = (
+        ray.data.from_arrow(pages)
+        .map_batches(assign_pages_fn(DEFAULT_BOUNDS, DEFAULT_ZOOM),
+                     batch_format="pyarrow")
+        .map_batches(PIPJoiner,
+                     fn_constructor_kwargs=dict(regions=regions),
+                     batch_format="pyarrow", concurrency=2)
+        .select_columns(["url", "region_id"])
+    )
+    got = _collect(ds).to_pandas().drop_duplicates().sort_values(
+        ["url", "region_id"]).reset_index(drop=True)
+    want = oracle_pip_join(pages, regions, DEFAULT_BOUNDS, DEFAULT_ZOOM
+                           ).to_pandas().drop_duplicates().sort_values(
+        ["url", "region_id"]).reset_index(drop=True)
+    assert len(want) > 0
+    assert got.equals(want)
+
+
+def test_pip_boundary_rule_edge_and_vertex():
+    regions = make_regions()
+    rings = regions.column("ring_xy").to_pylist()
+    # vertex of region 0
+    vx, vy = rings[0][0]
+    assert point_in_ring(vx, vy, rings[0])
+    # midpoint of the shared edge of regions 0 and 1 -> inside BOTH
+    (x1, y1), (x2, y2) = rings[0][1], rings[0][2]
+    mx, my = (x1 + x2) / 2, (y1 + y2) / 2
+    assert point_in_ring(mx, my, rings[0])
+    assert point_in_ring(mx, my, rings[1])
+    # joiner assigns the lowest region_id on the shared edge
+    j = PIPJoiner(regions, x_col="x", y_col="y", keep_unmatched=True)
+    out = j(pa.table({"x": pa.array([mx]), "y": pa.array([my])}))
+    assert out.column("region_id").to_pylist() == [0]
+
+
+def test_knn_pages_matches_oracle():
+    pages = make_pages(n=250, dup_frac=0.1)
+    # unique urls with stable int ids
+    urls = pages.column("url").to_pylist()
+    uniq = sorted(set(urls))
+    ids = stable_hash64(np.array(uniq, dtype=object)).astype(np.int64)
+    assert len(set(ids.tolist())) == len(uniq), "hash collision in fixture"
+    id2url = dict(zip(ids.tolist(), uniq))
+    from mapchete_xarray_ray.functions.geocode import geocode_url
+
+    lon, lat = geocode_url(np.array(uniq, dtype=object), DEFAULT_BOUNDS, DEFAULT_ZOOM)
+    # cell grid: zoom-5 tiles over the snapped region (8x8 cells);
+    # the pipeline grid's y grows down, so feed y = -lat
+    ts = 5.625
+    pts2 = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "x": pa.array(lon),
+        "y": pa.array(-lat),
+    }))
+    got = _collect(knn_pipeline(
+        pts2, k=3, cell_span=ts, ncols=8, nrows=8,
+        origin_x=DEFAULT_BOUNDS.left, origin_y=-DEFAULT_BOUNDS.top,
+    ))
+    want = oracle_knn(pages, DEFAULT_BOUNDS, DEFAULT_ZOOM, k=3)
+    # compare (url, neighbor_url, rank) sets and dist2 values
+    got_rows = sorted(
+        (id2url[i], id2url[n], r, round(d, 12))
+        for i, n, r, d in zip(got.column("id").to_pylist(),
+                              got.column("neighbor_id").to_pylist(),
+                              got.column("rank").to_pylist(),
+                              got.column("dist2").to_pylist())
+    )
+    want_rows = sorted(
+        (u, nu, r, round(d, 12))
+        for u, nu, r, d in zip(want.column("url").to_pylist(),
+                               want.column("neighbor_url").to_pylist(),
+                               want.column("rank").to_pylist(),
+                               want.column("dist2").to_pylist())
+    )
+    assert len(got_rows) == len(want_rows)
+    assert got_rows == want_rows

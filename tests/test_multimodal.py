@@ -1,0 +1,62 @@
+"""Multimodal stage plumbing (schema, batching, actor lifecycle) with
+the deterministic fake decode backend."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from mapchete_xarray_ray.stages.multimodal import (
+    IMAGE_FEATURE_DIM,
+    FrameSampleStage,
+    ImageDecodeStage,
+)
+
+
+def _payloads(n=20, seed=3):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "payload": pa.array([rng.bytes(64 + i) for i in range(n)], pa.binary()),
+        "n_frames": pa.array([4 + i % 5 for i in range(n)], pa.int64()),
+    })
+
+
+def test_image_decode_schema_and_determinism():
+    tbl = _payloads()
+    ds = ray.data.from_arrow(tbl).map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs=dict(backend="fake"),
+        batch_format="pyarrow",
+        batch_size=8,          # wide binary rows -> small batches
+        concurrency=2,
+    )
+    out = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    assert out.num_rows == 20
+    assert out.schema.field("feature").type == pa.list_(pa.float64(), IMAGE_FEATURE_DIM)
+    # deterministic: same payload -> same feature regardless of batching
+    direct = ImageDecodeStage(backend="fake")(tbl.slice(5, 1))
+    row = out.filter(pa.compute.equal(out.column("id"), 5))
+    assert row.column("feature").to_pylist() == direct.column("feature").to_pylist()
+    assert row.column("width").to_pylist() == direct.column("width").to_pylist()
+
+
+def test_real_backend_is_stubbed():
+    with pytest.raises(NotImplementedError, match="fake"):
+        ImageDecodeStage(backend="pil")
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(backend="ffmpeg")
+
+
+def test_frame_sampling_flatmap_shape():
+    tbl = _payloads(n=6)
+    out = FrameSampleStage(backend="fake", stride=2)(tbl)
+    # every item emits ceil(n_frames / 2) frames
+    import math
+
+    expected = sum(math.ceil(nf / 2) for nf in tbl.column("n_frames").to_pylist())
+    assert out.num_rows == expected
+    assert set(out.column_names) == {"id", "frame_idx", "frame_payload"}
+    # frames are non-overlapping slices of the payload
+    first = out.filter(pa.compute.equal(out.column("id"), 0))
+    assert first.column("frame_idx").to_pylist() == [0, 2]

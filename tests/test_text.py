@@ -1,0 +1,65 @@
+"""Text-analysis stages: token count, quality, langid, fingerprint."""
+
+import numpy as np
+import pyarrow as pa
+
+from mapchete_xarray_ray.stages.text import (
+    fingerprint_stage,
+    langid_stage,
+    quality_stage,
+    token_count_stage,
+)
+
+
+def _batch(texts):
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def test_token_count():
+    out = token_count_stage(_batch(["a b  c", "  x ", "one"]))
+    assert out.column("n_tokens").to_pylist() == [3, 1, 1]
+
+
+def test_quality_metrics():
+    out = quality_stage(_batch(["Hi, there! 42 things."]))
+    assert out.column("n_chars").to_pylist() == [21]
+    assert out.column("n_tokens").to_pylist() == [4]
+    assert out.column("n_punct").to_pylist() == [3]  # , ! .
+    assert out.column("n_digits").to_pylist() == [2]
+
+
+def test_langid_argmax_and_ties():
+    out = langid_stage(_batch([
+        "the cat and the dog of this to",          # en
+        "der hund und die katze ist das",          # de
+        "le chat et la vache dans les des",        # fr
+        "zzz qqq www",                             # no hits -> unknown
+        "the der",                                 # tie en/de -> de (smaller)
+    ]))
+    assert out.column("lang_pred").to_pylist() == ["en", "de", "fr", "unknown", "de"]
+
+
+def test_fingerprint_oracle():
+    texts = ["hello world", "", "a", "hello worlD"]
+    out = fingerprint_stage(_batch(texts))
+    got = out.column("fingerprint").to_pylist()
+
+    # sequential oracle: plain python big-int polynomial mod 2^64
+    def fp(t):
+        acc = 0
+        for byte in t.encode("utf-8"):
+            acc = (acc * 257 + byte) % (1 << 64)
+        return acc - (1 << 64) if acc >= (1 << 63) else acc  # as int64
+
+    assert got == [fp(t) for t in texts]
+    assert got[0] != got[3]  # case-sensitive
+
+
+def test_fingerprint_deterministic_across_batches():
+    t1 = fingerprint_stage(_batch(["abc", "def"]))
+    t2 = fingerprint_stage(_batch(["def"]))
+    assert t1.column("fingerprint").to_pylist()[1] == \
+        t2.column("fingerprint").to_pylist()[0]
