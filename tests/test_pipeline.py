@@ -15,7 +15,11 @@ from mapchete_xarray_ray.state.lineage import completed_tiles, read_records
 
 
 def _collect(ds) -> pa.Table:
-    return pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    tabs = [ray.get(r) for r in ds.to_arrow_refs()]
+    nonempty = [t for t in tabs if t.num_columns > 0]
+    if not nonempty:
+        return pa.table({"tile_id": pa.array([], pa.int64())})
+    return pa.concat_tables(nonempty)
 
 
 def test_e2e_counts_match_oracle(tmp_path):
