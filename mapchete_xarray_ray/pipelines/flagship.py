@@ -161,6 +161,179 @@ def run_pipeline(ds: ray.data.Dataset, spec: JobSpec, mode: str = "continue",
     return ds.groupby("tile_id").map_groups(_tile_writer(spec), batch_format="pyarrow")
 
 
+def _salted_partial_writer(spec: JobSpec):
+    """map_groups fn over (tile_id, salt): dedup-by-url + PARTIAL
+    rasterize; emits one row carrying the partial grid as int32 bytes.
+
+    Salt = stable_hash(url) % n_salt, so every re-crawl of a url lands
+    in the SAME (tile, salt) group — the per-group first-by-warc_ts
+    dedup stays exact under salting.
+    """
+
+    def fn(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("url", "ascending"), ("warc_ts", "ascending")]
+        )
+        group = group.take(order)
+        keep = np.ones(group.num_rows, dtype=bool)
+        urls = group.column("url").to_numpy(zero_copy_only=False)
+        keep[1:] = urls[1:] != urls[:-1]
+        group = group.filter(pa.array(keep))
+
+        tile_id = int(group.column("tile_id")[0].as_py())
+        lang = group.column("lang").to_numpy(zero_copy_only=False)
+        text_len = group.column("text_len").to_numpy(zero_copy_only=False)
+        masks = [None, lang == "en", text_len >= 80]
+        # partial grids in int32 (counts are associative; clipping to the
+        # output dtype happens only after the final merge)
+        from mapchete_xarray_ray.stages.rasterize import local_pixel_indices
+
+        zoom, row, col = (int(x) for x in unpack_tile_id(tile_id))
+        iy, ix = local_pixel_indices(
+            group.column("lon").to_numpy(zero_copy_only=False),
+            group.column("lat").to_numpy(zero_copy_only=False),
+            row, col, spec)
+        h = w = spec.chunk_px
+        grid = np.zeros((len(masks), h, w), dtype=np.int32)
+        for b, mask in enumerate(masks):
+            if mask is None:
+                np.add.at(grid[b], (iy, ix), 1)
+            else:
+                np.add.at(grid[b], (iy[mask], ix[mask]), 1)
+        return pa.table({
+            "tile_id": pa.array([tile_id], pa.int64()),
+            "n_pages": pa.array([group.num_rows], pa.int64()),
+            "grid": pa.array([np.ascontiguousarray(grid).tobytes()],
+                             pa.large_binary()),
+        })
+
+    return fn
+
+
+def _salted_merge_writer(spec: JobSpec):
+    """map_groups fn over tile_id: '+'-merge the salted partial grids,
+    clip to the output dtype, write the chunk + lineage."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        tile_id = int(group.column("tile_id")[0].as_py())
+        zoom, row, col = (int(x) for x in unpack_tile_id(tile_id))
+        h = w = spec.chunk_px
+        total = None
+        for buf in group.column("grid").to_pylist():
+            g = np.frombuffer(buf, dtype=np.int32).reshape(-1, h, w)
+            total = g.copy() if total is None else total + g
+        info = np.iinfo(np.dtype(spec.dtype))
+        tensor = total.clip(info.min, info.max).astype(spec.dtype)
+        store = ZarrTileStore(spec)
+        n_chunks = store.write_tile(row, col, tensor)
+        checksum = zlib.crc32(np.ascontiguousarray(tensor).tobytes())
+        n_pages = int(group.column("n_pages").to_numpy().sum())
+        write_record(spec.path, {
+            "tile_id": tile_id, "zoom": zoom, "tile_row": row, "tile_col": col,
+            "rows_in": n_pages, "chunks_written": n_chunks,
+            "checksum": int(checksum), "salted_partials": group.num_rows,
+        })
+        return pa.table({
+            "tile_id": pa.array([tile_id], pa.int64()),
+            "tile_row": pa.array([row], pa.int64()),
+            "tile_col": pa.array([col], pa.int64()),
+            "n_pages": pa.array([n_pages], pa.int64()),
+            "chunks_written": pa.array([n_chunks], pa.int64()),
+            "checksum": pa.array([int(checksum)], pa.int64()),
+        })
+
+    return fn
+
+
+def run_pipeline_salted(ds: ray.data.Dataset, spec: JobSpec,
+                        hot_threshold: int = 50_000, n_salt: int = 8,
+                        mode: str = "continue",
+                        already_extracted: bool = False) -> ray.data.Dataset:
+    """E1 with explicit skew handling (SURVEY.md §4 skew row, A5):
+
+    1. extract/assign/compact as in :func:`run_pipeline`, then
+       ``materialize()`` the narrow projection (it is re-read twice);
+    2. A5 pre-count rows per tile with a partial-then-small ``groupby``;
+       tiles above ``hot_threshold`` are HOT (driver holds only the
+       per-tile counts — tiny);
+    3. hot tiles' rows get ``salt = stable_hash(url) % n_salt`` (cold
+       tiles salt 0) and the expensive dedup+rasterize group work runs
+       per (tile_id, salt) — a hot tile is processed by ``n_salt``
+       parallel tasks instead of one straggler;
+    4. the per-tile merge ('+' of partial count grids) moves only
+       ``n_salt`` small grid payloads per tile, then writes chunk +
+       lineage exactly once per tile.
+
+    Output is row-identical to :func:`run_pipeline` (asserted in
+    tests/test_skew.py) — salting changes the physical plan only.
+    """
+    store = ZarrTileStore(spec)
+    store.prepare()
+
+    if not already_extracted:
+        ds = ds.map_batches(extract_stage, batch_format="pyarrow")
+    ds = ds.map_batches(
+        assign_pages_fn(spec.snapped_bounds, spec.zoom, spec.grid, spec.cell_zoom),
+        batch_format="pyarrow",
+    )
+    _shuffle_cols = ["url", "warc_ts", "lang", "lon", "lat",
+                     "tile_row", "tile_col", "tile_id", "cell_id"]
+
+    def compact(batch: pa.Table) -> pa.Table:
+        tl = pc.utf8_length(batch.column("text")).cast(pa.int64())
+        return batch.select(_shuffle_cols).append_column("text_len", tl)
+
+    ds = ds.map_batches(compact, batch_format="pyarrow")
+
+    if mode == "continue":
+        done = completed_tiles(store)
+        if done:
+            done_ref = ray.put(np.array(sorted(done), dtype=np.int64))
+
+            def drop_done(batch: pa.Table) -> pa.Table:
+                keep = ~np.isin(batch.column("tile_id").to_numpy(),
+                                ray.get(done_ref))
+                return batch.filter(pa.array(keep))
+
+            ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    ds = ds.repartition(max(8, ncpu * 3)).materialize()
+
+    # A5: per-tile counts (partial per batch -> small groupby -> driver)
+    def tile_counts(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("tile_id").aggregate([("tile_id", "count")])
+        return t.rename_columns(["tile_id", "n"])
+
+    counts = (ds.map_batches(tile_counts, batch_format="pyarrow")
+                .groupby("tile_id").sum("n"))
+    counts_tbl = pa.concat_tables(
+        [t for t in (ray.get(r) for r in counts.to_arrow_refs())
+         if t.num_columns > 0])
+    hot = counts_tbl.filter(
+        pc.greater(counts_tbl.column("sum(n)"), hot_threshold)
+    ).column("tile_id").to_numpy().astype(np.int64)
+    hot_ref = ray.put(hot)
+
+    from mapchete_xarray_ray.functions.geocode import stable_hash64
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        tid = batch.column("tile_id").to_numpy()
+        is_hot = np.isin(tid, ray.get(hot_ref))
+        salt = np.zeros(len(tid), dtype=np.int64)
+        if is_hot.any():
+            urls = batch.column("url").to_numpy(zero_copy_only=False)
+            salt[is_hot] = (stable_hash64(urls[is_hot]) %
+                            np.uint64(n_salt)).astype(np.int64)
+        return batch.append_column("salt", pa.array(salt))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    partials = salted.groupby(["tile_id", "salt"]).map_groups(
+        _salted_partial_writer(spec), batch_format="pyarrow")
+    return partials.groupby("tile_id").map_groups(
+        _salted_merge_writer(spec), batch_format="pyarrow")
+
+
 def run_flagship(sf_dir: str, out_path: str | None = None, n_pages: int = 2000,
                  mode: str = "overwrite") -> ray.data.Dataset:
     """Driver entry: deterministic pages table (input_hint shape) ->
