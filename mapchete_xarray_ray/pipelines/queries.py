@@ -59,6 +59,24 @@ def _docs(sf_dir: str, columns):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def collect_table(res):
+    """Final driver-side collection of a SMALL query result.
+
+    Ray's sort-based groupby/map_groups can emit zero-column blocks for
+    empty partitions; concatenating those breaks schema-sensitive
+    consumers. Registry results are compared row-for-row by the driver
+    (sf<=0.01, thousands of rows), so collecting them into one clean
+    Arrow table here is both safe and schema-stable. The pipelines
+    themselves stay streaming — only the final small result lands on
+    the driver.
+    """
+    if not isinstance(res, ray.data.Dataset):
+        return res
+    tabs = [t for t in (ray.get(r) for r in res.to_arrow_refs())
+            if t.num_columns > 0]
+    return pa.concat_tables(tabs) if tabs else pa.table({})
+
+
 # --- queries -------------------------------------------------------------
 
 
@@ -450,6 +468,189 @@ QUALIFY rank <= 5
 """
 
 
+# --- relational / windowed aggregates (engine breadth) -------------------
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H-Q1-shaped aggregate with map-side partials: per batch one
+    partial row per (returnflag, linestatus), then a tiny groupby.
+    Monetary sums stay integer (cents) so the SQL twin is bit-exact.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty": pa.array(np.floor(qty).astype(np.int64)),
+            "price_cents": pa.array(np.floor(price * 100).astype(np.int64)),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_cents", "sum"), ("one", "sum")])
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents", "n_rows"])
+
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sum_qty", "sum_price_cents", "n_rows"])
+    )
+    return ds.rename_columns({
+        "sum(sum_qty)": "sum_qty",
+        "sum(sum_price_cents)": "sum_price_cents",
+        "sum(n_rows)": "n_rows",
+    })
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       sum(floor(l_quantity)::BIGINT)::BIGINT AS sum_qty,
+       sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_price_cents,
+       count(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_events_tumbling(sf_dir: str):
+    """Tumbling 1-hour windows per event_type (streaming-shaped
+    aggregate, SURVEY §2.9 note: warc_ts/event-time as a data column).
+    Pre-aggregated per batch; window id = epoch_us // 3600e6.
+    """
+    W = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "window_id": pa.array(ts // W),
+            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "value_milli": pa.array(np.floor(val * 1000).astype(np.int64)),
+        })
+        g = t.group_by(["event_type", "window_id"]).aggregate(
+            [("n", "sum"), ("value_milli", "sum")])
+        return g.rename_columns(["event_type", "window_id", "n", "value_milli"])
+
+    ds = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_id"])
+        .sum(["n", "value_milli"])
+    )
+    return ds.rename_columns({"sum(n)": "n_events",
+                              "sum(value_milli)": "sum_value_milli"})
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT event_type, epoch_us(ts) // 3600000000 AS window_id,
+       count(*)::BIGINT AS n_events,
+       sum(floor(value * 1000)::BIGINT)::BIGINT AS sum_value_milli
+FROM events GROUP BY event_type, window_id
+"""
+
+
+def q_events_sessions(sf_dir: str):
+    """Session windows per user (gap > 30 min splits), the stream-shaped
+    per-key stateful op: partition by user_id, order by (ts, event_id)
+    within the group, linear scan emits sessions. The ordering rule is
+    part of the operator contract (same ORDER BY in the SQL twin).
+    """
+    GAP = 1_800_000_000  # 30 min in us
+
+    def sessions(group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        group = group.take(order)
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = int(group.column("user_id")[0].as_py())
+        new_sess = np.ones(len(ts), dtype=np.int64)
+        new_sess[1:] = (ts[1:] - ts[:-1] > GAP).astype(np.int64)
+        sess_id = np.cumsum(new_sess)
+        t = pa.table({"sess": pa.array(sess_id), "ts": pa.array(ts)})
+        g = (t.group_by("sess")
+              .aggregate([("ts", "min"), ("ts", "max"), ("sess", "count")])
+              .rename_columns(["session_id", "start_us", "end_us", "n_events"]))
+        return pa.table({
+            "user_id": pa.array(np.full(g.num_rows, uid), pa.int64()),
+            "session_id": g.column("session_id"),
+            "start_us": g.column("start_us"),
+            "end_us": g.column("end_us"),
+            "n_events": g.column("n_events").cast(pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                OR lag(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts_us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       min(ts_us)::BIGINT AS start_us, max(ts_us)::BIGINT AS end_us,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_emb_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cos >= 0.35): brute force per
+    batch against the broadcast corpus matrix (the exact baseline the
+    LSH-bucketed variant approximates)."""
+    from mapchete_xarray_ray.stages.ann import normalize_rows
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    tbl = pa.concat_tables([ray.get(r) for r in emb.to_arrow_refs()])
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = normalize_rows(np.asarray(tbl.column("embedding").to_pylist(),
+                                    dtype=np.float64))
+    ref = ray.put((ids, mat))
+    TAU = 0.35
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        c_ids, c_mat = ray.get(ref)
+        b_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        b_mat = normalize_rows(np.asarray(batch.column("embedding").to_pylist(),
+                                          dtype=np.float64))
+        sims = b_mat @ c_mat.T
+        bi, ci = np.nonzero(sims >= TAU)
+        keep = b_ids[bi] < c_ids[ci]  # id_a < id_b; drops self-pairs
+        return pa.table({
+            "id_a": pa.array(b_ids[bi][keep], pa.int64()),
+            "id_b": pa.array(c_ids[ci][keep], pa.int64()),
+        })
+
+    return emb.map_batches(pairs, batch_format="pyarrow")
+
+
+SQL_EMB_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+"""
+
+
 # --- registry ------------------------------------------------------------
 
 REGISTRY: dict[str, tuple] = {
@@ -465,4 +666,20 @@ REGISTRY: dict[str, tuple] = {
     "minhash_neardup": (q_minhash_neardup, None),
     "simhash": (q_simhash, None),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
+    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
 }
+
+
+def _wrap(fn):
+    def wrapped(sf_dir: str):
+        return collect_table(fn(sf_dir))
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+REGISTRY = {name: (_wrap(fn), sql) for name, (fn, sql) in REGISTRY.items()}

@@ -83,9 +83,9 @@ def test_ann_query_matches_duckdb(sf_dir):
     guards the SQL twin registered for ann_cosine."""
     import duckdb
 
-    from mapchete_xarray_ray.pipelines.queries import SQL_ANN_COSINE, q_ann_cosine
+    from mapchete_xarray_ray.pipelines.queries import REGISTRY, SQL_ANN_COSINE
 
-    got = _collect(q_ann_cosine(sf_dir)).to_pandas()
+    got = REGISTRY["ann_cosine"][0](sf_dir).to_pandas()
     con = duckdb.connect()
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/embeddings.parquet')")

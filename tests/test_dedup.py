@@ -126,17 +126,16 @@ def test_simhash_blocking_finds_small_hamming():
 
 
 def test_queries_dedup_and_neardup_run(sf_dir):
-    from mapchete_xarray_ray.pipelines.queries import (
-        q_dedup_exact,
-        q_minhash_neardup,
-        q_simhash,
-    )
+    from mapchete_xarray_ray.pipelines.queries import REGISTRY
 
-    d = _collect(q_dedup_exact(sf_dir))
+    q_dedup_exact = REGISTRY["dedup_exact"][0]
+    q_simhash = REGISTRY["simhash"][0]
+    q_minhash_neardup = REGISTRY["minhash_neardup"][0]
+
+    d = q_dedup_exact(sf_dir)
     assert d.num_rows == 500  # all sf0.001 texts are distinct
     assert set(d.column_names) == {"doc_id", "n_dups"}
-    s = _collect(q_simhash(sf_dir))
+    s = q_simhash(sf_dir)
     assert s.num_rows == 500
-    nd = q_minhash_neardup(sf_dir)
-    t = _collect(nd)
+    t = q_minhash_neardup(sf_dir)
     assert t.num_rows >= 0  # word-salad corpus may or may not have near-dups
