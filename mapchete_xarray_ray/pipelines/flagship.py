@@ -53,8 +53,55 @@ def default_spec(out_path: str, time: dict | None = None, **kw) -> JobSpec:
     )
 
 
-def _tile_writer(spec: JobSpec):
-    """map_groups fn: one tile's pages -> rasterize -> chunk write -> lineage."""
+class TileContext:
+    """The per-tile surface a user process sees (the reference's
+    ``mp.tile`` BufferedTile: .id/.bounds/.shape — tests/conftest.py:38,
+    tests/testdata/generate_array.py:26)."""
+
+    def __init__(self, spec: JobSpec, zoom: int, row: int, col: int):
+        self.zoom, self.row, self.col = zoom, row, col
+        self.id = (zoom, row, col)
+        tb = spec.pyramid.tile_bounds(zoom, row, col)
+        self.bounds = (float(tb.left), float(tb.bottom),
+                       float(tb.right), float(tb.top))
+        self.shape = (spec.chunk_px, spec.chunk_px)
+
+
+def output_cleaned(data, spec: JobSpec) -> np.ndarray:
+    """Normalize a process return value (reference output_cleaned,
+    _output.py:441-492, M1-M3): (bands,h,w) passes; (h,w) promotes to
+    one band; band cardinality must match the spec; other types raise."""
+    if not isinstance(data, np.ndarray):
+        raise TypeError(
+            f"process output must be a numpy array or 'empty', not {type(data)}"
+        )
+    if data.ndim == 2:
+        data = data[None, ...]
+    if data.ndim != 3:
+        raise ValueError(f"expected (bands, h, w) or (h, w), got {data.shape}")
+    if data.shape[0] != len(spec.band_names):
+        raise ValueError(
+            f"process output has {data.shape[0]} bands, spec declares "
+            f"{len(spec.band_names)}"
+        )
+    return data.astype(spec.dtype)
+
+
+def _tile_writer(spec: JobSpec, process_fn=None):
+    """map_groups fn: one tile's pages -> process (default: count
+    rasterize) -> chunk write -> lineage. ``process_fn(tile, pages,
+    spec)`` is the user-extension hook (SURVEY.md §2.10); returning
+    "empty" skips the tile (no chunk written — reference
+    tests/test_driver.py:39-46 semantics)."""
+
+    _EMPTY_SUMMARY = pa.table({
+        "tile_id": pa.array([], pa.int64()),
+        "tile_row": pa.array([], pa.int64()),
+        "tile_col": pa.array([], pa.int64()),
+        "n_pages": pa.array([], pa.int64()),
+        "chunks_written": pa.array([], pa.int64()),
+        "checksum": pa.array([], pa.int64()),
+    })
 
     def fn(group: pa.Table) -> pa.Table:
         # exact dedup per url (re-crawls co-locate here; keep first by warc_ts)
@@ -69,12 +116,34 @@ def _tile_writer(spec: JobSpec):
 
         tile_id = int(group.column("tile_id")[0].as_py())
         zoom, row, col = (int(x) for x in unpack_tile_id(tile_id))
+        store = ZarrTileStore(spec)
+
+        if process_fn is not None:
+            data = process_fn(TileContext(spec, zoom, row, col), group, spec)
+            if isinstance(data, str) and data == "empty":
+                return _EMPTY_SUMMARY
+            tensor = output_cleaned(data, spec)
+            n_chunks = store.write_tile(row, col, tensor)
+            checksum = zlib.crc32(np.ascontiguousarray(tensor).tobytes())
+            write_record(spec.path, {
+                "tile_id": tile_id, "zoom": zoom, "tile_row": row,
+                "tile_col": col, "rows_in": group.num_rows,
+                "chunks_written": n_chunks, "checksum": int(checksum),
+            })
+            return pa.table({
+                "tile_id": pa.array([tile_id], pa.int64()),
+                "tile_row": pa.array([row], pa.int64()),
+                "tile_col": pa.array([col], pa.int64()),
+                "n_pages": pa.array([group.num_rows], pa.int64()),
+                "chunks_written": pa.array([n_chunks], pa.int64()),
+                "checksum": pa.array([int(checksum)], pa.int64()),
+            })
+
         lang = group.column("lang").to_numpy(zero_copy_only=False)
         text_len = group.column("text_len").to_numpy(zero_copy_only=False)
         masks = [None, lang == "en", text_len >= 80]
         tensor = rasterize_counts(group, spec, masks)
 
-        store = ZarrTileStore(spec)
         if spec.time is not None:
             # split counts per timestamp -> (bands, T, h, w)
             ts = group.column("warc_ts").to_numpy(zero_copy_only=False)
@@ -111,10 +180,13 @@ def _tile_writer(spec: JobSpec):
 
 
 def run_pipeline(ds: ray.data.Dataset, spec: JobSpec, mode: str = "continue",
-                 already_extracted: bool = False) -> ray.data.Dataset:
+                 already_extracted: bool = False,
+                 process_fn=None) -> ray.data.Dataset:
     """Run E1 over a pages Dataset. ``mode``: 'continue' (skip complete
     tiles — reference tests/test_driver.py:107-118 semantics) or
-    'overwrite' (recompute all)."""
+    'overwrite' (recompute all). ``process_fn``: optional user process
+    (see processes/convert.py) applied per tile instead of the default
+    count rasterize."""
     store = ZarrTileStore(spec)
     store.prepare()
 
@@ -158,7 +230,8 @@ def run_pipeline(ds: ray.data.Dataset, spec: JobSpec, mode: str = "continue",
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     ds = ds.repartition(max(8, ncpu * 3))
 
-    return ds.groupby("tile_id").map_groups(_tile_writer(spec), batch_format="pyarrow")
+    return ds.groupby("tile_id").map_groups(_tile_writer(spec, process_fn),
+                                            batch_format="pyarrow")
 
 
 def _salted_partial_writer(spec: JobSpec):

@@ -1,0 +1,71 @@
+"""User-extension surface (§2.10): custom per-tile process functions."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from mapchete_xarray_ray.fixtures import make_pages
+from mapchete_xarray_ray.pipelines.flagship import (
+    default_spec,
+    output_cleaned,
+    run_pipeline,
+)
+from mapchete_xarray_ray.processes.convert import convert_to_tensor, hillshade_like
+from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+
+
+def _collect(ds) -> pa.Table:
+    tabs = [t for t in (ray.get(r) for r in ds.to_arrow_refs())
+            if t.num_columns > 0]
+    return pa.concat_tables(tabs) if tabs else pa.table({})
+
+
+def test_bundled_process_equals_default(tmp_path):
+    """convert_to_tensor IS the default process: same archives."""
+    pages = make_pages(n=400)
+    spec_a = default_spec(str(tmp_path / "a.zarr"))
+    spec_b = default_spec(str(tmp_path / "b.zarr"))
+    _collect(run_pipeline(ray.data.from_arrow(pages), spec_a))
+    _collect(run_pipeline(ray.data.from_arrow(pages), spec_b,
+                          process_fn=convert_to_tensor))
+    sa, sb = ZarrTileStore(spec_a), ZarrTileStore(spec_b)
+    assert sa.existing_tiles() == sb.existing_tiles()
+    for r, c in sa.existing_tiles():
+        np.testing.assert_array_equal(sa.read_tile(r, c), sb.read_tile(r, c))
+
+
+def test_single_band_process_and_empty(tmp_path):
+    """A (h, w) return is promoted to one band; 'empty' skips tiles."""
+    pages = make_pages(n=300)
+    spec = default_spec(str(tmp_path / "h.zarr"), band_names=["density"])
+
+    def sparse_process(tile, pages_tbl, spec_):
+        if pages_tbl.num_rows < 5:
+            return "empty"
+        return hillshade_like(tile, pages_tbl, spec_)
+
+    out = _collect(run_pipeline(ray.data.from_arrow(pages), spec,
+                                process_fn=sparse_process))
+    store = ZarrTileStore(spec)
+    written = store.existing_tiles()
+    assert 0 < len(written)
+    assert out.num_rows == len(written)
+    # skipped tiles read back as fill (reference test_driver.py:39-46)
+    all_tiles = {(r, c) for r in range(8) for c in range(8)}
+    skipped = all_tiles - written
+    if skipped:
+        r, c = next(iter(skipped))
+        assert (store.read_tile(r, c) == spec.nodata).all()
+
+
+def test_output_cleaned_validation(tmp_path):
+    spec = default_spec(str(tmp_path / "v.zarr"))
+    with pytest.raises(TypeError, match="process output"):
+        output_cleaned([[1, 2]], spec)
+    with pytest.raises(ValueError, match="bands"):
+        output_cleaned(np.zeros((2, 256, 256)), spec)  # spec has 3 bands
+    t = output_cleaned(np.zeros((256, 256)), spec.__class__(
+        path=str(tmp_path / "w.zarr"), zoom=5, bounds=tuple(spec.bounds),
+        band_names=["one"]))
+    assert t.shape == (1, 256, 256)
