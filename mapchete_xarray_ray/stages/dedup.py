@@ -54,12 +54,39 @@ def minhash_signature(text: str) -> np.ndarray:
     return vals.min(axis=0)
 
 
+def batch_minhash_signatures(texts: list[str]) -> np.ndarray:
+    """(n, 64) signatures, vectorized across the whole batch:
+
+    one ``stable_hash64`` call over ALL shingles, then one
+    ``np.minimum.reduceat`` per permutation — O(64 * total_shingles)
+    with O(total_shingles) memory (never the (shingles x perms)
+    matrix). Bit-identical to per-doc :func:`minhash_signature`
+    (asserted in tests/test_dedup.py)."""
+    grams: list[str] = []
+    offsets = np.empty(len(texts) + 1, dtype=np.int64)
+    offsets[0] = 0
+    for i, t in enumerate(texts):
+        words = t.split()
+        if len(words) < 3:
+            grams.append(" ".join(words) if words else "")
+        else:
+            grams.extend(" ".join(words[j:j + 3]) for j in range(len(words) - 2))
+        offsets[i + 1] = len(grams)
+    h = stable_hash64(np.array(grams, dtype=object))
+    sigs = np.empty((len(texts), _N_PERM), dtype=np.uint64)
+    starts = offsets[:-1]
+    for p in range(_N_PERM):
+        vals = (h * PERM_A[p] + PERM_B[p]) % _MERSENNE
+        sigs[:, p] = np.minimum.reduceat(vals, starts)
+    return sigs
+
+
 def minhash_stage(batch: pa.Table, id_col: str = "doc_id",
                   text_col: str = "text") -> pa.Table:
     """doc -> one row per band: (id, band_id, band_hash)."""
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     texts = batch.column(text_col).to_pylist()
-    sigs = np.stack([minhash_signature(t) for t in texts])  # (n, 64)
+    sigs = batch_minhash_signatures(texts)  # (n, 64)
     bands = sigs.reshape(len(ids), _N_BANDS, _ROWS_PER_BAND)
     # band hash: fold rows with a stable mix
     bh = bands[:, :, 0]
@@ -100,15 +127,44 @@ def simhash64(text: str) -> int:
         return 0
     h = stable_hash64(np.array(toks, dtype=object))
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-    score = bits.sum(axis=0) * 2 - len(toks)  # (+1 / -1 votes)
+    # votes must be SIGNED: uint64 arithmetic would wrap for score < 0
+    score = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)  # (+1 / -1 votes)
     return int(((score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def batch_simhash64(texts: list[str]) -> np.ndarray:
+    """(n,) uint64 SimHash signatures, vectorized across the batch:
+    one token-hash call + one ``add.reduceat`` per bit. Bit-identical
+    to per-doc :func:`simhash64`."""
+    toks: list[str] = []
+    offsets = np.empty(len(texts) + 1, dtype=np.int64)
+    offsets[0] = 0
+    n_toks = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        w = t.split()
+        if not w:
+            w = [""]  # placeholder; zeroed below
+            n_toks[i] = 0
+        else:
+            n_toks[i] = len(w)
+        toks.extend(w)
+        offsets[i + 1] = len(toks)
+    h = stable_hash64(np.array(toks, dtype=object))
+    starts = offsets[:-1]
+    sigs = np.zeros(len(texts), dtype=np.uint64)
+    for b in range(64):
+        votes = np.add.reduceat(((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64),
+                                starts)
+        score = votes * 2 - n_toks
+        sigs |= (score > 0).astype(np.uint64) << np.uint64(b)
+    sigs[n_toks == 0] = np.uint64(0)
+    return sigs
 
 
 def simhash_stage(batch: pa.Table, id_col: str = "doc_id",
                   text_col: str = "text") -> pa.Table:
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-    sigs = np.array([simhash64(t) for t in batch.column(text_col).to_pylist()],
-                    dtype=np.uint64)
+    sigs = batch_simhash64(batch.column(text_col).to_pylist())
     n = len(ids)
     chunks = np.stack([(sigs >> np.uint64(16 * i)) & np.uint64(0xFFFF)
                        for i in range(4)], axis=1).astype(np.int64)

@@ -139,3 +139,23 @@ def test_queries_dedup_and_neardup_run(sf_dir):
     assert s.num_rows == 500
     t = q_minhash_neardup(sf_dir)
     assert t.num_rows >= 0  # word-salad corpus may or may not have near-dups
+
+
+def test_batch_minhash_equals_per_doc():
+    from mapchete_xarray_ray.stages.dedup import batch_minhash_signatures
+
+    tbl = _neardup_corpus()
+    texts = tbl.column("text").to_pylist() + ["", "one two", "a b c d"]
+    got = batch_minhash_signatures(texts)
+    want = np.stack([minhash_signature(t) for t in texts])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batch_simhash_equals_per_doc():
+    from mapchete_xarray_ray.stages.dedup import batch_simhash64
+
+    tbl = _neardup_corpus()
+    texts = tbl.column("text").to_pylist() + ["", "one", "a b"]
+    got = batch_simhash64(texts)
+    want = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
