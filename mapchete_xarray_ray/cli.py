@@ -1,0 +1,68 @@
+"""CLI — the ``mapchete execute`` equivalent.
+
+    python -m mapchete_xarray_ray.cli execute job.json [--overwrite]
+    python -m mapchete_xarray_ray.cli pyramid SRC.zarr DST.zarr [--max]
+
+``job.json`` mirrors the ``.mapchete`` YAML keys (JobSpec fields) plus
+``"input": {"path": <pages parquet path/dir>}``. This module owns a
+Ray session (scripts do); the library never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="mapchete_xarray_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    ex = sub.add_parser("execute", help="run the tile pipeline from a job spec")
+    ex.add_argument("spec", help="path to job spec JSON")
+    ex.add_argument("--overwrite", action="store_true",
+                    help="recompute all tiles (default: continue mode)")
+    ex.add_argument("--num-cpus", type=int, default=None)
+    py = sub.add_parser("pyramid", help="build zoom-1 from an existing archive")
+    py.add_argument("src")
+    py.add_argument("dst")
+    py.add_argument("--how", choices=["sum", "max"], default="sum")
+    py.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    try:
+        if args.cmd == "execute":
+            with open(args.spec) as f:
+                cfg = json.load(f)
+            input_cfg = cfg.pop("input")
+            from mapchete_xarray_ray.pipelines.flagship import run_pipeline
+            from mapchete_xarray_ray.spec import JobSpec
+
+            spec = JobSpec(**cfg)
+            ds = ray.data.read_parquet(input_cfg["path"])
+            mode = "overwrite" if args.overwrite else "continue"
+            if mode == "overwrite":
+                import os
+                import shutil
+
+                if os.path.exists(spec.path):
+                    shutil.rmtree(spec.path)
+            out = run_pipeline(ds, spec, mode="continue")
+            n = out.count()
+            print(json.dumps({"tiles_written": n, "path": spec.path}))
+        else:
+            from mapchete_xarray_ray.pipelines.pyramid import run_pyramid_step
+
+            out = run_pyramid_step(args.src, args.dst, how=args.how)
+            print(json.dumps({"tiles_written": out.count(), "path": args.dst}))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

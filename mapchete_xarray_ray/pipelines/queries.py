@@ -468,6 +468,25 @@ QUALIFY rank <= 5
 """
 
 
+def q_sample(sf_dir: str):
+    """Deterministic 10% sample (SURVEY §2.6): pure map, no shuffle —
+    keep rows where hash(doc_id) lands in the first decile. The same
+    predicate reproduces the same subset on every run/node."""
+    def pick(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (d * 2654435761) % 100 < 10
+        return batch.filter(pa.array(keep))
+
+    return _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        pick, batch_format="pyarrow")
+
+
+SQL_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (doc_id * 2654435761) % 100 < 10
+"""
+
+
 # --- relational / windowed aggregates (engine breadth) -------------------
 
 
@@ -670,6 +689,7 @@ REGISTRY: dict[str, tuple] = {
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
+    "sample": (q_sample, SQL_SAMPLE),
 }
 
 
