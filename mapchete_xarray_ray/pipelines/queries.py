@@ -59,6 +59,13 @@ def _docs(sf_dir: str, columns):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _regroup(ds, nblocks: int = 8):
+    """Consolidate blocks before a small groupby: the sort-shuffle's cost
+    is per-block (S blocks -> O(S^2) shuffle objects), and pre-aggregated
+    partials are tiny — a handful of blocks keeps the exchange cheap."""
+    return ds.repartition(nblocks)
+
+
 def collect_table(res):
     """Final driver-side collection of a SMALL query result.
 
@@ -110,8 +117,8 @@ def q_tile_density(sf_dir: str):
         return t.rename_columns(["tile_id", "n_docs", "sum_chars"])
 
     ds = (
-        _docs(sf_dir, ["doc_id", "n_chars"])
-        .map_batches(partial, batch_format="pyarrow")
+        _regroup(_docs(sf_dir, ["doc_id", "n_chars"])
+                 .map_batches(partial, batch_format="pyarrow"))
         .groupby("tile_id")
         .sum(["n_docs", "sum_chars"])
     )
@@ -145,8 +152,8 @@ def q_cell_parent_rollup(sf_dir: str):
             ["cell3", "n_docs"])
 
     ds = (
-        _docs(sf_dir, ["doc_id"])
-        .map_batches(partial, batch_format="pyarrow")
+        _regroup(_docs(sf_dir, ["doc_id"])
+                 .map_batches(partial, batch_format="pyarrow"))
         .groupby("cell3")
         .sum("n_docs")
     )
@@ -307,8 +314,8 @@ def q_dedup_exact(sf_dir: str):
         })
 
     return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(add_hash, batch_format="pyarrow")
+        _regroup(_docs(sf_dir, ["doc_id", "text"])
+                 .map_batches(add_hash, batch_format="pyarrow"))
         .groupby("text_hash")
         .map_groups(first_per_text, batch_format="pyarrow")
     )
@@ -391,7 +398,7 @@ def q_minhash_neardup(sf_dir: str):
     )
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    bands = docs.map_batches(minhash_stage, batch_format="pyarrow")
+    bands = _regroup(docs.map_batches(minhash_stage, batch_format="pyarrow"))
     cands = (
         bands.groupby(["band_id", "band_hash"])
         .map_groups(candidate_pairs_from_bands, batch_format="pyarrow")
@@ -403,8 +410,8 @@ def q_minhash_neardup(sf_dir: str):
     def uniq_pairs(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
 
-    cands = cands.groupby(["id_a", "id_b"]).map_groups(uniq_pairs,
-                                                       batch_format="pyarrow")
+    cands = _regroup(cands).groupby(["id_a", "id_b"]).map_groups(
+        uniq_pairs, batch_format="pyarrow")
     texts_tbl = pa.concat_tables(
         [ray.get(r) for r in docs.to_arrow_refs()])
     text_ref = ray.put(dict(zip(texts_tbl.column("doc_id").to_pylist(),
@@ -511,11 +518,11 @@ def q_lineitem_agg(sf_dir: str):
             ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents", "n_rows"])
 
     ds = (
-        ray.data.read_parquet(
+        _regroup(ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_returnflag", "l_linestatus", "l_quantity",
                      "l_extendedprice"])
-        .map_batches(partial, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pyarrow"))
         .groupby(["l_returnflag", "l_linestatus"])
         .sum(["sum_qty", "sum_price_cents", "n_rows"])
     )
@@ -556,9 +563,9 @@ def q_events_tumbling(sf_dir: str):
         return g.rename_columns(["event_type", "window_id", "n", "value_milli"])
 
     ds = (
-        ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                              columns=["ts", "event_type", "value"])
-        .map_batches(partial, batch_format="pyarrow")
+        _regroup(ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                       columns=["ts", "event_type", "value"])
+                 .map_batches(partial, batch_format="pyarrow"))
         .groupby(["event_type", "window_id"])
         .sum(["n", "value_milli"])
     )
@@ -604,8 +611,9 @@ def q_events_sessions(sf_dir: str):
         })
 
     return (
-        ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                              columns=["event_id", "ts", "user_id"])
+        _regroup(ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                       columns=["event_id", "ts", "user_id"]),
+                 nblocks=16)
         .groupby("user_id")
         .map_groups(sessions, batch_format="pyarrow")
     )
