@@ -114,28 +114,57 @@ def _cell_topk(k: int):
     return fn
 
 
+_MERGE_BUCKETS = 64
+
+
 def _merge_topk(k: int, guaranteed_d2: float, need: int):
-    """Per-query: merge partial candidate lists, keep global top-k,
-    flag resolution."""
+    """Merge partial candidate lists to per-query global top-k + resolved
+    flag. Runs per ID BUCKET (id % 64), fully vectorized inside the
+    bucket — one python call per bucket, not per query."""
 
     def fn(group: pa.Table) -> pa.Table:
         ids = group.column("id").to_numpy(zero_copy_only=False)
         nbs = group.column("neighbor_id").to_numpy(zero_copy_only=False)
         d2s = group.column("dist2").to_numpy(zero_copy_only=False)
-        # dedup neighbors (a neighbor reappears when prior partials merge
-        # with a re-scan of the same cell)
-        _, uidx = np.unique(nbs, return_index=True)
-        nbs, d2s = nbs[uidx], d2s[uidx]
-        order = np.lexsort((nbs, d2s))[: min(k, len(nbs))]
-        nbs, d2s = nbs[order], d2s[order]
-        resolved = len(nbs) >= need and (len(nbs) > 0 and d2s[-1] < guaranteed_d2)
-        n = len(nbs)
+        # global ordering: by (id, d2, neighbor); then per-id dedup of
+        # neighbors and rank assignment via segment arithmetic
+        order = np.lexsort((nbs, d2s, ids))
+        ids, nbs, d2s = ids[order], nbs[order], d2s[order]
+        # drop duplicate (id, neighbor) pairs, keeping the first (=lowest
+        # d2 — but d2 per pair is deterministic, so any copy is fine)
+        first = np.ones(len(ids), dtype=bool)
+        if len(ids) > 1:
+            # a duplicate pair is adjacent only within equal-id runs after
+            # a secondary sort by neighbor; re-sort per (id, nb) to detect
+            o2 = np.lexsort((d2s, nbs, ids))
+            dup = np.zeros(len(ids), dtype=bool)
+            dup[1:] = (ids[o2][1:] == ids[o2][:-1]) & (nbs[o2][1:] == nbs[o2][:-1])
+            keep_mask = np.ones(len(ids), dtype=bool)
+            keep_mask[o2[dup]] = False
+            first = keep_mask
+        ids, nbs, d2s = ids[first], nbs[first], d2s[first]
+        # ranks within each id run (rows still sorted by (id, d2, nb))
+        new_run = np.ones(len(ids), dtype=bool)
+        new_run[1:] = ids[1:] != ids[:-1]
+        run_starts = np.flatnonzero(new_run)
+        rank = np.arange(len(ids)) - np.repeat(run_starts, np.diff(
+            np.append(run_starts, len(ids)))) + 1
+        keep = rank <= k
+        ids, nbs, d2s, rank = ids[keep], nbs[keep], d2s[keep], rank[keep]
+        # resolution per id: count kept >= need AND kth d2 < guarantee
+        new_run = np.ones(len(ids), dtype=bool)
+        new_run[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.append(starts, len(ids)))
+        last_d2 = d2s[starts + counts - 1]
+        res_per_id = (counts >= need) & (last_d2 < guaranteed_d2)
+        resolved = np.repeat(res_per_id, counts)
         return pa.table({
-            "id": pa.array(np.full(n, ids[0]), pa.int64()),
+            "id": pa.array(ids, pa.int64()),
             "neighbor_id": pa.array(nbs, pa.int64()),
-            "rank": pa.array(np.arange(1, n + 1), pa.int64()),
+            "rank": pa.array(rank, pa.int64()),
             "dist2": pa.array(d2s, pa.float64()),
-            "resolved": pa.array(np.full(n, resolved)),
+            "resolved": pa.array(resolved),
         })
 
     return fn
@@ -181,11 +210,24 @@ def knn_pipeline(points: ray.data.Dataset, k: int, cell_span: float,
                         .select_columns(["id", "neighbor_id", "dist2"]))
         if partial is not None:
             cell_partial = cell_partial.union(partial)
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            if "id" not in batch.column_names:
+                return pa.table({
+                    "id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "dist2": pa.array([], pa.float64()),
+                    "id_bucket": pa.array([], pa.int64()),
+                })
+            b = batch.column("id").to_numpy() % _MERGE_BUCKETS
+            return batch.append_column("id_bucket", pa.array(b.astype(np.int64)))
+
         done_all = radius >= max(ncols, nrows) or rounds >= max_rounds
         guaranteed = float("inf") if done_all else (radius * cell_span) ** 2
-        merged = cell_partial.groupby("id").map_groups(
-            _merge_topk(k, guaranteed, need), batch_format="pyarrow"
-        ).materialize()
+        merged = (cell_partial.map_batches(add_bucket, batch_format="pyarrow")
+                  .groupby("id_bucket")
+                  .map_groups(_merge_topk(k, guaranteed, need),
+                              batch_format="pyarrow")).materialize()
 
         import pyarrow.compute as pc
 
