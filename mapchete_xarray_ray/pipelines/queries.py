@@ -399,26 +399,50 @@ def q_minhash_neardup(sf_dir: str):
     sequential brute-force oracle is tested in tests/test_dedup.py.
     """
     from mapchete_xarray_ray.stages.dedup import (
-        candidate_pairs_from_bands,
+        candidate_pairs_bucketed,
         jaccard,
         minhash_stage,
     )
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    bands = _regroup(docs.map_batches(minhash_stage, batch_format="pyarrow"))
-    cands = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(candidate_pairs_from_bands, batch_format="pyarrow")
+
+    def minhash_with_bucket(batch: pa.Table) -> pa.Table:
+        out = minhash_stage(batch)
+        b = out.column("band_hash").to_numpy() % 64
+        return out.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    bands = _regroup(docs.map_batches(minhash_with_bucket, batch_format="pyarrow"))
+    cands = bands.groupby("bucket").map_groups(
+        lambda g: candidate_pairs_bucketed(g, ("band_id", "band_hash")),
+        batch_format="pyarrow",
     )
 
-    # dedup candidate pairs, then verify exact Jaccard against the texts
-    # (texts for the candidate ids are broadcast — the candidate set is
-    # orders of magnitude smaller than the corpus)
-    def uniq_pairs(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    # dedup candidate pairs (vectorized within coarse buckets), then
+    # verify exact Jaccard against the texts (texts for the candidate
+    # ids are broadcast — the candidate set is orders of magnitude
+    # smaller than the corpus)
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        if "id_a" not in batch.column_names:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "pbucket": pa.array([], pa.int64())})
+        b = (batch.column("id_a").to_numpy() * 31
+             + batch.column("id_b").to_numpy()) % 64
+        return batch.append_column("pbucket", pa.array(b.astype(np.int64)))
 
-    cands = _regroup(cands).groupby(["id_a", "id_b"]).map_groups(
-        uniq_pairs, batch_format="pyarrow")
+    def uniq_pairs(group: pa.Table) -> pa.Table:
+        a = group.column("id_a").to_numpy(zero_copy_only=False)
+        b = group.column("id_b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                         "id_b": pa.array(b[keep], pa.int64())})
+
+    cands = (cands.map_batches(pair_bucket, batch_format="pyarrow")
+             .groupby("pbucket")
+             .map_groups(lambda g: uniq_pairs(g), batch_format="pyarrow"))
     texts_tbl = pa.concat_tables(
         [ray.get(r) for r in docs.to_arrow_refs()])
     text_ref = ray.put(dict(zip(texts_tbl.column("doc_id").to_pylist(),
@@ -450,6 +474,91 @@ def q_simhash(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         sig_only, batch_format="pyarrow")
+
+
+def q_simhash_neardup(sf_dir: str):
+    """SimHash near-dup pairs (Hamming <= 3): 4x16-bit chunk blocking
+    (pigeonhole-complete for <=3) -> candidate pairs -> exact Hamming
+    verify against broadcast signatures. Rows-only driver check; the
+    blocking-vs-brute-force equivalence is proven in tests/test_dedup.py.
+    """
+    from mapchete_xarray_ray.stages.dedup import (
+        candidate_pairs_bucketed,
+        hamming64,
+        simhash_stage,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def stage_with_bucket(batch: pa.Table) -> pa.Table:
+        out = simhash_stage(batch)
+        b = out.column("chunk_val").to_numpy() % 64
+        return out.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    rows = _regroup(docs.map_batches(stage_with_bucket, batch_format="pyarrow"))
+    cands = rows.groupby("bucket").map_groups(
+        lambda g: candidate_pairs_bucketed(g, ("chunk_id", "chunk_val")),
+        batch_format="pyarrow",
+    )
+
+    # broadcast signatures for the verify step (8 bytes per doc)
+    sig_tbl = collect_table(_regroup(docs.map_batches(
+        lambda b: simhash_stage(b).group_by("doc_id").aggregate(
+            [("sig", "min")]).rename_columns(["doc_id", "sig"]),
+        batch_format="pyarrow")))
+    sig_ref = ray.put(dict(zip(sig_tbl.column("doc_id").to_pylist(),
+                               sig_tbl.column("sig").to_pylist())))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if "id_a" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        sigs = ray.get(sig_ref)
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        sa = np.array([sigs[x] for x in a], dtype=np.int64).astype(np.uint64)
+        sb = np.array([sigs[x] for x in b], dtype=np.int64).astype(np.uint64)
+        d = hamming64(sa, sb)
+        keep = d <= 3
+        # dedup pairs found via multiple chunks
+        aa, bb, dd = a[keep], b[keep], d[keep]
+        order = np.lexsort((bb, aa))
+        aa, bb, dd = aa[order], bb[order], dd[order]
+        u = np.ones(len(aa), dtype=bool)
+        u[1:] = (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])
+        return pa.table({"id_a": pa.array(aa[u], pa.int64()),
+                         "id_b": pa.array(bb[u], pa.int64()),
+                         "hamming": pa.array(dd[u], pa.int64())})
+
+    # NOTE: batch-local pair dedup above can leave cross-batch dups; a
+    # final bucketed uniq pass settles it
+    def final_uniq(group: pa.Table) -> pa.Table:
+        a = group.column("id_a").to_numpy(zero_copy_only=False)
+        b = group.column("id_b").to_numpy(zero_copy_only=False)
+        h = group.column("hamming").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, h = a[order], b[order], h[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                         "id_b": pa.array(b[keep], pa.int64()),
+                         "hamming": pa.array(h[keep], pa.int64())})
+
+    def pbucket(batch: pa.Table) -> pa.Table:
+        if "id_a" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64()),
+                             "pb": pa.array([], pa.int64())})
+        b = (batch.column("id_a").to_numpy() * 31
+             + batch.column("id_b").to_numpy()) % 64
+        return batch.append_column("pb", pa.array(b.astype(np.int64)))
+
+    return (cands.map_batches(verify, batch_format="pyarrow")
+            .map_batches(pbucket, batch_format="pyarrow")
+            .groupby("pb")
+            .map_groups(final_uniq, batch_format="pyarrow"))
 
 
 def q_ann_cosine(sf_dir: str):
@@ -699,6 +808,7 @@ REGISTRY: dict[str, tuple] = {
     "fingerprint": (q_fingerprint, None),
     "minhash_neardup": (q_minhash_neardup, None),
     "simhash": (q_simhash, None),
+    "simhash_neardup": (q_simhash_neardup, None),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),

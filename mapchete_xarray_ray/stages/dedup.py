@@ -118,6 +118,37 @@ def candidate_pairs_from_bands(group: pa.Table, id_col: str = "doc_id") -> pa.Ta
                      "id_b": pa.array(ids[ib], pa.int64())})
 
 
+def candidate_pairs_bucketed(group: pa.Table, key_cols: tuple[str, str],
+                             id_col: str = "doc_id") -> pa.Table:
+    """Pair generation over a COARSE bucket holding many complete
+    (key_cols) groups — one python call per bucket, pair expansion per
+    segment (only segments with >= 2 members do work)."""
+    k1 = group.column(key_cols[0]).to_numpy(zero_copy_only=False)
+    k2 = group.column(key_cols[1]).to_numpy(zero_copy_only=False)
+    ids = group.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, k2, k1))
+    k1, k2, ids = k1[order], k2[order], ids[order]
+    new_seg = np.ones(len(ids), dtype=bool)
+    new_seg[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+    starts = np.flatnonzero(new_seg)
+    lens = np.diff(np.append(starts, len(ids)))
+    out_a, out_b = [], []
+    for s, L in zip(starts[lens >= 2], lens[lens >= 2]):
+        seg = np.unique(ids[s:s + L])
+        if len(seg) < 2:
+            continue
+        ia, ib = np.triu_indices(len(seg), k=1)
+        out_a.append(seg[ia])
+        out_b.append(seg[ib])
+    if not out_a:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
+    return pa.table({
+        "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+        "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+    })
+
+
 # --- SimHash -------------------------------------------------------------
 
 def simhash64(text: str) -> int:

@@ -159,3 +159,28 @@ def test_batch_simhash_equals_per_doc():
     got = batch_simhash64(texts)
     want = np.array([simhash64(t) for t in texts], dtype=np.uint64)
     np.testing.assert_array_equal(got, want)
+
+
+def test_bucketed_pairs_equal_per_group_pairs():
+    from mapchete_xarray_ray.stages.dedup import candidate_pairs_bucketed
+
+    tbl = _neardup_corpus()
+    bands = minhash_stage(tbl)
+    # per-group reference
+    import collections
+
+    buckets = collections.defaultdict(set)
+    for did, bid, bh in zip(bands.column("doc_id").to_pylist(),
+                            bands.column("band_id").to_pylist(),
+                            bands.column("band_hash").to_pylist()):
+        buckets[(bid, bh)].add(did)
+    want = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                want.add((ms[i], ms[j]))
+    got_t = candidate_pairs_bucketed(bands, ("band_id", "band_hash"))
+    got = set(zip(got_t.column("id_a").to_pylist(),
+                  got_t.column("id_b").to_pylist()))
+    assert got == want
