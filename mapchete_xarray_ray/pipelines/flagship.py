@@ -70,13 +70,31 @@ class TileContext:
 def output_cleaned(data, spec: JobSpec) -> np.ndarray:
     """Normalize a process return value (reference output_cleaned,
     _output.py:441-492, M1-M3): (bands,h,w) passes; (h,w) promotes to
-    one band; band cardinality must match the spec; other types raise."""
+    one band; with a time axis a 4-D array is interpreted as
+    ``(time, bands, h, w)`` — time and band cardinalities must match
+    the archive exactly (_output.py:420-430) — and transposed to
+    band-first (_output.py:432); other types raise."""
     if not isinstance(data, np.ndarray):
         raise TypeError(
             f"process output must be a numpy array or 'empty', not {type(data)}"
         )
     if data.ndim == 2:
         data = data[None, ...]
+    if data.ndim == 4:
+        if spec.time is None:
+            raise ValueError("4-D process output requires a time axis in the spec")
+        slices, bands = data.shape[:2]
+        if slices != len(spec.timestamps):
+            raise ValueError(
+                f"NumPy array ({slices} slices) does not fit into archive "
+                f"on time axis ({len(spec.timestamps)} slices)."
+            )
+        if bands != len(spec.band_names):
+            raise ValueError(
+                f"NumPy array ({bands} bands) does not fit into archive "
+                f"on band axis ({len(spec.band_names)} bands)."
+            )
+        return np.transpose(data, (1, 0, 2, 3)).astype(spec.dtype)
     if data.ndim != 3:
         raise ValueError(f"expected (bands, h, w) or (h, w), got {data.shape}")
     if data.shape[0] != len(spec.band_names):
@@ -123,7 +141,11 @@ def _tile_writer(spec: JobSpec, process_fn=None):
             if isinstance(data, str) and data == "empty":
                 return _EMPTY_SUMMARY
             tensor = output_cleaned(data, spec)
-            n_chunks = store.write_tile(row, col, tensor)
+            if tensor.ndim == 4:
+                n_chunks = store.write_tile(row, col, tensor,
+                                            timestamps=spec.timestamps)
+            else:
+                n_chunks = store.write_tile(row, col, tensor)
             checksum = zlib.crc32(np.ascontiguousarray(tensor).tobytes())
             write_record(spec.path, {
                 "tile_id": tile_id, "zoom": zoom, "tile_row": row,

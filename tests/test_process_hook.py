@@ -69,3 +69,36 @@ def test_output_cleaned_validation(tmp_path):
         path=str(tmp_path / "w.zarr"), zoom=5, bounds=tuple(spec.bounds),
         band_names=["one"]))
     assert t.shape == (1, 256, 256)
+
+
+def test_4d_numpy_process_output(tmp_path):
+    """Reference M3 semantics: 4-D (time, bands, h, w) process output is
+    validated and transposed to band-first; wrong cardinality raises."""
+    pages = make_pages(n=200)
+    time_cfg = {"start": "2022-06-01", "end": "2022-06-11",
+                "steps": ["2022-06-01", "2022-06-04", "2022-06-06",
+                          "2022-06-09", "2022-06-11"]}
+    spec = default_spec(str(tmp_path / "t4.zarr"), time=time_cfg)
+
+    def process_4d(tile, pages_tbl, spec_):
+        n = len(spec_.timestamps)
+        data = np.zeros((n, 3, 256, 256), dtype=np.uint16)
+        data[:, 0] = tile.row  # slice constant per band
+        return data
+
+    out = _collect(run_pipeline(ray.data.from_arrow(pages), spec,
+                                process_fn=process_4d))
+    assert out.num_rows > 0
+    store = ZarrTileStore(spec)
+    r, c = next(iter(store.existing_tiles()))
+    data = store.read_tile(r, c)
+    assert data.shape == (3, 5, 256, 256)
+    assert (data[0] == r).all()
+
+    # wrong time cardinality raises
+    with pytest.raises(ValueError, match="time axis"):
+        output_cleaned(np.zeros((3, 3, 256, 256)), spec)
+    # 4-D without a time axis raises
+    with pytest.raises(ValueError, match="requires a time axis"):
+        output_cleaned(np.zeros((5, 3, 256, 256)),
+                       default_spec(str(tmp_path / "no_t.zarr")))
