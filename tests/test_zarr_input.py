@@ -114,3 +114,18 @@ def test_pyramid_step_output_as_input(archive, tmp_path):
     # resume: second run computes nothing
     again = _collect(run_pyramid_step(archive.path, str(tmp_path / "z4.zarr")))
     assert again.num_rows == 0
+
+
+def test_pyramid_chain_two_levels(archive, tmp_path):
+    """z5 -> z4 -> z3 chain: output-as-input twice; totals preserved."""
+    _collect(run_pyramid_step(archive.path, str(tmp_path / "c4.zarr"), how="sum"))
+    out = _collect(run_pyramid_step(str(tmp_path / "c4.zarr"),
+                                    str(tmp_path / "c3.zarr"), how="sum"))
+    assert out.num_rows == 4  # 2x2 tiles at z3
+    src = ZarrTileStore(archive)
+    dst = ZarrTileStore(spec_from_archive(str(tmp_path / "c3.zarr")))
+    total_src = sum(int(src.read_tile(r, c, bands=["count"]).sum())
+                    for r, c in src.existing_tiles())
+    total_dst = sum(int(dst.read_tile(r, c, bands=["count"]).sum())
+                    for r, c in dst.existing_tiles())
+    assert total_src == total_dst
