@@ -27,7 +27,10 @@ import subprocess
 import sys
 import time
 
-BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "4000000"))
+# plain bench (driver-run, per-round) uses 1M pages to stay fast;
+# --scaling uses 4M (set in scaling()) so the timed window is CPU-bound
+# at both parallelism levels
+BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "1000000"))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
@@ -194,12 +197,14 @@ def scaling():
     The input is generated once up-front so neither timed process pays
     (or is perturbed by) the synthesis."""
 
+    scale_pages = os.environ.get("GRAFT_BENCH_PAGES", "4000000")
+    gen_env = dict(os.environ, GRAFT_BENCH_PAGES=scale_pages)
     subprocess.run([sys.executable, os.path.abspath(__file__), "--gen-only"],
-                   check=True, capture_output=True)
+                   check=True, capture_output=True, env=gen_env)
 
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_FLAGSHIP_ONLY="1")
+                   GRAFT_FLAGSHIP_ONLY="1", GRAFT_BENCH_PAGES=scale_pages)
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
