@@ -191,8 +191,11 @@ def knn_pipeline(points: ray.data.Dataset, k: int, cell_span: float,
     pts = points.map_batches(add_cells, batch_format="pyarrow").materialize()
     n_total = pts.count()
     need = min(k, max(n_total - 1, 0))
+    # lazy: in the common case the loop runs ONE round, so materializing
+    # the candidate layout would cost an extra execution for nothing; a
+    # second round recomputes it from the (materialized) pts — cheap
     cand = pts.map_batches(_replicate(ncols, nrows, 0, 0, as_query=False),
-                           batch_format="pyarrow").materialize()
+                           batch_format="pyarrow")
 
     finals = []
     unresolved = pts
