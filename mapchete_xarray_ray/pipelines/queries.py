@@ -756,6 +756,133 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_orders_by_nation(sf_dir: str):
+    """Relational broadcast join: orders x customer x nation -> per-nation
+    order count + revenue (cents). The dimension tables are the small
+    side (J2 pattern): shipped once via ray.put, probed per batch with a
+    vectorized int-index lookup — no shuffle for the join, one tiny
+    groupby for the aggregate. (For big-x-big joins Ray Data's hash
+    ``Dataset.join`` exists; the broadcast shape is the scale-correct
+    choice whenever one side fits in memory — admin tables always do.)
+    """
+    cust = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]))
+    nation = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]))
+    c_key = cust.column("c_custkey").to_numpy()
+    c_nat = cust.column("c_nationkey").to_numpy()
+    lookup = np.full(int(c_key.max()) + 2, -1, dtype=np.int64)
+    lookup[c_key] = c_nat
+    nat_names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                         nation.column("n_name").to_pylist()))
+    ref = ray.put((lookup, nat_names))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lkp, names = ray.get(ref)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        natkey = lkp[ck]
+        t = pa.table({
+            "n_name": pa.array([names.get(int(n), "UNKNOWN") for n in natkey],
+                               pa.string()),
+            "n_orders": pa.array(np.ones(len(ck), dtype=np.int64)),
+            "revenue_cents": pa.array(np.floor(price * 100).astype(np.int64)),
+        })
+        g = t.group_by("n_name").aggregate([("n_orders", "sum"),
+                                            ("revenue_cents", "sum")])
+        return g.rename_columns(["n_name", "n_orders", "revenue_cents"])
+
+    ds = (
+        _regroup(ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow"))
+        .groupby("n_name")
+        .sum(["n_orders", "revenue_cents"])
+    )
+    return ds.rename_columns({"sum(n_orders)": "n_orders",
+                              "sum(revenue_cents)": "revenue_cents"})
+
+
+SQL_ORDERS_BY_NATION = """
+SELECT n.n_name,
+       count(*)::BIGINT AS n_orders,
+       sum(floor(o.o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_top_users(sf_dir: str):
+    """Global top-10 users by event count (§2.6 top-k): pre-aggregated
+    partials -> small groupby -> driver-side final top-k on the tiny
+    per-user aggregate. Ties broken by user_id ascending."""
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("user_id").aggregate([("user_id", "count")])
+        return g.rename_columns(["user_id", "n"])
+
+    per_user = collect_table(
+        _regroup(ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                       columns=["user_id"])
+                 .map_batches(partial, batch_format="pyarrow"))
+        .groupby("user_id").sum("n"))
+    uid = per_user.column("user_id").to_numpy()
+    n = per_user.column("sum(n)").to_numpy()
+    order = np.lexsort((uid, -n))[:10]
+    return pa.table({
+        "user_id": pa.array(uid[order], pa.int64()),
+        "n_events": pa.array(n[order], pa.int64()),
+    })
+
+
+SQL_TOP_USERS = """
+SELECT user_id, count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 10
+"""
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding windows (size 2h, step 1h): each event replicates to its
+    two covering windows inside map_batches (flat_map shape), partials
+    pre-aggregated, then a small groupby. Window w covers
+    [w*1h, w*1h + 2h)."""
+    H = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        w0 = ts // H
+        win = np.concatenate([w0, w0 - 1])
+        ets = np.concatenate([et, et])
+        t = pa.table({
+            "event_type": pa.array(ets, pa.string()),
+            "window_id": pa.array(win),
+            "n": pa.array(np.ones(len(win), dtype=np.int64)),
+        })
+        g = t.group_by(["event_type", "window_id"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "window_id", "n"])
+
+    ds = (
+        _regroup(ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                       columns=["ts", "event_type"])
+                 .map_batches(partial, batch_format="pyarrow"))
+        .groupby(["event_type", "window_id"])
+        .sum("n")
+    )
+    return ds.rename_columns({"sum(n)": "n_events"})
+
+
+SQL_EVENTS_SLIDING = """
+SELECT event_type,
+       epoch_us(ts) // 3600000000 - off.o AS window_id,
+       count(*)::BIGINT AS n_events
+FROM events, (VALUES (0), (1)) off(o)
+GROUP BY event_type, window_id
+"""
+
+
 def q_emb_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (cos >= 0.35): brute force per
     batch against the broadcast corpus matrix (the exact baseline the
@@ -815,6 +942,9 @@ REGISTRY: dict[str, tuple] = {
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
     "sample": (q_sample, SQL_SAMPLE),
+    "orders_by_nation": (q_orders_by_nation, SQL_ORDERS_BY_NATION),
+    "top_users": (q_top_users, SQL_TOP_USERS),
+    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
 }
 
 
