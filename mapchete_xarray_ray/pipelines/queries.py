@@ -756,6 +756,19 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate similarity search (the scale path next to the
+    brute-force baseline): k-means inverted lists + nprobe probing.
+    Approximate -> rows-only driver check; recall vs brute force is
+    asserted in tests/test_ann.py."""
+    from mapchete_xarray_ray.stages.ann import ann_ivf_pipeline
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return ann_ivf_pipeline(emb, dim=64, k=5, n_clusters=16, nprobe=4
+                            ).select_columns(["vec_id", "neighbor_id", "rank"])
+
+
 def q_orders_by_nation(sf_dir: str):
     """Relational broadcast join: orders x customer x nation -> per-nation
     order count + revenue (cents). The dimension tables are the small
@@ -942,6 +955,7 @@ REGISTRY: dict[str, tuple] = {
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
     "sample": (q_sample, SQL_SAMPLE),
+    "ann_ivf": (q_ann_ivf, None),
     "orders_by_nation": (q_orders_by_nation, SQL_ORDERS_BY_NATION),
     "top_users": (q_top_users, SQL_TOP_USERS),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),

@@ -155,6 +155,149 @@ def bucket_local_topk(k: int, emb_col: str = "embedding"):
     return fn
 
 
+# --- IVF variant (embedding-space cells, the other scale path) -----------
+
+def kmeans_centroids(mat: np.ndarray, n_clusters: int, iters: int = 10,
+                     seed: int = 0xC347) -> np.ndarray:
+    """Deterministic spherical k-means (driver-side, on a sample):
+    fixed seed init, cosine assignment, mean + renormalize update."""
+    rng = np.random.default_rng(seed)
+    m = normalize_rows(mat.astype(np.float64))
+    idx = rng.choice(len(m), size=min(n_clusters, len(m)), replace=False)
+    cent = m[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_assign_stage(cent_ref, nprobe: int = 1, id_col: str = "vec_id",
+                     emb_col: str = "embedding", as_query: bool = False):
+    """map_batches fn: replicate each row to its ``nprobe`` nearest
+    centroids' cluster groups (corpus rows use nprobe=1 — each vector
+    lives in exactly one inverted list; query copies probe several)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        m = normalize_rows(_embedding_matrix(batch, emb_col))
+        sims = m @ cent.T  # (n, C)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]  # (n, p)
+        n = len(m)
+        idx = np.repeat(np.arange(n), nprobe)
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(idx)),
+            emb_col: batch.column(emb_col).take(pa.array(idx)),
+            "cluster": pa.array(top.reshape(-1).astype(np.int64)),
+            "is_query": pa.array(np.full(n * nprobe, as_query)),
+        })
+
+    return fn
+
+
+def _ivf_cluster_topk(k: int, emb_col: str = "embedding"):
+    """Per-cluster: top-k of the query copies vs the cluster's corpus
+    members (exact cosine within the inverted list)."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        isq = group.column("is_query").to_numpy(zero_copy_only=False)
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        m = normalize_rows(_embedding_matrix(group, emb_col))
+        cm, cid = m[~isq], ids[~isq]
+        out_q, out_c, out_s = [], [], []
+        if len(cid):
+            for qi in np.nonzero(isq)[0]:
+                s = m[qi] @ cm.T
+                mask = cid != ids[qi]
+                sm, cmi = s[mask], cid[mask]
+                t = min(k, len(sm))
+                if t == 0:
+                    continue
+                order = np.lexsort((cmi, -sm))[:t]
+                out_q.extend([ids[qi]] * t)
+                out_c.extend(cmi[order].tolist())
+                out_s.extend(sm[order].tolist())
+        return pa.table({
+            "vec_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_c, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+    return fn
+
+
+def _bucket_merge_topk(k: int):
+    """Vectorized per-id-bucket merge of partial cosine top-k lists."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        nbs = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        cs = group.column("cosine").to_numpy(zero_copy_only=False)
+        o2 = np.lexsort((cs, nbs, ids))
+        dup = np.zeros(len(ids), dtype=bool)
+        dup[1:] = (ids[o2][1:] == ids[o2][:-1]) & (nbs[o2][1:] == nbs[o2][:-1])
+        keep_mask = np.ones(len(ids), dtype=bool)
+        keep_mask[o2[dup]] = False
+        ids, nbs, cs = ids[keep_mask], nbs[keep_mask], cs[keep_mask]
+        order = np.lexsort((nbs, -cs, ids))
+        ids, nbs, cs = ids[order], nbs[order], cs[order]
+        new_run = np.ones(len(ids), dtype=bool)
+        new_run[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new_run)
+        rank = np.arange(len(ids)) - np.repeat(starts, np.diff(
+            np.append(starts, len(ids)))) + 1
+        keep = rank <= k
+        return pa.table({
+            "vec_id": pa.array(ids[keep], pa.int64()),
+            "neighbor_id": pa.array(nbs[keep], pa.int64()),
+            "rank": pa.array(rank[keep], pa.int64()),
+            "cosine": pa.array(cs[keep], pa.float64()),
+        })
+
+    return fn
+
+
+def ann_ivf_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
+                     n_clusters: int = 16, nprobe: int = 4,
+                     sample_limit: int = 10_000) -> ray.data.Dataset:
+    """IVF ANN: spherical-k-means centroids (fit driver-side on a
+    sample, broadcast), corpus sharded into inverted lists (one cluster
+    per vector), queries probe their ``nprobe`` nearest lists, exact
+    top-k within each probed list, per-query merge. Deterministic
+    (fixed seed); recall vs brute force measured in tests."""
+    sample = pa.concat_tables([
+        t for t in (ray.get(r) for r in corpus.limit(sample_limit).to_arrow_refs())
+        if t.num_columns > 0])
+    mat = np.asarray(sample.column("embedding").to_pylist(), dtype=np.float64)
+    cent_ref = ray.put(kmeans_centroids(mat, n_clusters))
+
+    lists = corpus.map_batches(ivf_assign_stage(cent_ref, 1, as_query=False),
+                               batch_format="pyarrow")
+    probes = corpus.map_batches(ivf_assign_stage(cent_ref, nprobe, as_query=True),
+                                batch_format="pyarrow")
+    partial = (lists.union(probes)
+               .groupby("cluster")
+               .map_groups(_ivf_cluster_topk(k), batch_format="pyarrow"))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if "vec_id" not in batch.column_names:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64()),
+                             "id_bucket": pa.array([], pa.int64())})
+        b = batch.column("vec_id").to_numpy() % 64
+        return batch.append_column("id_bucket", pa.array(b.astype(np.int64)))
+
+    return (partial.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("id_bucket")
+            .map_groups(_bucket_merge_topk(k), batch_format="pyarrow"))
+
+
 def ann_lsh_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
                      n_planes: int = N_PLANES) -> ray.data.Dataset:
     """Approximate all-pairs top-k: bucket by hyperplane signs, exact
