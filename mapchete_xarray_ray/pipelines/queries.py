@@ -769,6 +769,57 @@ def q_ann_ivf(sf_dir: str):
                             ).select_columns(["vec_id", "neighbor_id", "rank"])
 
 
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate all-pairs top-k (rows-only; recall +
+    determinism asserted in tests/test_ann.py)."""
+    from mapchete_xarray_ray.stages.ann import ann_lsh_pipeline
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return ann_lsh_pipeline(emb, dim=64, k=5, n_planes=6
+                            ).select_columns(["vec_id", "neighbor_id", "rank"])
+
+
+def q_image_features(sf_dir: str):
+    """Multimodal plumbing as a first-class pipeline: documents' text
+    bytes stand in for opaque image payloads (the real decode backend
+    is stubbed — see stages/multimodal.py); the actor-pool decode stage,
+    small-batch sizing and typed output schema are the real thing.
+    Rows-only check (the fake decode is deterministic)."""
+    from mapchete_xarray_ray.stages.multimodal import ImageDecodeStage
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "id": batch.column("doc_id"),
+            "payload": pa.array([t.encode("utf-8") for t in texts], pa.binary()),
+        })
+
+    ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(
+            ImageDecodeStage,
+            fn_constructor_kwargs=dict(backend="fake"),
+            batch_format="pyarrow",
+            batch_size=256,     # wide binary rows -> bounded batches
+            concurrency=2,
+        )
+    )
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        feats = np.asarray(batch.column("feature").to_pylist(), dtype=np.float64)
+        return pa.table({
+            "doc_id": batch.column("id"),
+            "width": batch.column("width"),
+            "height": batch.column("height"),
+            "feat0_milli": pa.array(np.floor(feats[:, 0] * 1000).astype(np.int64))
+            if len(feats) else pa.array([], pa.int64()),
+        })
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
 def q_orders_by_nation(sf_dir: str):
     """Relational broadcast join: orders x customer x nation -> per-nation
     order count + revenue (cents). The dimension tables are the small
@@ -956,6 +1007,8 @@ REGISTRY: dict[str, tuple] = {
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
     "sample": (q_sample, SQL_SAMPLE),
     "ann_ivf": (q_ann_ivf, None),
+    "ann_lsh": (q_ann_lsh, None),
+    "image_features": (q_image_features, None),
     "orders_by_nation": (q_orders_by_nation, SQL_ORDERS_BY_NATION),
     "top_users": (q_top_users, SQL_TOP_USERS),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
