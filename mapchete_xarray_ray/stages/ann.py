@@ -52,7 +52,6 @@ def brute_topk_stage(query_ref, k: int, id_col: str = "vec_id",
         c_mat = normalize_rows(_embedding_matrix(batch, emb_col))
         sims = q_mat @ c_mat.T  # (Q, C)
         out_q, out_c, out_s = [], [], []
-        take = min(k + 1, sims.shape[1])  # +1: self may be present
         for qi in range(sims.shape[0]):
             s = sims[qi]
             mask = c_ids != q_ids[qi]
@@ -64,7 +63,6 @@ def brute_topk_stage(query_ref, k: int, id_col: str = "vec_id",
             out_q.extend([q_ids[qi]] * t)
             out_c.extend(cm[order].tolist())
             out_s.extend(sm[order].tolist())
-        del take
         return pa.table({
             "vec_id": pa.array(out_q, pa.int64()),
             "neighbor_id": pa.array(out_c, pa.int64()),
