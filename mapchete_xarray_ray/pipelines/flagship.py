@@ -230,7 +230,8 @@ def run_pipeline(ds: ray.data.Dataset, spec: JobSpec, mode: str = "continue",
     if not already_extracted:
         ds = ds.map_batches(extract_stage, batch_format="pyarrow")
     ds = ds.map_batches(
-        assign_pages_fn(spec.snapped_bounds, spec.zoom, spec.grid, spec.cell_zoom),
+        assign_pages_fn(spec.snapped_bounds, spec.zoom, spec.grid, spec.cell_zoom,
+                        pyramid=spec.pyramid),
         batch_format="pyarrow",
     )
 
@@ -409,7 +410,8 @@ def run_pipeline_salted(ds: ray.data.Dataset, spec: JobSpec,
     if not already_extracted:
         ds = ds.map_batches(extract_stage, batch_format="pyarrow")
     ds = ds.map_batches(
-        assign_pages_fn(spec.snapped_bounds, spec.zoom, spec.grid, spec.cell_zoom),
+        assign_pages_fn(spec.snapped_bounds, spec.zoom, spec.grid, spec.cell_zoom,
+                        pyramid=spec.pyramid),
         batch_format="pyarrow",
     )
     _shuffle_cols = ["url", "warc_ts", "lang", "lon", "lat",

@@ -35,9 +35,12 @@ def _append(batch: pa.Table, **cols) -> pa.Table:
 
 
 def assign_pages_fn(bounds: Bounds, zoom: int, grid: str = "geodetic",
-                    cell_zoom: int | None = None):
-    """Factory -> map_batches fn adding lon/lat + tile/cell columns from ``url``."""
-    pyramid = TilePyramid(grid)
+                    cell_zoom: int | None = None,
+                    pyramid: TilePyramid | None = None):
+    """Factory -> map_batches fn adding lon/lat + tile/cell columns from
+    ``url``. Pass the job's pyramid when it uses metatiling != 1 — tile
+    indices must come from the SAME matrix the sink chunks by."""
+    pyramid = pyramid or TilePyramid(grid)
     cz = cell_zoom if cell_zoom is not None else zoom
 
     def fn(batch: pa.Table) -> pa.Table:
