@@ -318,25 +318,19 @@ def _salted_partial_writer(spec: JobSpec):
         group = group.filter(pa.array(keep))
 
         tile_id = int(group.column("tile_id")[0].as_py())
-        lang = group.column("lang").to_numpy(zero_copy_only=False)
-        text_len = group.column("text_len").to_numpy(zero_copy_only=False)
-        masks = [None, lang == "en", text_len >= 80]
-        # partial grids in int32 (counts are associative; clipping to the
-        # output dtype happens only after the final merge)
-        from mapchete_xarray_ray.stages.rasterize import local_pixel_indices
-
-        zoom, row, col = (int(x) for x in unpack_tile_id(tile_id))
-        iy, ix = local_pixel_indices(
-            group.column("lon").to_numpy(zero_copy_only=False),
-            group.column("lat").to_numpy(zero_copy_only=False),
-            row, col, spec)
+        # narrow schema (same projection as the straight path): band
+        # masks + flat pixel index were computed pre-shuffle; partial
+        # grids in int64 (counts are associative; clipping to the output
+        # dtype happens only after the final merge)
+        pix = group.column("pix").to_numpy(zero_copy_only=False)
+        en = group.column("is_en").to_numpy(zero_copy_only=False)
+        lt = group.column("long_text").to_numpy(zero_copy_only=False)
         h = w = spec.chunk_px
-        grid = np.zeros((len(masks), h, w), dtype=np.int32)
-        for b, mask in enumerate(masks):
-            if mask is None:
-                np.add.at(grid[b], (iy, ix), 1)
-            else:
-                np.add.at(grid[b], (iy[mask], ix[mask]), 1)
+        grid = np.zeros((3, h * w), dtype=np.int32)
+        np.add.at(grid[0], pix, 1)
+        np.add.at(grid[1], pix[en], 1)
+        np.add.at(grid[2], pix[lt], 1)
+        grid = grid.reshape(3, h, w)
         return pa.table({
             "tile_id": pa.array([tile_id], pa.int64()),
             "n_pages": pa.array([group.num_rows], pa.int64()),
@@ -414,12 +408,26 @@ def run_pipeline_salted(ds: ray.data.Dataset, spec: JobSpec,
                         pyramid=spec.pyramid),
         batch_format="pyarrow",
     )
-    _shuffle_cols = ["url", "warc_ts", "lang", "lon", "lat",
-                     "tile_row", "tile_col", "tile_id", "cell_id"]
+    from mapchete_xarray_ray.stages.rasterize import local_pixel_indices
 
     def compact(batch: pa.Table) -> pa.Table:
+        # same narrow projection as the straight path: the salted
+        # shuffle ships (url, warc_ts, 2 bools, tile_id, pix) only
         tl = pc.utf8_length(batch.column("text")).cast(pa.int64())
-        return batch.select(_shuffle_cols).append_column("text_len", tl)
+        iy, ix = local_pixel_indices(
+            batch.column("lon").to_numpy(zero_copy_only=False),
+            batch.column("lat").to_numpy(zero_copy_only=False),
+            batch.column("tile_row").to_numpy(zero_copy_only=False),
+            batch.column("tile_col").to_numpy(zero_copy_only=False),
+            spec)
+        return pa.table({
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts"),
+            "is_en": pc.equal(batch.column("lang"), "en"),
+            "long_text": pc.greater_equal(tl, 80),
+            "tile_id": batch.column("tile_id"),
+            "pix": pa.array((iy * spec.chunk_px + ix).astype(np.int32)),
+        })
 
     ds = ds.map_batches(compact, batch_format="pyarrow")
 
