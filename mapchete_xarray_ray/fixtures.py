@@ -74,12 +74,14 @@ def make_pages(
 ) -> pa.Table:
     """Synthesize the pages table.
 
-    ``hot_frac`` of rows land on host 0 (the Zipf head) — the url-hash
-    geocode then naturally clusters nothing, so hot-cell skew is created
-    explicitly downstream by the hot host's pages sharing a url PATH
-    prefix that the test geocoder maps into one tile (see
-    stages/assign.py hot-cluster handling). ``dup_frac`` of rows are
-    exact re-crawls (same url + html, later warc_ts) for dedup tests.
+    ``hot_frac`` of rows land on host 0 (the Zipf head) — host skew in
+    the URL distribution, mirroring Common-Crawl's head-heavy hosts.
+    The url-hash geocode spreads points uniformly regardless, so the
+    SPATIAL hot-cell path is exercised in tests by lowering
+    ``hot_threshold`` in run_pipeline_salted (every tile goes through
+    the salted plan) rather than by biasing the geocode. ``dup_frac``
+    of rows are exact re-crawls (same url + html, later warc_ts) for
+    dedup tests.
     """
     rng = np.random.default_rng(seed)
     # Zipf-skewed host choice
