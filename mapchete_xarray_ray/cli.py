@@ -45,8 +45,9 @@ def main(argv=None):
 
             spec = JobSpec(**cfg)
             ds = ray.data.read_parquet(input_cfg["path"])
-            mode = "overwrite" if args.overwrite else "continue"
-            if mode == "overwrite":
+            if args.overwrite:
+                # --overwrite = fresh archive; the pipeline itself then
+                # runs in its (default) continue mode over the empty one
                 import os
                 import shutil
 

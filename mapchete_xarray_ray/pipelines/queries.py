@@ -947,6 +947,45 @@ GROUP BY event_type, window_id
 """
 
 
+def q_running_totals(sf_dir: str):
+    """Stateful streaming shape: per-user running aggregates (count,
+    sum, last event, MAX GAP between consecutive events) held in keyed
+    incremental state fed in ts order — max_gap is order-dependent, so
+    this genuinely exercises the stateful path (stages/streaming.py),
+    not just a commutative groupby."""
+    from mapchete_xarray_ray.stages.streaming import running_totals_group
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = batch.column("user_id").to_numpy(zero_copy_only=False) % 32
+        return batch.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    return (
+        _regroup(ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"])
+            .map_batches(add_bucket, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(running_totals_group, batch_format="pyarrow")
+    )
+
+
+SQL_RUNNING_TOTALS = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         floor(value * 1000)::BIGINT AS v,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       sum(v)::BIGINT AS sum_value_milli,
+       max(ts_us)::BIGINT AS last_ts_us,
+       coalesce(max(gap), 0)::BIGINT AS max_gap_us
+FROM o GROUP BY user_id
+"""
+
+
 def q_emb_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (cos >= 0.35): brute force per
     batch against the broadcast corpus matrix (the exact baseline the
@@ -1012,6 +1051,7 @@ REGISTRY: dict[str, tuple] = {
     "orders_by_nation": (q_orders_by_nation, SQL_ORDERS_BY_NATION),
     "top_users": (q_top_users, SQL_TOP_USERS),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
+    "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
 }
 
 
