@@ -170,6 +170,50 @@ GROUP BY cell3
 """
 
 
+def q_rasterize_roundtrip(sf_dir: str):
+    """Raster<->vector roundtrip (A4 + tile_to_points): documents are
+    rasterized into per-tile count grids (groupby tile -> np.add.at),
+    then vectorized back to one row per non-zero pixel. The SQL twin is
+    a plain per-pixel GROUP BY — if the grid math or the raster->vector
+    inversion were off by one pixel anywhere, the hash would differ."""
+    def per_tile(group: pa.Table) -> pa.Table:
+        tile_id = int(group.column("tile_id")[0].as_py())
+        px = group.column("px").to_numpy(zero_copy_only=False)
+        py = group.column("py").to_numpy(zero_copy_only=False)
+        ix = px % 256
+        iy = py % 256
+        grid = np.zeros((256, 256), dtype=np.int64)
+        np.add.at(grid, (iy, ix), 1)
+        yy, xx = np.nonzero(grid)
+        return pa.table({
+            "tile_id": pa.array(np.full(len(yy), tile_id), pa.int64()),
+            "iy": pa.array(yy.astype(np.int64)),
+            "ix": pa.array(xx.astype(np.int64)),
+            "n_docs": pa.array(grid[yy, xx], pa.int64()),
+        })
+
+    return (
+        _regroup(_docs(sf_dir, ["doc_id"])
+                 .map_batches(assign_doc_ids_fn(ZOOM), batch_format="pyarrow")
+                 .select_columns(["doc_id", "px", "py", "tile_id"]))
+        .groupby("tile_id")
+        .map_groups(per_tile, batch_format="pyarrow")
+    )
+
+
+SQL_RASTERIZE_ROUNDTRIP = """
+SELECT
+  (5::BIGINT << 58)
+    | ((((doc_id * 40503) % 8192) // 256)::BIGINT << 29)
+    | (((doc_id * 2654435761) % 16384) // 256) AS tile_id,
+  ((doc_id * 40503) % 8192) % 256 AS iy,
+  ((doc_id * 2654435761) % 16384) % 256 AS ix,
+  count(*)::BIGINT AS n_docs
+FROM documents
+GROUP BY tile_id, iy, ix
+"""
+
+
 def q_pip_join(sf_dir: str):
     """Point-in-polygon broadcast join (J4) in integer pixel space.
 
@@ -1030,6 +1074,7 @@ REGISTRY: dict[str, tuple] = {
     "tile_assign": (q_tile_assign, SQL_TILE_ASSIGN),
     "tile_density": (q_tile_density, SQL_TILE_DENSITY),
     "cell_parent_rollup": (q_cell_parent_rollup, SQL_CELL_PARENT_ROLLUP),
+    "rasterize_roundtrip": (q_rasterize_roundtrip, SQL_RASTERIZE_ROUNDTRIP),
     "pip_join": (q_pip_join, SQL_PIP_JOIN),
     "knn": (q_knn, SQL_KNN),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

@@ -107,3 +107,36 @@ def test_entry_smoke():
     t = _collect(res)
     assert t.num_rows >= 0
     assert "tile_id" in t.column_names
+
+
+def test_tile_to_points_inverts_rasterize(tmp_path):
+    """Raster -> vector (stages/rasterize.tile_to_points) inverts the
+    count rasterization: emitted points land on pixel centers whose
+    re-assignment reproduces the same (iy, ix)."""
+    from mapchete_xarray_ray.stages.rasterize import (
+        local_pixel_indices,
+        rasterize_counts,
+        tile_to_points,
+    )
+    from mapchete_xarray_ray.pipelines.flagship import default_spec
+
+    spec = default_spec(str(tmp_path / "unused.zarr"))
+    rng = np.random.default_rng(3)
+    n = 200
+    tr, tc = 2, 3
+    tb = spec.pyramid.tile_bounds(spec.zoom, tr, tc)
+    lon = rng.uniform(float(tb.left), float(tb.right), n)
+    lat = rng.uniform(float(tb.bottom), float(tb.top), n)
+    group = pa.table({
+        "lon": pa.array(lon), "lat": pa.array(lat),
+        "tile_row": pa.array([tr] * n, pa.int64()),
+        "tile_col": pa.array([tc] * n, pa.int64()),
+    })
+    tensor = rasterize_counts(group, spec, [None])
+    pts = tile_to_points(tensor, tr, tc, spec, band=0)
+    assert int(pts.column("value").to_numpy().sum()) == n
+    # re-assign the emitted pixel-center points: identical (iy, ix)
+    iy2, ix2 = local_pixel_indices(
+        pts.column("lon").to_numpy(), pts.column("lat").to_numpy(), tr, tc, spec)
+    np.testing.assert_array_equal(iy2, pts.column("iy").to_numpy())
+    np.testing.assert_array_equal(ix2, pts.column("ix").to_numpy())
