@@ -6,8 +6,9 @@ Shape (SURVEY.md §3 E1):
     read pages (parquet fragments / in-memory table)
     -> map_batches(extract_stage)            # html->text, html dropped
     -> map_batches(assign)                   # lon/lat + tile_id/cell_id
+    -> map_batches(compact)                  # NARROW the shuffle rows
     -> [continue mode] filter out done tiles # broadcast done-set
-    -> groupby(tile_id).map_groups(write_tile)  # rasterize + sink + lineage
+    -> groupby(tile_id).map_groups(write_tile)  # dedup+rasterize+sink
     -> Dataset of per-tile summaries
 
 One tile = one group = one chunk file per band, so concurrent writers
@@ -16,9 +17,23 @@ _output.py:365-382). Exact url-dedup is free inside the group: the
 geocode key IS the url, so all re-crawls of a url land in the same
 tile group and are dropped there — no extra shuffle.
 
-The done-tile set is computed once on the driver (two directory
-listings) and shipped into the filter closure via ray.put — a
-broadcast, not a per-batch reload.
+Scale decisions measured at 2-4M pages (see BASELINE.md):
+- the compact stage precomputes band masks + the flat local pixel
+  index so a shuffled row is (url, ts, 2 bools, tile_id, pix:int32) —
+  the all-to-all never carries text/html/geo floats (2x end-to-end);
+- block count into the groupby ~1.5-3x the CPU count (Ray's sort
+  exchange cost is per-block; see run_pipeline's repartition_blocks);
+- the done-tile set and hot-tile set are ray.put broadcasts, computed
+  once on the driver from directory listings.
+
+:func:`run_pipeline_salted` is the explicit-skew variant (A5 hot-tile
+pre-count, url-hash salting that preserves exact dedup, associative
+partial-grid merge); it is row-identical to the straight path
+(tests/test_skew.py) and differs only in the physical plan.
+
+A user ``process_fn(tile, pages, spec)`` (SURVEY §2.10) replaces the
+default count-rasterize per tile; its return value is normalized per
+the reference's output_cleaned (2-D/3-D/4-D numpy, "empty" sentinel).
 """
 
 from __future__ import annotations
