@@ -33,6 +33,10 @@ import time
 BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "1000000"))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# bench flagship runs at z7 (1024 tiles over the fixture bounds) so the
+# tile-group parallelism and tiles/s reflect a realistic tile count;
+# conformance/queries stay at the reference-fixture z5
+BENCH_ZOOM = int(os.environ.get("GRAFT_BENCH_ZOOM", "7"))
 
 
 def synth_pages_parquet(n: int, path: str) -> str:
@@ -97,7 +101,7 @@ def run_flagship_bench(pages_path: str, out_path: str) -> dict:
     nblocks = max(8, int(ncpu * 1.5))  # ~1.5 blocks/CPU: best measured
     # sort cost (fewer blocks -> fewer tiny shuffle objects; enough for
     # full pipeline parallelism)
-    warm_spec = default_spec("/tmp/mxr_warmup.zarr")
+    warm_spec = default_spec("/tmp/mxr_warmup.zarr", zoom=BENCH_ZOOM)
     shutil.rmtree(warm_spec.path, ignore_errors=True)
     warm = ray.data.read_parquet(pages_path,
                                  columns=["url", "warc_ts", "html", "lang"],
@@ -108,7 +112,7 @@ def run_flagship_bench(pages_path: str, out_path: str) -> dict:
     shutil.rmtree(warm_spec.path, ignore_errors=True)
 
     shutil.rmtree(out_path, ignore_errors=True)
-    spec = default_spec(out_path)
+    spec = default_spec(out_path, zoom=BENCH_ZOOM)
     t0 = time.perf_counter()
     # size blocks at the read (prune the ground-truth text column too);
     # the pipeline then skips its repartition barrier
