@@ -5,8 +5,9 @@ planar distance ``dx^2 + dy^2``, ties broken by neighbor id ascending —
 row-exact vs a brute-force oracle (SQL ``row_number() over (partition
 by id order by dist2, neighbor_id)``).
 
-Distributed shape (SURVEY.md J5, classic replicate-and-partition
-spatial join):
+Distributed shape (SURVEY.md J5, the classic replicate-and-partition
+spatial join of the MapReduce spatial-join literature — cf. "Processing
+multi-way spatial joins on map-reduce", EDBT 2013):
 
 - candidates: every point lands in exactly ONE cell group (its home
   cell — the same Morton/tile grid the sink partitions by).

@@ -48,3 +48,29 @@ def test_determinism_repeated():
     t1 = make_pages(n=30, seed=42)
     t2 = make_pages(n=30, seed=42)
     assert t1.equals(t2)
+
+
+def test_distributed_extraction_byte_identical_per_url():
+    """North-rule gate: the DISTRIBUTED extract stage (arbitrary
+    batching/partitioning) produces byte-identical text per url vs the
+    sequential oracle."""
+    import pyarrow as pa
+    import ray
+
+    from mapchete_xarray_ray.oracle import oracle_extracted
+    from mapchete_xarray_ray.stages.text import extract_stage
+
+    pages = make_pages(n=400, dup_frac=0.1)
+    want = oracle_extracted(pages)
+    # shuffle row order + odd partitioning to prove order-independence
+    ds = (ray.data.from_arrow(pages)
+          .random_shuffle(seed=7)
+          .repartition(13)
+          .map_batches(extract_stage, batch_format="pyarrow"))
+    tabs = [t for t in (ray.get(r) for r in ds.to_arrow_refs())
+            if t.num_columns > 0]
+    got = pa.concat_tables(tabs)
+    for url, text in zip(got.column("url").to_pylist(),
+                         got.column("text").to_pylist()):
+        assert text == want[url], f"text mismatch for {url}"
+    assert set(got.column("url").to_pylist()) == set(want)
