@@ -314,79 +314,121 @@ def run_pipeline(ds: ray.data.Dataset, spec: JobSpec, mode: str = "continue",
 
 
 def _salted_partial_writer(spec: JobSpec):
-    """map_groups fn over (tile_id, salt): dedup-by-url + PARTIAL
-    rasterize; emits one row carrying the partial grid as int32 bytes.
+    """map_groups fn over a BUCKET of (tile_id, salt) segments:
+    vectorized dedup-by-url + partial rasterize per segment; emits one
+    row per segment carrying its partial grid as int32 bytes.
 
     Salt = stable_hash(url) % n_salt, so every re-crawl of a url lands
-    in the SAME (tile, salt) group — the per-group first-by-warc_ts
-    dedup stays exact under salting.
+    in the SAME (tile, salt) segment — first-by-warc_ts dedup stays
+    exact under salting. Grouping by a coarse bucket (not per segment)
+    keeps Ray's per-group call overhead off the critical path when MANY
+    tiles are hot (measured 252s -> seconds at 8192 all-hot segments).
     """
 
     def fn(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            group, sort_keys=[("url", "ascending"), ("warc_ts", "ascending")]
-        )
+        order = pc.sort_indices(group, sort_keys=[
+            ("tile_id", "ascending"), ("salt", "ascending"),
+            ("url", "ascending"), ("warc_ts", "ascending")])
         group = group.take(order)
-        keep = np.ones(group.num_rows, dtype=bool)
+        tid = group.column("tile_id").to_numpy(zero_copy_only=False)
+        salt = group.column("salt").to_numpy(zero_copy_only=False)
         urls = group.column("url").to_numpy(zero_copy_only=False)
-        keep[1:] = urls[1:] != urls[:-1]
+        keep = np.ones(group.num_rows, dtype=bool)
+        keep[1:] = ((tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])
+                    | (urls[1:] != urls[:-1]))
         group = group.filter(pa.array(keep))
-
-        tile_id = int(group.column("tile_id")[0].as_py())
-        # narrow schema (same projection as the straight path): band
-        # masks + flat pixel index were computed pre-shuffle; partial
-        # grids in int64 (counts are associative; clipping to the output
-        # dtype happens only after the final merge)
-        pix = group.column("pix").to_numpy(zero_copy_only=False)
+        tid = group.column("tile_id").to_numpy(zero_copy_only=False)
+        salt = group.column("salt").to_numpy(zero_copy_only=False)
+        pix = group.column("pix").to_numpy(zero_copy_only=False).astype(np.int64)
         en = group.column("is_en").to_numpy(zero_copy_only=False)
         lt = group.column("long_text").to_numpy(zero_copy_only=False)
-        h = w = spec.chunk_px
-        grid = np.zeros((3, h * w), dtype=np.int32)
-        np.add.at(grid[0], pix, 1)
-        np.add.at(grid[1], pix[en], 1)
-        np.add.at(grid[2], pix[lt], 1)
-        grid = grid.reshape(3, h, w)
+
+        new_seg = np.ones(len(tid), dtype=bool)
+        new_seg[1:] = (tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])
+        seg_idx = np.cumsum(new_seg) - 1
+        starts = np.flatnonzero(new_seg)
+        lens = np.diff(np.append(starts, len(tid)))
+        n_segs = len(starts)
+        npx = spec.chunk_px * spec.chunk_px
+        # flat (segment, band, pixel) accumulation — three add.at calls
+        # total for the whole bucket, regardless of segment count
+        grids = np.zeros((n_segs, 3, npx), dtype=np.int32)
+        flat = grids.reshape(-1)
+        base = seg_idx * (3 * npx)
+        np.add.at(flat, base + pix, 1)
+        np.add.at(flat, base[en] + npx + pix[en], 1)
+        np.add.at(flat, base[lt] + 2 * npx + pix[lt], 1)
+        # SPARSE partial encoding: a salted partial touches ~rows/n_salt
+        # pixels of the 65k grid, so shipping (pix, c0, c1, c2) rows is
+        # orders of magnitude lighter than the dense tensor (the dense
+        # all-hot case moved GBs through the merge shuffle). Format:
+        # int32 array [nnz, pix..., c0..., c1..., c2...].
+        bufs = []
+        for i in range(n_segs):
+            nz = np.flatnonzero(grids[i].any(axis=0))
+            rec = np.concatenate([
+                np.array([len(nz)], dtype=np.int32),
+                nz.astype(np.int32),
+                grids[i, 0, nz], grids[i, 1, nz], grids[i, 2, nz],
+            ])
+            bufs.append(rec.tobytes())
         return pa.table({
-            "tile_id": pa.array([tile_id], pa.int64()),
-            "n_pages": pa.array([group.num_rows], pa.int64()),
-            "grid": pa.array([np.ascontiguousarray(grid).tobytes()],
-                             pa.large_binary()),
+            "tile_id": pa.array(tid[starts], pa.int64()),
+            "n_pages": pa.array(lens.astype(np.int64)),
+            "grid": pa.array(bufs, pa.large_binary()),
         })
 
     return fn
 
 
 def _salted_merge_writer(spec: JobSpec):
-    """map_groups fn over tile_id: '+'-merge the salted partial grids,
-    clip to the output dtype, write the chunk + lineage."""
+    """map_groups fn over a BUCKET of tiles: '+'-merge each tile's
+    salted partial grids, clip to the output dtype, write chunk +
+    lineage per tile. The python loop per tile does real IO work, so
+    the coarse bucket only amortizes Ray's per-group dispatch."""
 
     def fn(group: pa.Table) -> pa.Table:
-        tile_id = int(group.column("tile_id")[0].as_py())
-        zoom, row, col = (int(x) for x in unpack_tile_id(tile_id))
+        order = pc.sort_indices(group, sort_keys=[("tile_id", "ascending")])
+        group = group.take(order)
+        tid = group.column("tile_id").to_numpy(zero_copy_only=False)
+        n_pages_col = group.column("n_pages").to_numpy(zero_copy_only=False)
+        bufs = group.column("grid").to_pylist()
         h = w = spec.chunk_px
-        total = None
-        for buf in group.column("grid").to_pylist():
-            g = np.frombuffer(buf, dtype=np.int32).reshape(-1, h, w)
-            total = g.copy() if total is None else total + g
         info = np.iinfo(np.dtype(spec.dtype))
-        tensor = total.clip(info.min, info.max).astype(spec.dtype)
         store = ZarrTileStore(spec)
-        n_chunks = store.write_tile(row, col, tensor)
-        checksum = zlib.crc32(np.ascontiguousarray(tensor).tobytes())
-        n_pages = int(group.column("n_pages").to_numpy().sum())
-        write_record(spec.path, {
-            "tile_id": tile_id, "zoom": zoom, "tile_row": row, "tile_col": col,
-            "rows_in": n_pages, "chunks_written": n_chunks,
-            "checksum": int(checksum), "salted_partials": group.num_rows,
-        })
-        return pa.table({
-            "tile_id": pa.array([tile_id], pa.int64()),
-            "tile_row": pa.array([row], pa.int64()),
-            "tile_col": pa.array([col], pa.int64()),
-            "n_pages": pa.array([n_pages], pa.int64()),
-            "chunks_written": pa.array([n_chunks], pa.int64()),
-            "checksum": pa.array([int(checksum)], pa.int64()),
-        })
+        new_seg = np.ones(len(tid), dtype=bool)
+        new_seg[1:] = tid[1:] != tid[:-1]
+        starts = np.flatnonzero(new_seg)
+        lens = np.diff(np.append(starts, len(tid)))
+        out = {"tile_id": [], "tile_row": [], "tile_col": [], "n_pages": [],
+               "chunks_written": [], "checksum": []}
+        for s, L in zip(starts, lens):
+            tile_id = int(tid[s])
+            zoom, row, col = (int(x) for x in unpack_tile_id(tile_id))
+            total = np.zeros((3, h * w), dtype=np.int64)
+            for j in range(s, s + L):
+                rec = np.frombuffer(bufs[j], dtype=np.int32)
+                nnz = int(rec[0])
+                nz = rec[1:1 + nnz]
+                for b in range(3):
+                    np.add.at(total[b], nz, rec[1 + nnz * (b + 1):1 + nnz * (b + 2)])
+            total = total.reshape(3, h, w)
+            tensor = total.clip(info.min, info.max).astype(spec.dtype)
+            n_chunks = store.write_tile(row, col, tensor)
+            checksum = zlib.crc32(np.ascontiguousarray(tensor).tobytes())
+            n_pages = int(n_pages_col[s:s + L].sum())
+            write_record(spec.path, {
+                "tile_id": tile_id, "zoom": zoom, "tile_row": row,
+                "tile_col": col, "rows_in": n_pages, "chunks_written": n_chunks,
+                "checksum": int(checksum), "salted_partials": int(L),
+            })
+            out["tile_id"].append(tile_id)
+            out["tile_row"].append(row)
+            out["tile_col"].append(col)
+            out["n_pages"].append(n_pages)
+            out["chunks_written"].append(n_chunks)
+            out["checksum"].append(int(checksum))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
 
     return fn
 
@@ -486,13 +528,28 @@ def run_pipeline_salted(ds: ray.data.Dataset, spec: JobSpec,
             urls = batch.column("url").to_numpy(zero_copy_only=False)
             salt[is_hot] = (stable_hash64(urls[is_hot]) %
                             np.uint64(n_salt)).astype(np.int64)
-        return batch.append_column("salt", pa.array(salt))
+        batch = batch.append_column("salt", pa.array(salt))
+        # coarse shuffle keys: whole (tile, salt) segments per bucket —
+        # Ray's per-group dispatch is amortized over many segments
+        pb = ((tid * 8191 + salt) % 256).astype(np.int64)
+        return batch.append_column("pbucket", pa.array(pb))
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow")
-    partials = salted.groupby(["tile_id", "salt"]).map_groups(
+    partials = salted.groupby("pbucket").map_groups(
         _salted_partial_writer(spec), batch_format="pyarrow")
-    return partials.groupby("tile_id").map_groups(
-        _salted_merge_writer(spec), batch_format="pyarrow")
+
+    def add_tbucket(batch: pa.Table) -> pa.Table:
+        if "tile_id" not in batch.column_names:
+            return pa.table({"tile_id": pa.array([], pa.int64()),
+                             "n_pages": pa.array([], pa.int64()),
+                             "grid": pa.array([], pa.large_binary()),
+                             "tbucket": pa.array([], pa.int64())})
+        tb = (batch.column("tile_id").to_numpy() % 64).astype(np.int64)
+        return batch.append_column("tbucket", pa.array(tb))
+
+    return (partials.map_batches(add_tbucket, batch_format="pyarrow")
+            .groupby("tbucket")
+            .map_groups(_salted_merge_writer(spec), batch_format="pyarrow"))
 
 
 def run_flagship(sf_dir: str, out_path: str | None = None, n_pages: int = 2000,
