@@ -54,8 +54,26 @@ WKT_3857 = (
 )
 
 
+def _is_remote(path: str) -> bool:
+    return "://" in str(path)
+
+
+def _fs(path: str):
+    import fsspec
+
+    return fsspec.core.url_to_fs(str(path))[0]
+
+
 def _put_bytes(path: str, data: bytes) -> None:
-    """Atomic write: temp file in target dir + os.replace."""
+    """Atomic write. Local: temp file + os.replace. Remote (any
+    fsspec URL — s3://, memory://, ...): a single object PUT, which is
+    object-level atomic on real object stores."""
+    if _is_remote(path):
+        fs = _fs(path)
+        fs.makedirs(path.rsplit("/", 1)[0], exist_ok=True)
+        with fs.open(path, "wb") as f:
+            f.write(data)
+        return
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-")
@@ -67,6 +85,54 @@ def _put_bytes(path: str, data: bytes) -> None:
         if os.path.exists(tmp):
             os.unlink(tmp)
         raise
+
+
+def _get_bytes(path: str) -> bytes | None:
+    """Read a file/object; None if it does not exist."""
+    if _is_remote(path):
+        fs = _fs(path)
+        if not fs.exists(path):
+            return None
+        with fs.open(path, "rb") as f:
+            return f.read()
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _exists(path: str) -> bool:
+    return _fs(path).exists(path) if _is_remote(path) else os.path.exists(path)
+
+
+def _listdir(path: str) -> list[str]:
+    """Base names under a directory/prefix; [] if absent."""
+    if _is_remote(path):
+        fs = _fs(path)
+        if not fs.exists(path):
+            return []
+        return [p.rstrip("/").rsplit("/", 1)[-1] for p in fs.ls(path, detail=False)]
+    if not os.path.isdir(path):
+        return []
+    return os.listdir(path)
+
+
+def _makedirs(path: str) -> None:
+    if _is_remote(path):
+        _fs(path).makedirs(path, exist_ok=True)
+    else:
+        os.makedirs(path)
+
+
+def _rmtree(path: str) -> None:
+    if _is_remote(path):
+        fs = _fs(path)
+        if fs.exists(path):
+            fs.rm(path, recursive=True)
+    else:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _put_json(path: str, obj) -> None:
@@ -120,13 +186,13 @@ class ZarrTileStore:
     def initialize(self) -> None:
         """Create the empty archive (mirrors _output.py:594-710); rolls
         back partial output on failure."""
-        if os.path.exists(self.path):
+        if _exists(self.path):
             raise IOError(
                 f"cannot initialize zarr storage as path already exists: {self.path}"
             )
         spec, b = self.spec, self.spec.snapped_bounds
         try:
-            os.makedirs(self.path)
+            _makedirs(self.path)
             _put_json(os.path.join(self.path, ".zgroup"), {"zarr_format": 2})
             global_attrs = {"mapchete": spec.metadata()}
             _put_json(os.path.join(self.path, ".zattrs"), global_attrs)
@@ -167,9 +233,7 @@ class ZarrTileStore:
                       {"zarr_consolidated_format": 1, "metadata": consolidated})
         except BaseException:
             # cleanup leftovers (reference _output.py:707-710)
-            import shutil
-
-            shutil.rmtree(self.path, ignore_errors=True)
+            _rmtree(self.path)
             raise
 
     def _write_coord(self, name: str, values: np.ndarray, consolidated: dict):
@@ -206,15 +270,14 @@ class ZarrTileStore:
 
     # --- S2: prepare (open-or-create + metadata compat) ------------------
     def prepare(self) -> None:
-        if os.path.exists(self.path):
-            attrs_path = os.path.join(self.path, ".zattrs")
-            if not os.path.exists(attrs_path):
+        if _exists(self.path):
+            buf = _get_bytes(os.path.join(self.path, ".zattrs"))
+            if buf is None:
                 raise TypeError(
                     f"zarr archive at {self.path} exists but does not hold "
                     "mapchete metadata"
                 )
-            with open(attrs_path) as f:
-                stored = json.load(f).get("mapchete")
+            stored = json.loads(buf).get("mapchete")
             if stored is None:
                 raise TypeError(
                     f"zarr archive at {self.path} exists but does not hold "
@@ -300,11 +363,11 @@ class ZarrTileStore:
         for band_i, band_name in enumerate(spec.band_names):
             for tchunk, positions in by_chunk.items():
                 fname = os.path.join(self.path, band_name, f"{tchunk}.{crow}.{ccol}")
-                if os.path.exists(fname):
-                    with open(fname, "rb") as f:
-                        chunk = _decode_chunk(
-                            f.read(), (tc, self.chunk_px, self.chunk_px), dt,
-                            self.compressor).copy()
+                buf = _get_bytes(fname)
+                if buf is not None:
+                    chunk = _decode_chunk(
+                        buf, (tc, self.chunk_px, self.chunk_px), dt,
+                        self.compressor).copy()
                 else:
                     chunk = np.full((tc, self.chunk_px, self.chunk_px),
                                     spec.nodata, dtype=dt)
@@ -319,9 +382,9 @@ class ZarrTileStore:
         crow, ccol = self.tile_to_chunk(tile_row, tile_col)
         for band in self.spec.band_names:
             if self.has_time:
-                if os.path.exists(os.path.join(self.path, band, f"0.{crow}.{ccol}")):
+                if _exists(os.path.join(self.path, band, f"0.{crow}.{ccol}")):
                     return True
-            elif os.path.exists(os.path.join(self.path, band, f"{crow}.{ccol}")):
+            elif _exists(os.path.join(self.path, band, f"{crow}.{ccol}")):
                 return True
         return False
 
@@ -333,9 +396,7 @@ class ZarrTileStore:
         out: set[tuple[int, int]] = set()
         for band in self.spec.band_names:
             band_dir = os.path.join(self.path, band)
-            if not os.path.isdir(band_dir):
-                continue
-            for fn in os.listdir(band_dir):
+            for fn in _listdir(band_dir):
                 if fn.startswith("."):
                     continue
                 parts = fn.split(".")
@@ -365,10 +426,9 @@ class ZarrTileStore:
         if not self.has_time:
             out = np.full((len(bands), *hw), spec.nodata, dtype=dt)
             for i, band in enumerate(bands):
-                f = os.path.join(self.path, band, f"{crow}.{ccol}")
-                if os.path.exists(f):
-                    with open(f, "rb") as fh:
-                        out[i] = _decode_chunk(fh.read(), hw, dt, self.compressor)
+                buf = _get_bytes(os.path.join(self.path, band, f"{crow}.{ccol}"))
+                if buf is not None:
+                    out[i] = _decode_chunk(buf, hw, dt, self.compressor)
             return out
         time_idxs = list(time_idxs) if time_idxs is not None else list(range(self.n_time))
         tc = self.time_chunk
@@ -378,13 +438,11 @@ class ZarrTileStore:
             for j, ti in enumerate(time_idxs):
                 tchunk = ti // tc
                 if tchunk not in cache:
-                    f = os.path.join(self.path, band, f"{tchunk}.{crow}.{ccol}")
-                    if os.path.exists(f):
-                        with open(f, "rb") as fh:
-                            cache[tchunk] = _decode_chunk(fh.read(), (tc, *hw), dt,
-                                                          self.compressor)
-                    else:
-                        cache[tchunk] = None
+                    buf = _get_bytes(
+                        os.path.join(self.path, band, f"{tchunk}.{crow}.{ccol}"))
+                    cache[tchunk] = (None if buf is None else
+                                     _decode_chunk(buf, (tc, *hw), dt,
+                                                   self.compressor))
                 chunk = cache[tchunk]
                 if chunk is not None:
                     out[i, j] = chunk[ti - tchunk * tc]

@@ -31,11 +31,12 @@ from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
 def spec_from_archive(path: str) -> JobSpec:
     """Rebuild a JobSpec from an archive's stored metadata (driver-side,
     once; the result is broadcast into task closures)."""
-    attrs_file = os.path.join(path, ".zattrs")
-    if not os.path.exists(attrs_file):
+    from mapchete_xarray_ray.sinks.zarr import _get_bytes
+
+    buf = _get_bytes(os.path.join(path, ".zattrs"))
+    if buf is None:
         raise TypeError(f"archive at {path} does not hold mapchete metadata")
-    with open(attrs_file) as f:
-        meta = json.load(f).get("mapchete")
+    meta = json.loads(buf).get("mapchete")
     if meta is None:
         raise TypeError(f"archive at {path} does not hold mapchete metadata")
     drv, pyr, delim = meta["driver"], meta["pyramid"], meta["delimiters"]

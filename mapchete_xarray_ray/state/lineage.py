@@ -23,7 +23,7 @@ from __future__ import annotations
 import json
 import os
 
-from mapchete_xarray_ray.sinks.zarr import _put_json
+from mapchete_xarray_ray.sinks.zarr import _get_bytes, _listdir, _put_json
 
 
 def lineage_dir(archive_path: str) -> str:
@@ -45,13 +45,13 @@ def write_record(archive_path: str, record: dict) -> None:
 def read_records(archive_path: str) -> dict[tuple[int, int, int], dict]:
     out = {}
     d = lineage_dir(archive_path)
-    if not os.path.isdir(d):
-        return out
-    for fn in os.listdir(d):
+    for fn in _listdir(d):
         if not fn.endswith(".json"):
             continue
-        with open(os.path.join(d, fn)) as f:
-            rec = json.load(f)
+        buf = _get_bytes(os.path.join(d, fn))
+        if buf is None:
+            continue
+        rec = json.loads(buf)
         out[(rec["zoom"], rec["tile_row"], rec["tile_col"])] = rec
     return out
 

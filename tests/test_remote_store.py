@@ -1,0 +1,67 @@
+"""S9 — remote-storage path of the tile store, exercised against the
+fsspec memory:// filesystem (no network; same code path an s3:// URI
+takes: every byte goes through the _put_bytes/_get_bytes/_listdir
+seam)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from mapchete_xarray_ray.fixtures import make_pages
+from mapchete_xarray_ray.pipelines.flagship import default_spec, run_pipeline
+from mapchete_xarray_ray.sinks.zarr import ZarrTileStore, _rmtree
+from mapchete_xarray_ray.sources.zarr_input import spec_from_archive
+from mapchete_xarray_ray.state.lineage import read_records
+
+
+def _collect(ds) -> pa.Table:
+    tabs = [t for t in (ray.get(r) for r in ds.to_arrow_refs())
+            if t.num_columns > 0]
+    return pa.concat_tables(tabs) if tabs else pa.table({})
+
+
+def test_store_roundtrip_on_memory_fs():
+    path = "memory://remote_arch.zarr"
+    _rmtree(path)
+    spec = default_spec(path, dtype="uint16")
+    store = ZarrTileStore(spec)
+    store.prepare()
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 900, (3, 256, 256), dtype=np.uint16)
+    assert store.write_tile(1, 2, data) == 3
+    np.testing.assert_array_equal(store.read_tile(1, 2), data)
+    assert store.tile_exists(1, 2)
+    assert not store.tile_exists(0, 0)
+    assert (1, 2) in store.existing_tiles()
+    # metadata round-trips through the memory fs
+    spec2 = spec_from_archive(path)
+    assert spec2.band_names == spec.band_names
+    # prepare() on existing remote archive validates compat
+    ZarrTileStore(default_spec(path, dtype="uint16")).prepare()
+    with pytest.raises(ValueError, match="incompatible"):
+        ZarrTileStore(default_spec(path, dtype="uint8")).prepare()
+    _rmtree(path)
+
+
+def test_lineage_on_memory_fs():
+    """NOTE: the memory filesystem is PER-PROCESS, so this exercises the
+    driver-side lineage path only (Ray workers would each see their own
+    memory fs; a real s3:// URI is shared). The flagship e2e therefore
+    stays on local paths; here we drive the store API directly."""
+    path = "memory://remote_lin.zarr"
+    _rmtree(path)
+    spec = default_spec(path, dtype="uint16")
+    store = ZarrTileStore(spec)
+    store.prepare()
+    from mapchete_xarray_ray.state.lineage import write_record
+
+    store.write_tile(3, 4, np.ones((3, 256, 256), dtype=np.uint16))
+    write_record(path, {"tile_id": 1, "zoom": 5, "tile_row": 3, "tile_col": 4,
+                        "rows_in": 10, "chunks_written": 3, "checksum": 1})
+    recs = read_records(path)
+    assert (5, 3, 4) in recs
+    from mapchete_xarray_ray.state.lineage import completed_tiles
+
+    assert len(completed_tiles(store)) == 1
+    _rmtree(path)
