@@ -23,9 +23,12 @@ Chunk files are written temp-then-``os.replace`` (atomic on POSIX) so
 a killed task never leaves a torn chunk — the resume probe (chunk
 existence, like the reference's ``tiles_exist``) stays truthful.
 
-At cluster scale the path would be a shared filesystem or object
-store; all writes go through ``_put_bytes`` so swapping in an fsspec
-backend is a one-function change.
+Storage backend: plain paths use the local filesystem; any ``://``
+URI (s3://, gs://, memory://, ...) routes through fsspec via the
+``_put_bytes``/``_get_bytes``/``_exists``/``_listdir`` seam — object
+PUTs are object-level atomic, which preserves the torn-write guarantee
+(tested against memory:// in tests/test_remote_store.py; the reference
+tests the same contract against S3, tests/conftest.py:11-20).
 """
 
 from __future__ import annotations
