@@ -235,11 +235,13 @@ def knn_pipeline(points: ray.data.Dataset, k: int, cell_span: float,
 
         import pyarrow.compute as pc
 
+        # lazy filter over the MATERIALIZED merged dataset: consuming the
+        # final union re-runs only this cheap filter, not the shuffles
         finals.append(
             merged.map_batches(
                 lambda b: b.filter(b.column("resolved")).drop_columns(["resolved"]),
                 batch_format="pyarrow",
-            ).materialize()
+            )
         )
         if done_all:
             break
