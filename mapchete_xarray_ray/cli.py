@@ -28,6 +28,13 @@ def main(argv=None):
     py.add_argument("dst")
     py.add_argument("--how", choices=["sum", "max"], default="sum")
     py.add_argument("--num-cpus", type=int, default=None)
+    ov = sub.add_parser("overviews",
+                        help="chain pyramid steps down to --min-zoom "
+                             "(writes <src>_z<N>.zarr next to src)")
+    ov.add_argument("src")
+    ov.add_argument("--min-zoom", type=int, required=True)
+    ov.add_argument("--how", choices=["sum", "max"], default="sum")
+    ov.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
     import ray
@@ -56,11 +63,24 @@ def main(argv=None):
             out = run_pipeline(ds, spec, mode="continue")
             n = out.count()
             print(json.dumps({"tiles_written": n, "path": spec.path}))
-        else:
+        elif args.cmd == "pyramid":
             from mapchete_xarray_ray.pipelines.pyramid import run_pyramid_step
 
             out = run_pyramid_step(args.src, args.dst, how=args.how)
             print(json.dumps({"tiles_written": out.count(), "path": args.dst}))
+        else:  # overviews: E3 chained until --min-zoom
+            from mapchete_xarray_ray.pipelines.pyramid import run_pyramid_step
+            from mapchete_xarray_ray.sources.zarr_input import spec_from_archive
+
+            src = args.src
+            results = []
+            while spec_from_archive(src).zoom > args.min_zoom:
+                z = spec_from_archive(src).zoom - 1
+                dst = args.src.removesuffix(".zarr") + f"_z{z}.zarr"
+                n = run_pyramid_step(src, dst, how=args.how).count()
+                results.append({"zoom": z, "tiles_written": n, "path": dst})
+                src = dst
+            print(json.dumps({"levels": results}))
     finally:
         ray.shutdown()
 

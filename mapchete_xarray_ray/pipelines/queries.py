@@ -505,6 +505,24 @@ def q_minhash_neardup(sf_dir: str):
     return cands.map_batches(verify, batch_format="pyarrow")
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: MinHash-LSH pairs -> connected components ->
+    (doc_id, cluster_id) with the smallest doc as the canonical keeper.
+    Docs in no pair are implicitly their own singleton cluster (omitted
+    — the output lists only docs affected by dedup). Rows-only; the
+    component labelling is verified against a union-find oracle in
+    tests/test_dedup.py."""
+    from mapchete_xarray_ray.stages.dedup import connected_components
+
+    pairs = q_minhash_neardup(sf_dir)
+    if isinstance(pairs, ray.data.Dataset):
+        pairs = collect_table(pairs)
+    if pairs.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64())})
+    return connected_components(pairs)
+
+
 def q_simhash(sf_dir: str):
     """64-bit SimHash signature per doc (rows-only; oracle in tests)."""
     from mapchete_xarray_ray.stages.dedup import simhash_stage
@@ -1082,6 +1100,7 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (q_lang_id, _langid_sql()),
     "fingerprint": (q_fingerprint, None),
     "minhash_neardup": (q_minhash_neardup, None),
+    "dedup_clusters": (q_dedup_clusters, None),
     "simhash": (q_simhash, None),
     "simhash_neardup": (q_simhash_neardup, None),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),

@@ -207,6 +207,40 @@ def simhash_stage(batch: pa.Table, id_col: str = "doc_id",
     })
 
 
+def connected_components(pairs: "pa.Table", max_rounds: int = 30) -> pa.Table:
+    """Near-dup pairs -> duplicate clusters: (doc_id, cluster_id) where
+    cluster_id = the smallest doc_id in the component (the canonical
+    representative to KEEP; everything else in the cluster is a dup).
+
+    Iterative min-label propagation over the candidate subgraph. The
+    subgraph (only docs that appear in some near-dup pair) is orders of
+    magnitude smaller than the corpus, so labels live in one numpy
+    array per round — the scale assumption (documented; the LSH
+    candidate stage upstream is what keeps this side small). Converges
+    in O(component diameter) rounds; ``max_rounds`` bounds pathological
+    chains.
+    """
+    a = pairs.column("id_a").to_numpy(zero_copy_only=False)
+    b = pairs.column("id_b").to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    src = inv[:len(a)]
+    dst = inv[len(a):]
+    # undirected: propagate both ways
+    e_src = np.concatenate([src, dst])
+    e_dst = np.concatenate([dst, src])
+    labels = np.arange(len(nodes), dtype=np.int64)
+    for _ in range(max_rounds):
+        new = labels.copy()
+        np.minimum.at(new, e_dst, labels[e_src])
+        if (new == labels).all():
+            break
+        labels = new
+    return pa.table({
+        "doc_id": pa.array(nodes, pa.int64()),
+        "cluster_id": pa.array(nodes[labels], pa.int64()),
+    })
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = (a.astype(np.uint64)) ^ (b.astype(np.uint64))
     cnt = np.zeros(x.shape, dtype=np.int64)

@@ -184,3 +184,38 @@ def test_bucketed_pairs_equal_per_group_pairs():
     got = set(zip(got_t.column("id_a").to_pylist(),
                   got_t.column("id_b").to_pylist()))
     assert got == want
+
+
+def test_connected_components_vs_union_find():
+    from mapchete_xarray_ray.stages.dedup import connected_components
+
+    rng = np.random.default_rng(17)
+    # random sparse graph over 200 nodes incl. a long chain
+    a = rng.integers(0, 200, 150)
+    b = rng.integers(0, 200, 150)
+    chain = np.arange(300, 330)
+    a = np.concatenate([a, chain[:-1]])
+    b = np.concatenate([b, chain[1:]])
+    pairs = pa.table({"id_a": pa.array(a, pa.int64()),
+                      "id_b": pa.array(b, pa.int64())})
+    got = dict(zip(connected_components(pairs).column("doc_id").to_pylist(),
+                   connected_components(pairs).column("cluster_id").to_pylist()))
+
+    # oracle: union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    for x, y in zip(a.tolist(), b.tolist()):
+        union(x, y)
+    want = {n: find(n) for n in parent}
+    assert got == want
+    # chain collapses to its head
+    assert got[329] == 300
