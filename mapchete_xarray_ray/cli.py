@@ -74,8 +74,7 @@ def main(argv=None):
 
             src = args.src
             results = []
-            while spec_from_archive(src).zoom > args.min_zoom:
-                z = spec_from_archive(src).zoom - 1
+            while (z := spec_from_archive(src).zoom - 1) >= args.min_zoom:
                 dst = args.src.removesuffix(".zarr") + f"_z{z}.zarr"
                 n = run_pyramid_step(src, dst, how=args.how).count()
                 results.append({"zoom": z, "tiles_written": n, "path": dst})

@@ -301,6 +301,8 @@ def k_ring(cell_id, k: int = 1, grid: str = "geodetic"):
     dropped).
     """
     row, col, zoom = cell_decode(cell_id)
+    if zoom.ndim and len(zoom) and (zoom != zoom.flat[0]).any():
+        raise ValueError("k_ring requires all cells at the same zoom")
     z = int(zoom[0]) if zoom.ndim else int(zoom)
     shape0 = (1, 2) if grid == "geodetic" else (1, 1)
     nrows = shape0[0] * 2**z

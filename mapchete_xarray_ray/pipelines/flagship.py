@@ -51,7 +51,6 @@ from mapchete_xarray_ray.grid import unpack_tile_id
 from mapchete_xarray_ray.spec import JobSpec
 from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
 from mapchete_xarray_ray.stages.assign import assign_pages_fn
-from mapchete_xarray_ray.stages.rasterize import rasterize_counts
 from mapchete_xarray_ray.stages.text import extract_stage
 from mapchete_xarray_ray.state.lineage import completed_tiles, write_record
 
@@ -118,6 +117,46 @@ def output_cleaned(data, spec: JobSpec) -> np.ndarray:
             f"{len(spec.band_names)}"
         )
     return data.astype(spec.dtype)
+
+
+
+def _narrow_compact(spec: JobSpec):
+    """The ONE narrow shuffle projection (url, warc_ts, band masks,
+    tile_id, pix) shared by the straight and salted plans — a change to
+    the shuffle row shape happens here exactly once."""
+    from mapchete_xarray_ray.stages.rasterize import local_pixel_indices
+
+    def compact(batch: pa.Table) -> pa.Table:
+        tl = pc.utf8_length(batch.column("text")).cast(pa.int64())
+        iy, ix = local_pixel_indices(
+            batch.column("lon").to_numpy(zero_copy_only=False),
+            batch.column("lat").to_numpy(zero_copy_only=False),
+            batch.column("tile_row").to_numpy(zero_copy_only=False),
+            batch.column("tile_col").to_numpy(zero_copy_only=False),
+            spec)
+        return pa.table({
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts"),
+            "is_en": pc.equal(batch.column("lang"), "en"),
+            "long_text": pc.greater_equal(tl, 80),
+            "tile_id": batch.column("tile_id"),
+            "pix": pa.array((iy * spec.chunk_px + ix).astype(np.int32)),
+        })
+
+    return compact
+
+
+def _process_compact(spec: JobSpec):
+    """Projection for user-process runs: keeps ``text`` (the documented
+    hook contract gives the process the page content) plus geometry."""
+    cols = ["url", "warc_ts", "lang", "text", "lon", "lat",
+            "tile_row", "tile_col", "tile_id", "cell_id"]
+
+    def compact(batch: pa.Table) -> pa.Table:
+        tl = pc.utf8_length(batch.column("text")).cast(pa.int64())
+        return batch.select(cols).append_column("text_len", tl)
+
+    return compact
 
 
 def _tile_writer(spec: JobSpec, process_fn=None):
@@ -256,34 +295,8 @@ def run_pipeline(ds: ray.data.Dataset, spec: JobSpec, mode: str = "continue",
     # masks as bools and the flat local pixel index — so a shuffled row
     # is (url, warc_ts, 2 bools, tile_id, pix:int32): measured 2x faster
     # end-to-end than shipping lon/lat/lang/text_len at 2M pages.
-    if process_fn is not None:
-        _shuffle_cols = ["url", "warc_ts", "lang", "lon", "lat",
-                         "tile_row", "tile_col", "tile_id", "cell_id"]
-
-        def compact(batch: pa.Table) -> pa.Table:
-            tl = pc.utf8_length(batch.column("text")).cast(pa.int64())
-            return batch.select(_shuffle_cols).append_column("text_len", tl)
-
-    else:
-        from mapchete_xarray_ray.stages.rasterize import local_pixel_indices
-
-        def compact(batch: pa.Table) -> pa.Table:
-            tl = pc.utf8_length(batch.column("text")).cast(pa.int64())
-            iy, ix = local_pixel_indices(
-                batch.column("lon").to_numpy(zero_copy_only=False),
-                batch.column("lat").to_numpy(zero_copy_only=False),
-                batch.column("tile_row").to_numpy(zero_copy_only=False),
-                batch.column("tile_col").to_numpy(zero_copy_only=False),
-                spec)
-            return pa.table({
-                "url": batch.column("url"),
-                "warc_ts": batch.column("warc_ts"),
-                "is_en": pc.equal(batch.column("lang"), "en"),
-                "long_text": pc.greater_equal(tl, 80),
-                "tile_id": batch.column("tile_id"),
-                "pix": pa.array((iy * spec.chunk_px + ix).astype(np.int32)),
-            })
-
+    compact = (_process_compact(spec) if process_fn is not None
+               else _narrow_compact(spec))
     ds = ds.map_batches(compact, batch_format="pyarrow")
 
     if mode == "continue":
@@ -465,28 +478,7 @@ def run_pipeline_salted(ds: ray.data.Dataset, spec: JobSpec,
                         pyramid=spec.pyramid),
         batch_format="pyarrow",
     )
-    from mapchete_xarray_ray.stages.rasterize import local_pixel_indices
-
-    def compact(batch: pa.Table) -> pa.Table:
-        # same narrow projection as the straight path: the salted
-        # shuffle ships (url, warc_ts, 2 bools, tile_id, pix) only
-        tl = pc.utf8_length(batch.column("text")).cast(pa.int64())
-        iy, ix = local_pixel_indices(
-            batch.column("lon").to_numpy(zero_copy_only=False),
-            batch.column("lat").to_numpy(zero_copy_only=False),
-            batch.column("tile_row").to_numpy(zero_copy_only=False),
-            batch.column("tile_col").to_numpy(zero_copy_only=False),
-            spec)
-        return pa.table({
-            "url": batch.column("url"),
-            "warc_ts": batch.column("warc_ts"),
-            "is_en": pc.equal(batch.column("lang"), "en"),
-            "long_text": pc.greater_equal(tl, 80),
-            "tile_id": batch.column("tile_id"),
-            "pix": pa.array((iy * spec.chunk_px + ix).astype(np.int32)),
-        })
-
-    ds = ds.map_batches(compact, batch_format="pyarrow")
+    ds = ds.map_batches(_narrow_compact(spec), batch_format="pyarrow")
 
     if mode == "continue":
         done = completed_tiles(store)

@@ -30,15 +30,36 @@ from mapchete_xarray_ray.sources.zarr_input import (
 from mapchete_xarray_ray.state.lineage import completed_tiles, write_record
 
 
-def _downsample2(arr: np.ndarray, how: str = "sum") -> np.ndarray:
-    """2x block-reduce the last two axes (vectorized reshape trick)."""
+def _downsample2(arr: np.ndarray, how: str = "sum", nodata=0) -> np.ndarray:
+    """2x block-reduce the last two axes (vectorized reshape trick).
+
+    Nodata-aware: nodata children contribute 0 (sum) / -inf-like (max)
+    instead of their fill value; a parent pixel whose 2x2 children are
+    ALL nodata stays nodata. Integer inputs accumulate in int64; float
+    inputs keep float64 (no truncation)."""
     *lead, h, w = arr.shape
-    r = arr.reshape(*lead, h // 2, 2, w // 2, 2).astype(np.int64)
+    acc_dtype = np.float64 if np.issubdtype(arr.dtype, np.floating) else np.int64
+    r = arr.reshape(*lead, h // 2, 2, w // 2, 2).astype(acc_dtype)
+    nd = r == nodata
+    all_nd = nd.all(axis=(-3, -1))
     if how == "sum":
-        return r.sum(axis=(-3, -1))
-    if how == "max":
-        return r.max(axis=(-3, -1))
-    raise ValueError(how)
+        out = np.where(nd, 0, r).sum(axis=(-3, -1))
+    elif how == "max":
+        lowest = np.finfo(acc_dtype).min if acc_dtype is np.float64 \
+            else np.iinfo(np.int64).min
+        out = np.where(nd, lowest, r).max(axis=(-3, -1))
+    else:
+        raise ValueError(how)
+    out[all_nd] = nodata
+    return out
+
+
+def _clip_to_dtype(arr: np.ndarray, dtype) -> np.ndarray:
+    dt = np.dtype(dtype)
+    if np.issubdtype(dt, np.integer):
+        info = np.iinfo(dt)
+        arr = arr.clip(info.min, info.max)
+    return arr.astype(dt)
 
 
 class PyramidReducer:
@@ -50,7 +71,6 @@ class PyramidReducer:
         self.out_spec = out_spec
         self.out_store = ZarrTileStore(out_spec)
         self.how = how
-        self.info = np.iinfo(np.dtype(out_spec.dtype))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"tile_id": [], "tile_row": [], "tile_col": [], "checksum": []}
@@ -58,10 +78,9 @@ class PyramidReducer:
                         batch.column("tile_col").to_pylist()):
             tb = self.out_spec.pyramid.tile_bounds(self.out_spec.zoom, r, c)
             window = read_window(self.in_store, tuple(tb))
-            tensor = (
-                _downsample2(window, self.how)
-                .clip(self.info.min, self.info.max)
-                .astype(self.out_spec.dtype)
+            tensor = _clip_to_dtype(
+                _downsample2(window, self.how, nodata=self.in_spec.nodata),
+                self.out_spec.dtype,
             )
             if self.in_store.has_time:
                 ts = self.in_spec.timestamps
@@ -94,7 +113,11 @@ def run_pyramid_step(in_path: str, out_path: str, how: str = "sum",
         grid=in_spec.grid,
         metatiling=in_spec.metatiling,
         tile_size=in_spec.tile_size,
-        dtype="uint32" if how == "sum" else in_spec.dtype,
+        # sum overviews need headroom: widen ints to uint32, floats to
+        # float64; max never outgrows the input dtype
+        dtype=(in_spec.dtype if how == "max"
+               else ("float64" if np.issubdtype(np.dtype(in_spec.dtype),
+                                                np.floating) else "uint32")),
         nodata=in_spec.nodata,
         band_names=list(in_spec.band_names),
         time=in_spec.time,

@@ -487,10 +487,29 @@ def q_minhash_neardup(sf_dir: str):
     cands = (cands.map_batches(pair_bucket, batch_format="pyarrow")
              .groupby("pbucket")
              .map_groups(lambda g: uniq_pairs(g), batch_format="pyarrow"))
-    texts_tbl = pa.concat_tables(
-        [ray.get(r) for r in docs.to_arrow_refs()])
+
+    # broadcast ONLY the candidate docs' texts (semi-join against the
+    # small candidate-id set; the candidate pairs are orders of
+    # magnitude fewer than the corpus, so this stays driver-sized)
+    cands = collect_table(cands)
+    cand_ids = np.unique(np.concatenate([
+        cands.column("id_a").to_numpy(zero_copy_only=False),
+        cands.column("id_b").to_numpy(zero_copy_only=False),
+    ])) if cands.num_rows else np.array([], dtype=np.int64)
+    ids_ref = ray.put(cand_ids)
+
+    def keep_cand_docs(batch: pa.Table) -> pa.Table:
+        m = np.isin(batch.column("doc_id").to_numpy(), ray.get(ids_ref))
+        return batch.filter(pa.array(m))
+
+    texts_tbl = collect_table(docs.map_batches(keep_cand_docs,
+                                               batch_format="pyarrow"))
     text_ref = ray.put(dict(zip(texts_tbl.column("doc_id").to_pylist(),
                                 texts_tbl.column("text").to_pylist())))
+    cands = ray.data.from_arrow(cands) if cands.num_rows else ray.data.from_arrow(
+        pa.table({"id_a": pa.array([], pa.int64()),
+                  "id_b": pa.array([], pa.int64()),
+                  "pbucket": pa.array([], pa.int64())}))
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "id_a" not in batch.column_names:

@@ -287,7 +287,10 @@ class ZarrTileStore:
                     "mapchete metadata"
                 )
             current = json.loads(json.dumps(self.spec.metadata()))
-            for section in ("driver", "pyramid"):
+            # delimiters matter as much as driver params: a resumed job
+            # with shifted bounds or another zoom would write chunks whose
+            # addresses don't match the stored coordinate arrays
+            for section in ("driver", "pyramid", "delimiters"):
                 if stored.get(section) != current.get(section):
                     raise ValueError(
                         f"existing archive incompatible with job spec: "
@@ -384,11 +387,9 @@ class ZarrTileStore:
     def tile_exists(self, tile_row: int, tile_col: int) -> bool:
         crow, ccol = self.tile_to_chunk(tile_row, tile_col)
         for band in self.spec.band_names:
-            if self.has_time:
-                if _exists(os.path.join(self.path, band, f"0.{crow}.{ccol}")):
+            for f in self.chunk_files(band, crow, ccol):
+                if _exists(f):
                     return True
-            elif _exists(os.path.join(self.path, band, f"{crow}.{ccol}")):
-                return True
         return False
 
     def existing_tiles(self) -> set[tuple[int, int]]:

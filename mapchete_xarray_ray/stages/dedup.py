@@ -232,9 +232,22 @@ def connected_components(pairs: "pa.Table", max_rounds: int = 30) -> pa.Table:
     for _ in range(max_rounds):
         new = labels.copy()
         np.minimum.at(new, e_dst, labels[e_src])
+        # pointer-doubling contraction: follow label chains to their
+        # current root so convergence is O(log diameter), not O(diameter)
+        while True:
+            contracted = new[new]
+            if (contracted == new).all():
+                break
+            new = contracted
         if (new == labels).all():
+            labels = new
             break
         labels = new
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({len(nodes)} nodes) — raise max_rounds"
+        )
     return pa.table({
         "doc_id": pa.array(nodes, pa.int64()),
         "cluster_id": pa.array(nodes[labels], pa.int64()),

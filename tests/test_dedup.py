@@ -219,3 +219,17 @@ def test_connected_components_vs_union_find():
     assert got == want
     # chain collapses to its head
     assert got[329] == 300
+
+
+def test_connected_components_long_chain_converges():
+    """Chains far longer than the round budget converge via the
+    pointer-doubling contraction (regression: 40-node chain used to
+    split into multiple clusters silently)."""
+    from mapchete_xarray_ray.stages.dedup import connected_components
+
+    n = 500
+    a = np.arange(n - 1, dtype=np.int64)
+    b = np.arange(1, n, dtype=np.int64)
+    out = connected_components(pa.table({"id_a": pa.array(a), "id_b": pa.array(b)}))
+    assert set(out.column("cluster_id").to_pylist()) == {0}
+    assert out.num_rows == n

@@ -171,3 +171,10 @@ def test_metatiling_chunk_math():
 def test_invalid_grid():
     with pytest.raises(ValueError):
         TilePyramid("utm")
+
+
+def test_k_ring_rejects_mixed_zoom():
+    cells = np.concatenate([cell_encode(np.array([0]), np.array([0]), 5),
+                            cell_encode(np.array([0]), np.array([0]), 3)])
+    with pytest.raises(ValueError, match="same zoom"):
+        k_ring(cells, k=1)

@@ -129,3 +129,57 @@ def test_pyramid_chain_two_levels(archive, tmp_path):
     total_dst = sum(int(dst.read_tile(r, c, bands=["count"]).sum())
                     for r, c in dst.existing_tiles())
     assert total_src == total_dst
+
+
+def test_pyramid_float_archive(tmp_path):
+    """Float-dtype archives downsample without crashing or truncating."""
+    import pyarrow as pa
+
+    from mapchete_xarray_ray.pipelines.flagship import run_pipeline
+    from mapchete_xarray_ray.spec import JobSpec
+
+    spec = JobSpec(path=str(tmp_path / "f.zarr"), zoom=5,
+                   bounds=(-180.0, 45.0, -135.0, 90.0),
+                   band_names=["v"], dtype="float32", nodata=0)
+
+    def float_process(tile, pages_tbl, spec_):
+        return np.full((1, 256, 256), 0.25, dtype=np.float32)
+
+    pages = make_pages(n=200)
+    _collect(run_pipeline(ray.data.from_arrow(pages), spec,
+                          process_fn=float_process))
+    out = _collect(run_pyramid_step(spec.path, str(tmp_path / "f4.zarr"),
+                                    how="max"))
+    assert out.num_rows == 16
+    dst = ZarrTileStore(spec_from_archive(str(tmp_path / "f4.zarr")))
+    r, c = next(iter(dst.existing_tiles()))
+    vals = dst.read_tile(r, c)
+    # max-downsampled float data keeps its fractional value
+    assert np.isclose(vals[vals != 0].max(), 0.25)
+
+
+def test_pyramid_nodata_not_aggregated(tmp_path):
+    """Edge parents never absorb nodata fill into sums (nodata != 0)."""
+    import json
+
+    from mapchete_xarray_ray.pipelines.flagship import run_pipeline
+    from mapchete_xarray_ray.spec import JobSpec
+
+    spec = JobSpec(path=str(tmp_path / "nd.zarr"), zoom=5,
+                   bounds=(-180.0, 45.0, -135.0, 90.0),
+                   band_names=["v"], dtype="uint16", nodata=9)
+
+    def const_process(tile, pages_tbl, spec_):
+        return np.full((1, 256, 256), 2, dtype=np.uint16)
+
+    pages = make_pages(n=300)
+    _collect(run_pipeline(ray.data.from_arrow(pages), spec,
+                          process_fn=const_process))
+    _collect(run_pyramid_step(spec.path, str(tmp_path / "nd4.zarr"), how="sum"))
+    dst = ZarrTileStore(spec_from_archive(str(tmp_path / "nd4.zarr")))
+    for r, c in dst.existing_tiles():
+        vals = dst.read_tile(r, c)
+        # every pixel is either a true sum (multiple of 2) or nodata —
+        # never a blend that includes the fill value 9
+        ok = (vals == 9) | (vals % 2 == 0)
+        assert ok.all()

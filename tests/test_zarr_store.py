@@ -157,3 +157,30 @@ def test_cron_pattern_expansion(tmp_path):
                                      "pattern": "0 0 * * *"})
     assert len(spec.timestamps) == 5
     assert str(spec.timestamps[0])[:10] == "2022-06-01"
+
+
+def test_prepare_rejects_shifted_bounds(tmp_path):
+    """A resumed job with different delimiters (bounds/zoom) must be
+    rejected — otherwise chunks land at wrong addresses."""
+    spec = make_spec(tmp_path)
+    ZarrTileStore(spec).prepare()
+    shifted = JobSpec(path=spec.path, zoom=5,
+                      bounds=(-174.375, 45.0, -129.375, 90.0), bands=3)
+    with pytest.raises(ValueError, match="delimiters"):
+        ZarrTileStore(shifted).prepare()
+
+
+def test_tile_exists_probes_all_time_chunks(tmp_path):
+    """A tile whose only written slices live in a later time chunk must
+    still report as existing (resume probe consistency)."""
+    time = {"start": "2022-06-01", "end": "2022-06-11", "chunksize": 2,
+            "steps": ["2022-06-01", "2022-06-04", "2022-06-06",
+                      "2022-06-09", "2022-06-11"]}
+    spec = make_spec(tmp_path, time=time, dtype="uint16")
+    store = ZarrTileStore(spec)
+    store.prepare()
+    data = np.ones((3, 1, 256, 256), dtype=np.uint16)
+    # timestamp index 4 -> time chunk 2 only; no "0.r.c" file exists
+    store.write_tile(2, 2, data, timestamps=["2022-06-11"])
+    assert store.tile_exists(2, 2)
+    assert (2, 2) in store.existing_tiles()
