@@ -278,6 +278,11 @@ def run_pipeline(ds: ray.data.Dataset, spec: JobSpec, mode: str = "continue",
     (when the caller already sized blocks, e.g. via
     ``read_parquet(override_num_blocks=...)``, skipping avoids the
     repartition barrier entirely)."""
+    if process_fn is None and len(spec.band_names) != 3:
+        raise ValueError(
+            "the default process writes exactly 3 bands (count, en count, "
+            "long-text count); declare 3 band_names or pass a process_fn"
+        )
     store = ZarrTileStore(spec)
     store.prepare()
 

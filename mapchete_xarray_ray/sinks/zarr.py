@@ -340,6 +340,11 @@ class ZarrTileStore:
         if not (0 <= crow < self.n_chunk_rows and 0 <= ccol < self.n_chunk_cols):
             raise ValueError(f"tile ({tile_row},{tile_col}) outside snapped bounds")
         written = 0
+        if data.shape[0] != len(spec.band_names):
+            raise ValueError(
+                f"data has {data.shape[0]} bands but the archive declares "
+                f"{len(spec.band_names)} ({spec.band_names})"
+            )
         if not self.has_time:
             if data.ndim != 3:
                 raise ValueError(f"expected (bands, h, w), got {data.shape}")

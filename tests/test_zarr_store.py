@@ -184,3 +184,11 @@ def test_tile_exists_probes_all_time_chunks(tmp_path):
     store.write_tile(2, 2, data, timestamps=["2022-06-11"])
     assert store.tile_exists(2, 2)
     assert (2, 2) in store.existing_tiles()
+
+
+def test_write_tile_rejects_band_mismatch(tmp_path):
+    spec = make_spec(tmp_path, bands=2)
+    store = ZarrTileStore(spec)
+    store.prepare()
+    with pytest.raises(ValueError, match="2"):
+        store.write_tile(0, 0, np.ones((3, 256, 256), dtype="uint8"))
