@@ -1067,6 +1067,49 @@ FROM o GROUP BY user_id
 """
 
 
+def q_events_asof(sf_dir: str):
+    """As-of self-join: each event paired with the most recent PRIOR
+    event of the same user (the classic as-of/point-in-time join,
+    SURVEY §2 custom-operator note): partition by key, ts-sort within
+    the group, vectorized shift — no cross-row loop. Ordering rule
+    (ts, event_id) is shared with the SQL twin."""
+    def asof(group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        group = group.take(order)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = int(group.column("user_id")[0].as_py())
+        prev_id = np.empty(len(eid), dtype=np.int64)
+        prev_gap = np.empty(len(eid), dtype=np.int64)
+        prev_id[0], prev_gap[0] = -1, -1
+        prev_id[1:] = eid[:-1]
+        prev_gap[1:] = ts[1:] - ts[:-1]
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(np.full(len(eid), uid), pa.int64()),
+            "prev_event_id": pa.array(prev_id),
+            "gap_us": pa.array(prev_gap),
+        })
+
+    return (
+        _regroup(ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                       columns=["event_id", "ts", "user_id"]),
+                 nblocks=16)
+        .groupby("user_id")
+        .map_groups(asof, batch_format="pyarrow")
+    )
+
+
+SQL_EVENTS_ASOF = """
+SELECT event_id, user_id,
+       coalesce(lag(event_id) OVER w, -1)::BIGINT AS prev_event_id,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1)::BIGINT AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_emb_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (cos >= 0.35): brute force per
     batch against the broadcast corpus matrix (the exact baseline the
@@ -1135,6 +1178,7 @@ REGISTRY: dict[str, tuple] = {
     "top_users": (q_top_users, SQL_TOP_USERS),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
+    "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
 }
 
 
