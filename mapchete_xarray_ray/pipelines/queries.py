@@ -55,8 +55,22 @@ _CELL_SQL = _morton_sql("((doc_id * 40503) % 8192) // 256",
                         "((doc_id * 2654435761) % 16384) // 256")
 
 
+def _strip_meta(batch: pa.Table) -> pa.Table:
+    """Drop parquet/pandas schema metadata (zero-copy). Blocks that keep
+    it make ``hash(schema)`` raise inside Ray's shuffle reduce
+    (pyarrow Schema with a metadata dict is unhashable), producing
+    per-task 'Failed to hash the schemas' warnings and defeating schema
+    deduplication."""
+    return batch.replace_schema_metadata(None)
+
+
+def _read(path: str, columns):
+    return ray.data.read_parquet(path, columns=columns).map_batches(
+        _strip_meta, batch_format="pyarrow")
+
+
 def _docs(sf_dir: str, columns):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return _read(f"{sf_dir}/documents.parquet", columns)
 
 
 def _regroup(ds, nblocks: int = 8):
@@ -82,6 +96,24 @@ def collect_table(res):
     tabs = [t for t in (ray.get(r) for r in res.to_arrow_refs())
             if t.num_columns > 0]
     return pa.concat_tables(tabs) if tabs else pa.table({})
+
+
+def _schema_finalize(ds, cols: dict):
+    """map_batches stage that coerces every block to one fixed schema.
+
+    ``cols`` maps column name -> pyarrow type. Ray 2.49's operator
+    fusion can deliver heterogeneous blocks to the driver (empty groups
+    / fused projections keep extra or zero columns), which breaks
+    ``select_columns`` + concat; an explicit projection with a hardcoded
+    empty-table schema is the robust finalize (q_knn pattern)."""
+    names = list(cols)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if names[0] not in batch.column_names:
+            return pa.table({n: pa.array([], t) for n, t in cols.items()})
+        return pa.table({n: batch.column(n).cast(cols[n]) for n in names})
+
+    return ds.map_batches(finalize, batch_format="pyarrow")
 
 
 # --- queries -------------------------------------------------------------
@@ -230,6 +262,16 @@ def q_pip_join(sf_dir: str):
         (rid, [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
         for rid, x0, y0, x1, y1 in rects
     ]
+    def finalize(batch: pa.Table) -> pa.Table:
+        # Explicit fixed schema: Ray 2.49 delivers heterogeneous blocks
+        # (fused-projection vs post-join) to the driver, and
+        # select_columns over them breaks concat. Same pattern as q_knn.
+        if "doc_id" not in batch.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "region_id": pa.array([], pa.int64())})
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "region_id": batch.column("region_id")})
+
     ds = (
         _docs(sf_dir, ["doc_id"])
         .map_batches(assign_doc_ids_fn(ZOOM), batch_format="pyarrow")
@@ -239,7 +281,7 @@ def q_pip_join(sf_dir: str):
             batch_format="pyarrow",
             concurrency=2,
         )
-        .select_columns(["doc_id", "region_id"])
+        .map_batches(finalize, batch_format="pyarrow")
     )
     return ds
 
@@ -650,13 +692,15 @@ def q_ann_cosine(sf_dir: str):
     """
     from mapchete_xarray_ray.stages.ann import ann_brute_pipeline
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _read(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     tbl = pa.concat_tables([ray.get(r) for r in emb.to_arrow_refs()])
     q_ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
     q_mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
     out = ann_brute_pipeline(emb, q_ids, q_mat, k=5)
-    return out.select_columns(["vec_id", "neighbor_id", "rank"])
+    return _schema_finalize(out, {"vec_id": pa.int64(),
+                                  "neighbor_id": pa.int64(),
+                                  "rank": pa.int64()})
 
 
 SQL_ANN_COSINE = """
@@ -715,7 +759,7 @@ def q_lineitem_agg(sf_dir: str):
             ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents", "n_rows"])
 
     ds = (
-        _regroup(ray.data.read_parquet(
+        _regroup(_read(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_returnflag", "l_linestatus", "l_quantity",
                      "l_extendedprice"])
@@ -760,7 +804,7 @@ def q_events_tumbling(sf_dir: str):
         return g.rename_columns(["event_type", "window_id", "n", "value_milli"])
 
     ds = (
-        _regroup(ray.data.read_parquet(f"{sf_dir}/events.parquet",
+        _regroup(_read(f"{sf_dir}/events.parquet",
                                        columns=["ts", "event_type", "value"])
                  .map_batches(partial, batch_format="pyarrow"))
         .groupby(["event_type", "window_id"])
@@ -808,7 +852,7 @@ def q_events_sessions(sf_dir: str):
         })
 
     return (
-        _regroup(ray.data.read_parquet(f"{sf_dir}/events.parquet",
+        _regroup(_read(f"{sf_dir}/events.parquet",
                                        columns=["event_id", "ts", "user_id"]),
                  nblocks=16)
         .groupby("user_id")
@@ -844,10 +888,12 @@ def q_ann_ivf(sf_dir: str):
     asserted in tests/test_ann.py."""
     from mapchete_xarray_ray.stages.ann import ann_ivf_pipeline
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _read(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
-    return ann_ivf_pipeline(emb, dim=64, k=5, n_clusters=16, nprobe=4
-                            ).select_columns(["vec_id", "neighbor_id", "rank"])
+    out = ann_ivf_pipeline(emb, dim=64, k=5, n_clusters=16, nprobe=4)
+    return _schema_finalize(out, {"vec_id": pa.int64(),
+                                  "neighbor_id": pa.int64(),
+                                  "rank": pa.int64()})
 
 
 def q_ann_lsh(sf_dir: str):
@@ -855,10 +901,12 @@ def q_ann_lsh(sf_dir: str):
     determinism asserted in tests/test_ann.py)."""
     from mapchete_xarray_ray.stages.ann import ann_lsh_pipeline
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _read(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
-    return ann_lsh_pipeline(emb, dim=64, k=5, n_planes=6
-                            ).select_columns(["vec_id", "neighbor_id", "rank"])
+    out = ann_lsh_pipeline(emb, dim=64, k=5, n_planes=6)
+    return _schema_finalize(out, {"vec_id": pa.int64(),
+                                  "neighbor_id": pa.int64(),
+                                  "rank": pa.int64()})
 
 
 def q_image_features(sf_dir: str):
@@ -910,9 +958,9 @@ def q_orders_by_nation(sf_dir: str):
     ``Dataset.join`` exists; the broadcast shape is the scale-correct
     choice whenever one side fits in memory — admin tables always do.)
     """
-    cust = collect_table(ray.data.read_parquet(
+    cust = collect_table(_read(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]))
-    nation = collect_table(ray.data.read_parquet(
+    nation = collect_table(_read(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]))
     c_key = cust.column("c_custkey").to_numpy()
     c_nat = cust.column("c_nationkey").to_numpy()
@@ -938,7 +986,7 @@ def q_orders_by_nation(sf_dir: str):
         return g.rename_columns(["n_name", "n_orders", "revenue_cents"])
 
     ds = (
-        _regroup(ray.data.read_parquet(
+        _regroup(_read(
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
             .map_batches(partial, batch_format="pyarrow"))
         .groupby("n_name")
@@ -968,7 +1016,7 @@ def q_top_users(sf_dir: str):
         return g.rename_columns(["user_id", "n"])
 
     per_user = collect_table(
-        _regroup(ray.data.read_parquet(f"{sf_dir}/events.parquet",
+        _regroup(_read(f"{sf_dir}/events.parquet",
                                        columns=["user_id"])
                  .map_batches(partial, batch_format="pyarrow"))
         .groupby("user_id").sum("n"))
@@ -1010,7 +1058,7 @@ def q_events_sliding(sf_dir: str):
         return g.rename_columns(["event_type", "window_id", "n"])
 
     ds = (
-        _regroup(ray.data.read_parquet(f"{sf_dir}/events.parquet",
+        _regroup(_read(f"{sf_dir}/events.parquet",
                                        columns=["ts", "event_type"])
                  .map_batches(partial, batch_format="pyarrow"))
         .groupby(["event_type", "window_id"])
@@ -1041,7 +1089,7 @@ def q_running_totals(sf_dir: str):
         return batch.append_column("bucket", pa.array(b.astype(np.int64)))
 
     return (
-        _regroup(ray.data.read_parquet(
+        _regroup(_read(
             f"{sf_dir}/events.parquet",
             columns=["event_id", "ts", "user_id", "value"])
             .map_batches(add_bucket, batch_format="pyarrow"))
@@ -1093,7 +1141,7 @@ def q_events_asof(sf_dir: str):
         })
 
     return (
-        _regroup(ray.data.read_parquet(f"{sf_dir}/events.parquet",
+        _regroup(_read(f"{sf_dir}/events.parquet",
                                        columns=["event_id", "ts", "user_id"]),
                  nblocks=16)
         .groupby("user_id")
@@ -1116,7 +1164,7 @@ def q_emb_neardup(sf_dir: str):
     LSH-bucketed variant approximates)."""
     from mapchete_xarray_ray.stages.ann import normalize_rows
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _read(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     tbl = pa.concat_tables([ray.get(r) for r in emb.to_arrow_refs()])
     ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
@@ -1146,6 +1194,78 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
 """
+
+
+def q_store_roundtrip(sf_dir: str):
+    """Zarr store write/read roundtrip under the driver oracle (S1-S4 +
+    A4): documents are rasterized into per-tile count grids, written
+    tile-by-tile into a real :class:`ZarrTileStore` archive (encode +
+    chunk addressing + fill handling), then read back via
+    :meth:`read_tile` and vectorized to one row per non-zero pixel. The
+    SQL twin is the plain per-pixel GROUP BY — any byte-level breakage
+    in the store (encode/decode, chunk naming, tile->chunk offset)
+    flips the hash. Reference contract: _output.py:353-390, 422-458.
+    """
+    import os
+    import tempfile
+
+    from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+    from mapchete_xarray_ray.spec import JobSpec
+
+    out_dir = tempfile.mkdtemp(prefix="store_rt_", dir="/tmp")
+    spec = JobSpec(path=os.path.join(out_dir, "counts.zarr"), zoom=ZOOM,
+                   bounds=(-180.0, -90.0, 180.0, 90.0), bands=1,
+                   dtype="int32", nodata=0)
+    ZarrTileStore(spec).initialize()
+    spec_ref = ray.put(spec)  # broadcast once; actors rebuild the handle
+
+    def write_tile_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "tile_id" not in group.column_names:
+            return pa.table({"tile_row": pa.array([], pa.int64()),
+                             "tile_col": pa.array([], pa.int64())})
+        store = ZarrTileStore(ray.get(spec_ref))
+        row = int(group.column("tile_row")[0].as_py())
+        col = int(group.column("tile_col")[0].as_py())
+        px = group.column("px").to_numpy(zero_copy_only=False)
+        py = group.column("py").to_numpy(zero_copy_only=False)
+        grid = np.zeros((256, 256), dtype=np.int32)
+        np.add.at(grid, (py % 256, px % 256), 1)
+        store.write_tile(row, col, grid[None])  # (bands, h, w)
+        return pa.table({"tile_row": pa.array([row], pa.int64()),
+                         "tile_col": pa.array([col], pa.int64())})
+
+    written = collect_table(
+        _regroup(_docs(sf_dir, ["doc_id"])
+                 .map_batches(assign_doc_ids_fn(ZOOM), batch_format="pyarrow")
+                 .select_columns(["px", "py", "tile_row", "tile_col", "tile_id"]))
+        .groupby("tile_id")
+        .map_groups(write_tile_group, batch_format="pyarrow"))
+    # barrier: collect_table materializes the writes; only the small
+    # (tile_row, tile_col) list lands on the driver (<= n_tiles rows)
+
+    def read_tiles(batch: pa.Table) -> pa.Table:
+        store = ZarrTileStore(ray.get(spec_ref))
+        rows, cols, out_tid, out_iy, out_ix, out_n = (
+            batch.column("tile_row").to_numpy(zero_copy_only=False),
+            batch.column("tile_col").to_numpy(zero_copy_only=False),
+            [], [], [], [])
+        for row, col in zip(rows, cols):
+            grid = store.read_tile(int(row), int(col))[0]
+            yy, xx = np.nonzero(grid)
+            tid = (ZOOM << 58) | (int(row) << 29) | int(col)
+            out_tid.append(np.full(len(yy), tid, dtype=np.int64))
+            out_iy.append(yy.astype(np.int64))
+            out_ix.append(xx.astype(np.int64))
+            out_n.append(grid[yy, xx].astype(np.int64))
+        cat = (lambda parts: np.concatenate(parts) if parts else
+               np.array([], dtype=np.int64))
+        return pa.table({"tile_id": pa.array(cat(out_tid)),
+                         "iy": pa.array(cat(out_iy)),
+                         "ix": pa.array(cat(out_ix)),
+                         "n_docs": pa.array(cat(out_n))})
+
+    return ray.data.from_arrow(written).map_batches(
+        read_tiles, batch_format="pyarrow")
 
 
 # --- registry ------------------------------------------------------------
@@ -1179,6 +1299,7 @@ REGISTRY: dict[str, tuple] = {
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
+    "store_roundtrip": (q_store_roundtrip, SQL_RASTERIZE_ROUNDTRIP),
 }
 
 
