@@ -530,40 +530,103 @@ def q_minhash_neardup(sf_dir: str):
              .groupby("pbucket")
              .map_groups(lambda g: uniq_pairs(g), batch_format="pyarrow"))
 
-    # broadcast ONLY the candidate docs' texts (semi-join against the
-    # small candidate-id set; the candidate pairs are orders of
-    # magnitude fewer than the corpus, so this stays driver-sized)
-    cands = collect_table(cands)
+    # distributed exact-Jaccard verify — a hash semi-join, NOT a driver
+    # text dict: only the candidate-ID SET is broadcast (8 B/id); texts
+    # for candidate docs are co-grouped with the pair refs by doc
+    # bucket to attach each side's text, then by pair id to score. The
+    # corpus text never lands on the driver; shuffled bytes are
+    # O(candidate pairs), not O(corpus). pair id packs (id_a, id_b)
+    # into one int64 — doc_id < 2^31, the engine's documented id domain
+    # (functions/geocode.py).
+    cands = collect_table(cands)  # id-only pairs; candidate-set-sized
+    if cands.num_rows == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
     cand_ids = np.unique(np.concatenate([
         cands.column("id_a").to_numpy(zero_copy_only=False),
-        cands.column("id_b").to_numpy(zero_copy_only=False),
-    ])) if cands.num_rows else np.array([], dtype=np.int64)
+        cands.column("id_b").to_numpy(zero_copy_only=False)]))
     ids_ref = ray.put(cand_ids)
 
-    def keep_cand_docs(batch: pa.Table) -> pa.Table:
+    def pair_ref_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        pid = (a << np.int64(31)) | b
+        return pa.table({
+            "pid": pa.array(np.concatenate([pid, pid]), pa.int64()),
+            "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+            "side": pa.array(np.repeat([0, 1], len(a)).astype(np.int64)),
+            "text": pa.array([""] * (2 * len(a)), pa.string()),
+        })
+
+    def cand_text_rows(batch: pa.Table) -> pa.Table:
         m = np.isin(batch.column("doc_id").to_numpy(), ray.get(ids_ref))
-        return batch.filter(pa.array(m))
+        kept = batch.filter(pa.array(m))
+        n = kept.num_rows
+        return pa.table({
+            "pid": pa.array(np.full(n, -1), pa.int64()),
+            "doc_id": kept.column("doc_id").cast(pa.int64()),
+            "side": pa.array(np.full(n, -1), pa.int64()),
+            "text": kept.column("text"),
+        })
 
-    texts_tbl = collect_table(docs.map_batches(keep_cand_docs,
-                                               batch_format="pyarrow"))
-    text_ref = ray.put(dict(zip(texts_tbl.column("doc_id").to_pylist(),
-                                texts_tbl.column("text").to_pylist())))
-    cands = ray.data.from_arrow(cands) if cands.num_rows else ray.data.from_arrow(
-        pa.table({"id_a": pa.array([], pa.int64()),
-                  "id_b": pa.array([], pa.int64()),
-                  "pbucket": pa.array([], pa.int64())}))
+    refs = ray.data.from_arrow(cands).map_batches(
+        pair_ref_rows, batch_format="pyarrow")
+    texts = docs.map_batches(cand_text_rows, batch_format="pyarrow")
 
-    def verify(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "id_a" not in batch.column_names:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        lookup = ray.get(text_ref)
-        ia = batch.column("id_a").to_pylist()
-        ib = batch.column("id_b").to_pylist()
-        keep = [jaccard(lookup[a], lookup[b]) >= 0.5 for a, b in zip(ia, ib)]
-        return batch.filter(pa.array(keep))
+    def dbucket(batch: pa.Table) -> pa.Table:
+        b = batch.column("doc_id").to_numpy(zero_copy_only=False) % 64
+        return batch.append_column("db", pa.array(b.astype(np.int64)))
 
-    return cands.map_batches(verify, batch_format="pyarrow")
+    def attach_text(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = group.column("text").to_numpy(zero_copy_only=False)
+        is_text = side == -1
+        t_doc, t_txt = doc[is_text], txt[is_text]
+        o = np.argsort(t_doc, kind="stable")
+        t_doc, t_txt = t_doc[o], t_txt[o]
+        p = ~is_text
+        pos = np.searchsorted(t_doc, doc[p])
+        return pa.table({
+            "pid": pa.array(group.column("pid").to_numpy(
+                zero_copy_only=False)[p], pa.int64()),
+            "side": pa.array(side[p], pa.int64()),
+            "text": pa.array(t_txt[pos], pa.string()),
+        })
+
+    joined = (refs.union(texts)
+              .map_batches(dbucket, batch_format="pyarrow")
+              .groupby("db")
+              .map_groups(attach_text, batch_format="pyarrow"))
+
+    def pbucket2(batch: pa.Table) -> pa.Table:
+        if "pid" not in batch.column_names:
+            return pa.table({"pid": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string()),
+                             "pb": pa.array([], pa.int64())})
+        b = batch.column("pid").to_numpy(zero_copy_only=False) % 64
+        return batch.append_column("pb", pa.array(b.astype(np.int64)))
+
+    def score(group: pa.Table) -> pa.Table:
+        pid = group.column("pid").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        txt = group.column("text").to_numpy(zero_copy_only=False)
+        o = np.lexsort((side, pid))
+        pid, txt = pid[o], txt[o]
+        # rows come in (side 0, side 1) pairs per pid after the sort
+        ta, tb, pu = txt[0::2], txt[1::2], pid[0::2]
+        keep = np.fromiter((jaccard(x, y) >= 0.5 for x, y in zip(ta, tb)),
+                           dtype=bool, count=len(pu))
+        pu = pu[keep]
+        return pa.table({
+            "id_a": pa.array(pu >> np.int64(31), pa.int64()),
+            "id_b": pa.array(pu & np.int64((1 << 31) - 1), pa.int64()),
+        })
+
+    return (joined.map_batches(pbucket2, batch_format="pyarrow")
+            .groupby("pb")
+            .map_groups(score, batch_format="pyarrow"))
 
 
 def q_dedup_clusters(sf_dir: str):
@@ -696,7 +759,8 @@ def q_ann_cosine(sf_dir: str):
                                 columns=["vec_id", "embedding"])
     tbl = pa.concat_tables([ray.get(r) for r in emb.to_arrow_refs()])
     q_ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
-    q_mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    from mapchete_xarray_ray.stages.ann import _embedding_matrix
+    q_mat = _embedding_matrix(tbl, "embedding")
     out = ann_brute_pipeline(emb, q_ids, q_mat, k=5)
     return _schema_finalize(out, {"vec_id": pa.int64(),
                                   "neighbor_id": pa.int64(),
@@ -831,31 +895,47 @@ def q_events_sessions(sf_dir: str):
     GAP = 1_800_000_000  # 30 min in us
 
     def sessions(group: pa.Table) -> pa.Table:
-        order = pa.compute.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
-        group = group.take(order)
+        # one python call per user-hash BUCKET; all users in the bucket
+        # are sessionized in one lexsort + segment-arithmetic pass
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
         ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        uid = int(group.column("user_id")[0].as_py())
-        new_sess = np.ones(len(ts), dtype=np.int64)
-        new_sess[1:] = (ts[1:] - ts[:-1] > GAP).astype(np.int64)
-        sess_id = np.cumsum(new_sess)
-        t = pa.table({"sess": pa.array(sess_id), "ts": pa.array(ts)})
-        g = (t.group_by("sess")
-              .aggregate([("ts", "min"), ("ts", "max"), ("sess", "count")])
-              .rename_columns(["session_id", "start_us", "end_us", "n_events"]))
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        n = len(ts)
+        new_sess = np.ones(n, dtype=np.int64)
+        if n > 1:
+            new_sess[1:] = ((uid[1:] != uid[:-1])
+                            | (ts[1:] - ts[:-1] > GAP)).astype(np.int64)
+        # per-user session numbering: global cumsum rebased at each
+        # user's first row (whose new_sess is always 1)
+        cs = np.cumsum(new_sess)
+        user_first = np.ones(n, dtype=bool)
+        user_first[1:] = uid[1:] != uid[:-1]
+        base = np.repeat(cs[user_first] - 1, np.diff(
+            np.append(np.flatnonzero(user_first), n)))
+        session_id = cs - base
+        # per-session aggregates via segment boundaries
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], n)
         return pa.table({
-            "user_id": pa.array(np.full(g.num_rows, uid), pa.int64()),
-            "session_id": g.column("session_id"),
-            "start_us": g.column("start_us"),
-            "end_us": g.column("end_us"),
-            "n_events": g.column("n_events").cast(pa.int64()),
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "session_id": pa.array(session_id[starts], pa.int64()),
+            "start_us": pa.array(ts[starts], pa.int64()),
+            "end_us": pa.array(ts[ends - 1], pa.int64()),
+            "n_events": pa.array(ends - starts, pa.int64()),
         })
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = batch.column("user_id").to_numpy(zero_copy_only=False) % 64
+        return batch.append_column("bucket", pa.array(b.astype(np.int64)))
 
     return (
         _regroup(_read(f"{sf_dir}/events.parquet",
-                                       columns=["event_id", "ts", "user_id"]),
+                       columns=["event_id", "ts", "user_id"])
+                 .map_batches(add_bucket, batch_format="pyarrow"),
                  nblocks=16)
-        .groupby("user_id")
+        .groupby("bucket")
         .map_groups(sessions, batch_format="pyarrow")
     )
 
@@ -966,9 +1046,12 @@ def q_orders_by_nation(sf_dir: str):
     c_nat = cust.column("c_nationkey").to_numpy()
     lookup = np.full(int(c_key.max()) + 2, -1, dtype=np.int64)
     lookup[c_key] = c_nat
-    nat_names = dict(zip(nation.column("n_nationkey").to_pylist(),
-                         nation.column("n_name").to_pylist()))
-    ref = ray.put((lookup, nat_names))
+    # dense name lookup: numpy object-array indexed by nation key — the
+    # per-batch probe is one fancy-index, no per-row dict.get
+    n_key = nation.column("n_nationkey").to_numpy()
+    name_lkp = np.full(int(n_key.max()) + 2, "UNKNOWN", dtype=object)
+    name_lkp[n_key] = nation.column("n_name").to_numpy(zero_copy_only=False)
+    ref = ray.put((lookup, name_lkp))
 
     def partial(batch: pa.Table) -> pa.Table:
         lkp, names = ray.get(ref)
@@ -976,7 +1059,7 @@ def q_orders_by_nation(sf_dir: str):
         price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
         natkey = lkp[ck]
         t = pa.table({
-            "n_name": pa.array([names.get(int(n), "UNKNOWN") for n in natkey],
+            "n_name": pa.array(names[np.clip(natkey, -1, len(names) - 1)],
                                pa.string()),
             "n_orders": pa.array(np.ones(len(ck), dtype=np.int64)),
             "revenue_cents": pa.array(np.floor(price * 100).astype(np.int64)),
@@ -1122,29 +1205,38 @@ def q_events_asof(sf_dir: str):
     the group, vectorized shift — no cross-row loop. Ordering rule
     (ts, event_id) is shared with the SQL twin."""
     def asof(group: pa.Table) -> pa.Table:
-        order = pa.compute.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
-        group = group.take(order)
+        # one python call per user-hash BUCKET: lexsort by (user, ts,
+        # event_id), vectorized shift, user-boundary rows get the
+        # no-prior sentinel
         eid = group.column("event_id").to_numpy(zero_copy_only=False)
         ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        uid = int(group.column("user_id")[0].as_py())
-        prev_id = np.empty(len(eid), dtype=np.int64)
-        prev_gap = np.empty(len(eid), dtype=np.int64)
-        prev_id[0], prev_gap[0] = -1, -1
-        prev_id[1:] = eid[:-1]
-        prev_gap[1:] = ts[1:] - ts[:-1]
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        eid, ts, uid = eid[order], ts[order], uid[order]
+        n = len(eid)
+        prev_id = np.full(n, -1, dtype=np.int64)
+        prev_gap = np.full(n, -1, dtype=np.int64)
+        if n > 1:
+            same = uid[1:] == uid[:-1]
+            prev_id[1:][same] = eid[:-1][same]
+            prev_gap[1:][same] = ts[1:][same] - ts[:-1][same]
         return pa.table({
             "event_id": pa.array(eid, pa.int64()),
-            "user_id": pa.array(np.full(len(eid), uid), pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
             "prev_event_id": pa.array(prev_id),
             "gap_us": pa.array(prev_gap),
         })
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = batch.column("user_id").to_numpy(zero_copy_only=False) % 64
+        return batch.append_column("bucket", pa.array(b.astype(np.int64)))
+
     return (
         _regroup(_read(f"{sf_dir}/events.parquet",
-                                       columns=["event_id", "ts", "user_id"]),
+                       columns=["event_id", "ts", "user_id"])
+                 .map_batches(add_bucket, batch_format="pyarrow"),
                  nblocks=16)
-        .groupby("user_id")
+        .groupby("bucket")
         .map_groups(asof, batch_format="pyarrow")
     )
 
@@ -1162,22 +1254,20 @@ def q_emb_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (cos >= 0.35): brute force per
     batch against the broadcast corpus matrix (the exact baseline the
     LSH-bucketed variant approximates)."""
-    from mapchete_xarray_ray.stages.ann import normalize_rows
+    from mapchete_xarray_ray.stages.ann import _embedding_matrix, normalize_rows
 
     emb = _read(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     tbl = pa.concat_tables([ray.get(r) for r in emb.to_arrow_refs()])
     ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
-    mat = normalize_rows(np.asarray(tbl.column("embedding").to_pylist(),
-                                    dtype=np.float64))
+    mat = normalize_rows(_embedding_matrix(tbl, "embedding"))
     ref = ray.put((ids, mat))
     TAU = 0.35
 
     def pairs(batch: pa.Table) -> pa.Table:
         c_ids, c_mat = ray.get(ref)
         b_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        b_mat = normalize_rows(np.asarray(batch.column("embedding").to_pylist(),
-                                          dtype=np.float64))
+        b_mat = normalize_rows(_embedding_matrix(batch, "embedding"))
         sims = b_mat @ c_mat.T
         bi, ci = np.nonzero(sims >= TAU)
         keep = b_ids[bi] < c_ids[ci]  # id_a < id_b; drops self-pairs

@@ -26,9 +26,41 @@ N_PLANES = 12  # 4096 buckets
 
 
 def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """Zero-copy-ish list<float> -> (n, dim) float64 decode: flatten the
+    Arrow list values buffer and reshape (no per-row python objects).
+    Assumes equal-length lists (embedding columns are fixed-dim)."""
     lists = batch.column(col)
-    arr = np.asarray(lists.to_pylist(), dtype=np.float64)
-    return arr
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    n = len(lists)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    values = (lists.values if pa.types.is_fixed_size_list(lists.type)
+              else lists.flatten())
+    return values.to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, -1)
+
+
+def rowwise_topk(key: np.ndarray, q_ids: np.ndarray, c_ids: np.ndarray,
+                 k: int):
+    """Exact per-row top-k of a (Q, C) key matrix by (key asc,
+    candidate_id asc), excluding candidates whose id equals the row's
+    query id. One vectorized lexsort over the whole matrix — no python
+    loop per query (the r1 scale-killer). Returns (q_sel, c_sel, rank):
+    row indices (repeated per kept candidate, in rank order), column
+    indices, and 1-based ranks."""
+    Q, C = key.shape
+    z = np.empty(0, dtype=np.int64)
+    if Q == 0 or C == 0:
+        return z, z, z
+    invalid = q_ids[:, None] == c_ids[None, :]
+    s = np.where(invalid, np.inf, key)  # invalid sorts last
+    order = np.lexsort((np.broadcast_to(c_ids, s.shape), s), axis=-1)
+    t = np.minimum(k, C - invalid.sum(axis=1))
+    kept = np.arange(C)[None, :] < t[:, None]
+    q_sel = np.repeat(np.arange(Q), t)
+    c_sel = order[kept]  # row-major flatten == rank order within rows
+    rank = np.broadcast_to(np.arange(1, C + 1), (Q, C))[kept]
+    return q_sel, c_sel, rank.astype(np.int64)
 
 
 def normalize_rows(m: np.ndarray) -> np.ndarray:
@@ -51,22 +83,11 @@ def brute_topk_stage(query_ref, k: int, id_col: str = "vec_id",
         c_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         c_mat = normalize_rows(_embedding_matrix(batch, emb_col))
         sims = q_mat @ c_mat.T  # (Q, C)
-        out_q, out_c, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            s = sims[qi]
-            mask = c_ids != q_ids[qi]
-            sm, cm = s[mask], c_ids[mask]
-            t = min(k, len(sm))
-            if t == 0:
-                continue
-            order = np.lexsort((cm, -sm))[:t]
-            out_q.extend([q_ids[qi]] * t)
-            out_c.extend(cm[order].tolist())
-            out_s.extend(sm[order].tolist())
+        q_sel, c_sel, _rank = rowwise_topk(-sims, q_ids, c_ids, k)
         return pa.table({
-            "vec_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_c, pa.int64()),
-            "cosine": pa.array(out_s, pa.float64()),
+            "vec_id": pa.array(q_ids[q_sel], pa.int64()),
+            "neighbor_id": pa.array(c_ids[c_sel], pa.int64()),
+            "cosine": pa.array(sims[q_sel, c_sel], pa.float64()),
         })
 
     return fn
@@ -93,13 +114,27 @@ def merge_topk_per_query(k: int):
     return fn
 
 
+def _add_id_bucket(batch: pa.Table) -> pa.Table:
+    """Coarse merge key: one python group-call per BUCKET (id % 64),
+    not per query — the repo's measured ~30ms/group dispatch rule."""
+    if "vec_id" not in batch.column_names:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64()),
+                         "id_bucket": pa.array([], pa.int64())})
+    b = batch.column("vec_id").to_numpy() % 64
+    return batch.append_column("id_bucket", pa.array(b.astype(np.int64)))
+
+
 def ann_brute_pipeline(corpus: ray.data.Dataset, query_ids: np.ndarray,
                        query_mat: np.ndarray, k: int) -> ray.data.Dataset:
     """Exact cosine top-k of each query against the corpus Dataset."""
     ref = ray.put((query_ids, normalize_rows(query_mat.astype(np.float64))))
     partial = corpus.map_batches(brute_topk_stage(ref, k), batch_format="pyarrow")
-    return partial.groupby("vec_id").map_groups(merge_topk_per_query(k),
-                                                batch_format="pyarrow")
+    return (partial.map_batches(_add_id_bucket, batch_format="pyarrow")
+            .repartition(8)
+            .groupby("id_bucket")
+            .map_groups(_bucket_merge_topk(k), batch_format="pyarrow"))
 
 
 # --- LSH-bucketed variant (scale path) -----------------------------------
@@ -131,23 +166,12 @@ def bucket_local_topk(k: int, emb_col: str = "embedding"):
         ids = group.column("vec_id").to_numpy(zero_copy_only=False)
         m = normalize_rows(_embedding_matrix(group, emb_col))
         sims = m @ m.T
-        out_q, out_c, out_r, out_s = [], [], [], []
-        for i in range(len(ids)):
-            mask = ids != ids[i]
-            sm, cm = sims[i][mask], ids[mask]
-            t = min(k, len(sm))
-            if t == 0:
-                continue
-            order = np.lexsort((cm, -sm))[:t]
-            out_q.extend([ids[i]] * t)
-            out_c.extend(cm[order].tolist())
-            out_r.extend(range(1, t + 1))
-            out_s.extend(sm[order].tolist())
+        q_sel, c_sel, rank = rowwise_topk(-sims, ids, ids, k)
         return pa.table({
-            "vec_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_c, pa.int64()),
-            "rank": pa.array(out_r, pa.int64()),
-            "cosine": pa.array(out_s, pa.float64()),
+            "vec_id": pa.array(ids[q_sel], pa.int64()),
+            "neighbor_id": pa.array(ids[c_sel], pa.int64()),
+            "rank": pa.array(rank, pa.int64()),
+            "cosine": pa.array(sims[q_sel, c_sel], pa.float64()),
         })
 
     return fn
@@ -198,6 +222,21 @@ def ivf_assign_stage(cent_ref, nprobe: int = 1, id_col: str = "vec_id",
     return fn
 
 
+def ivf_assign_both_stage(cent_ref, nprobe: int, id_col: str = "vec_id",
+                          emb_col: str = "embedding"):
+    """One-pass variant for self-join ANN (every corpus vector is also
+    a query): emits the vector's single inverted-list row AND its
+    ``nprobe`` probe copies from ONE read of the batch — halves the
+    input executions vs running two assign stages + union."""
+    lists = ivf_assign_stage(cent_ref, 1, id_col, emb_col, as_query=False)
+    probes = ivf_assign_stage(cent_ref, nprobe, id_col, emb_col, as_query=True)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables([lists(batch), probes(batch)])
+
+    return fn
+
+
 def _ivf_cluster_topk(k: int, emb_col: str = "embedding"):
     """Per-cluster: top-k of the query copies vs the cluster's corpus
     members (exact cosine within the inverted list)."""
@@ -207,23 +246,13 @@ def _ivf_cluster_topk(k: int, emb_col: str = "embedding"):
         ids = group.column("vec_id").to_numpy(zero_copy_only=False)
         m = normalize_rows(_embedding_matrix(group, emb_col))
         cm, cid = m[~isq], ids[~isq]
-        out_q, out_c, out_s = [], [], []
-        if len(cid):
-            for qi in np.nonzero(isq)[0]:
-                s = m[qi] @ cm.T
-                mask = cid != ids[qi]
-                sm, cmi = s[mask], cid[mask]
-                t = min(k, len(sm))
-                if t == 0:
-                    continue
-                order = np.lexsort((cmi, -sm))[:t]
-                out_q.extend([ids[qi]] * t)
-                out_c.extend(cmi[order].tolist())
-                out_s.extend(sm[order].tolist())
+        qm, qid = m[isq], ids[isq]
+        sims = qm @ cm.T  # (Q, C)
+        q_sel, c_sel, _rank = rowwise_topk(-sims, qid, cid, k)
         return pa.table({
-            "vec_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_c, pa.int64()),
-            "cosine": pa.array(out_s, pa.float64()),
+            "vec_id": pa.array(qid[q_sel], pa.int64()),
+            "neighbor_id": pa.array(cid[c_sel], pa.int64()),
+            "cosine": pa.array(sims[q_sel, c_sel], pa.float64()),
         })
 
     return fn
@@ -268,30 +297,22 @@ def ann_ivf_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
     per vector), queries probe their ``nprobe`` nearest lists, exact
     top-k within each probed list, per-query merge. Deterministic
     (fixed seed); recall vs brute force measured in tests."""
+    # the centroid sample consumes only limit(sample_limit) — streaming
+    # execution early-stops the read, so the corpus is scanned ~once:
+    # a truncated head pass here + one full assignment pass below
     sample = pa.concat_tables([
         t for t in (ray.get(r) for r in corpus.limit(sample_limit).to_arrow_refs())
         if t.num_columns > 0])
-    mat = np.asarray(sample.column("embedding").to_pylist(), dtype=np.float64)
+    mat = _embedding_matrix(sample, "embedding")
     cent_ref = ray.put(kmeans_centroids(mat, n_clusters))
 
-    lists = corpus.map_batches(ivf_assign_stage(cent_ref, 1, as_query=False),
-                               batch_format="pyarrow")
-    probes = corpus.map_batches(ivf_assign_stage(cent_ref, nprobe, as_query=True),
-                                batch_format="pyarrow")
-    partial = (lists.union(probes)
+    partial = (corpus.map_batches(ivf_assign_both_stage(cent_ref, nprobe),
+                                  batch_format="pyarrow")
+               .repartition(8)  # few blocks into the 16-group shuffle
                .groupby("cluster")
                .map_groups(_ivf_cluster_topk(k), batch_format="pyarrow"))
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        if "vec_id" not in batch.column_names:
-            return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "neighbor_id": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64()),
-                             "id_bucket": pa.array([], pa.int64())})
-        b = batch.column("vec_id").to_numpy() % 64
-        return batch.append_column("id_bucket", pa.array(b.astype(np.int64)))
-
-    return (partial.map_batches(add_bucket, batch_format="pyarrow")
+    return (partial.map_batches(_add_id_bucket, batch_format="pyarrow")
             .groupby("id_bucket")
             .map_groups(_bucket_merge_topk(k), batch_format="pyarrow"))
 

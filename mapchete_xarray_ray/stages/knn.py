@@ -88,28 +88,22 @@ def _cell_topk(k: int):
     """Per-cell: top-k of each query copy vs the cell's candidates."""
 
     def fn(group: pa.Table) -> pa.Table:
+        from mapchete_xarray_ray.stages.ann import rowwise_topk
+
         isq = group.column("is_query").to_numpy(zero_copy_only=False)
         ids = group.column("id").to_numpy(zero_copy_only=False)
         xs = group.column("x").to_numpy(zero_copy_only=False)
         ys = group.column("y").to_numpy(zero_copy_only=False)
         cid, cx, cy = ids[~isq], xs[~isq], ys[~isq]
-        out_id, out_nb, out_d2 = [], [], []
-        if len(cid):
-            for qi in np.nonzero(isq)[0]:
-                d2 = (xs[qi] - cx) ** 2 + (ys[qi] - cy) ** 2
-                mask = cid != ids[qi]
-                d2m, cidm = d2[mask], cid[mask]
-                if len(d2m) == 0:
-                    continue
-                take = min(k, len(d2m))
-                order = np.lexsort((cidm, d2m))[:take]
-                out_id.extend([ids[qi]] * take)
-                out_nb.extend(cidm[order].tolist())
-                out_d2.extend(d2m[order].tolist())
+        qid, qx, qy = ids[isq], xs[isq], ys[isq]
+        # full (Q, C) distance matrix + one vectorized lexsort — same
+        # float64 expression per pair as the scalar oracle
+        d2 = (qx[:, None] - cx[None, :]) ** 2 + (qy[:, None] - cy[None, :]) ** 2
+        q_sel, c_sel, _rank = rowwise_topk(d2, qid, cid, k)
         return pa.table({
-            "id": pa.array(out_id, pa.int64()),
-            "neighbor_id": pa.array(out_nb, pa.int64()),
-            "dist2": pa.array(out_d2, pa.float64()),
+            "id": pa.array(qid[q_sel], pa.int64()),
+            "neighbor_id": pa.array(cid[c_sel], pa.int64()),
+            "dist2": pa.array(d2[q_sel, c_sel], pa.float64()),
         })
 
     return fn
