@@ -32,11 +32,23 @@ def geocode_doc_id(doc_id: np.ndarray, zoom: int, pyramid: TilePyramid | None = 
 
         px = (doc_id * 2654435761) % (2**(zoom+1) * 256)
         py = (doc_id * 40503)      % (2**zoom     * 256)
+
+    Supported domain: ``0 <= doc_id < 2**31``. Beyond that the int64
+    product ``doc_id * 2654435761`` overflows; numpy would silently
+    wrap (C semantics) while the SQL twin errors or differs, so the
+    int64-exact engine/SQL equivalence claim is bounded and enforced
+    here. (10^12-doc corpora shard ids per partition; the per-shard id
+    space stays well under 2^31.)
     """
     pyramid = pyramid or TilePyramid("geodetic")
     width = pyramid.matrix_width(zoom) * pyramid.tile_size * pyramid.metatiling
     height = pyramid.matrix_height(zoom) * pyramid.tile_size * pyramid.metatiling
     d = np.asarray(doc_id, dtype=np.int64)
+    if d.size and (d.min() < 0 or d.max() >= 2**31):
+        raise ValueError(
+            "geocode_doc_id requires 0 <= doc_id < 2**31 (int64-exact "
+            f"SQL-twin domain); got range [{d.min()}, {d.max()}]"
+        )
     px = (d * _PX_MULT) % width
     py = (d * _PY_MULT) % height
     return px, py

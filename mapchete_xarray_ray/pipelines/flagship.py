@@ -81,16 +81,45 @@ class TileContext:
         self.shape = (spec.chunk_px, spec.chunk_px)
 
 
+# metadata keys the reference's output_cleaned strips from Dataset
+# returns before writing (_output.py:467-481): the archive's own
+# attrs would clash with stale copies coming back from a process
+_RESERVED_ATTRS = ("mapchete", "_FillValue", "AREA_OR_POINT", "_CRS", "attrs")
+
+
 def output_cleaned(data, spec: JobSpec) -> np.ndarray:
     """Normalize a process return value (reference output_cleaned,
     _output.py:441-492, M1-M3): (bands,h,w) passes; (h,w) promotes to
     one band; with a time axis a 4-D array is interpreted as
     ``(time, bands, h, w)`` — time and band cardinalities must match
     the archive exactly (_output.py:420-430) — and transposed to
-    band-first (_output.py:432); other types raise."""
+    band-first (_output.py:432); other types raise.
+
+    A dict return is the engine's ``xr.Dataset`` analogue (no xarray in
+    this stack): ``{band_name: (h, w) | (T, h, w) array}``. Reserved
+    metadata keys (``mapchete``, ``_FillValue``, ``AREA_OR_POINT``,
+    ``_CRS``, ``attrs``) are stripped exactly like the reference strips
+    Dataset/DataArray attrs (_output.py:467-481); the remaining keys
+    must equal the archive's band names and are stacked band-first.
+    """
+    if isinstance(data, dict):
+        bands = {k: v for k, v in data.items() if k not in _RESERVED_ATTRS}
+        if set(bands) != set(spec.band_names):
+            raise ValueError(
+                f"process output bands {sorted(bands)} do not match archive "
+                f"band names {spec.band_names}"
+            )
+        stacked = np.stack([np.asarray(bands[b]) for b in spec.band_names])
+        if stacked.ndim == 4:
+            # dict values carried a (T, h, w) time axis -> already
+            # band-first after the stack; route through the 4-D check
+            # in (time, bands, h, w) order like an ndarray return
+            return output_cleaned(np.transpose(stacked, (1, 0, 2, 3)), spec)
+        return output_cleaned(stacked, spec)
     if not isinstance(data, np.ndarray):
         raise TypeError(
-            f"process output must be a numpy array or 'empty', not {type(data)}"
+            f"process output must be a numpy array, a {{band: array}} dict "
+            f"or 'empty', not {type(data)}"
         )
     if data.ndim == 2:
         data = data[None, ...]
@@ -239,10 +268,12 @@ def _tile_writer(spec: JobSpec, process_fn=None):
             per_t = [grids(pix[ts == t], en[ts == t], lt[ts == t]) for t in uniq]
             tensor4 = np.stack(per_t, axis=1)  # (bands, T, h, w)
             n_chunks = store.write_tile(row, col, tensor4, timestamps=uniq)
+            written_arr = tensor4  # lineage checksum attests written bytes
         else:
             n_chunks = store.write_tile(row, col, tensor)
+            written_arr = tensor
 
-        checksum = zlib.crc32(np.ascontiguousarray(tensor).tobytes())
+        checksum = zlib.crc32(np.ascontiguousarray(written_arr).tobytes())
         from mapchete_xarray_ray.grid import cell_encode
 
         tile_cell = int(cell_encode(np.array([row]), np.array([col]),

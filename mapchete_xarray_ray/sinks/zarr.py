@@ -13,7 +13,8 @@ layout spec visible in the reference fixtures
   writer task owns each chunk file and concurrent writers never touch
   the same chunk (the reference's ``safe_chunks=True`` invariant);
 - coordinate arrays ``X``/``Y`` = pixel centers (_output.py:619-620),
-  optional ``time`` encoded int64 "days since <start>" with
+  optional ``time`` encoded int64 "<unit> since <start>" (coarsest
+  exact CF unit) with
   proleptic_gregorian calendar (fixture time/.zattrs);
 - per-array attrs ``_ARRAY_DIMENSIONS``, ``_CRS {wkt}``,
   ``AREA_OR_POINT`` (_output.py:697-700); global ``mapchete`` job
@@ -183,7 +184,11 @@ class ZarrTileStore:
         self.px_y = (b.top - b.bottom) / self.height
         self.has_time = spec.time is not None
         self.n_time = len(spec.timestamps) if self.has_time else 0
-        self.time_chunk = min(self.n_time, spec.time_chunksize) if self.has_time else 0
+        # zarr edge-chunk convention: chunks keep the CONFIGURED size
+        # even when n_time < chunksize (trailing chunk padded on disk) —
+        # matches the reference layout (s2_stack.zarr: shape [5,...],
+        # chunks [8,...]), so reference-written chunk files decode here
+        self.time_chunk = spec.time_chunksize if self.has_time else 0
 
     # --- S1: initialize --------------------------------------------------
     def initialize(self) -> None:
@@ -255,19 +260,29 @@ class ZarrTileStore:
         spec = self.spec
         ts = spec.timestamps
         start = ts[0]
-        days = ((ts - start) / np.timedelta64(1, "D")).astype("<i8")
-        start_str = np.datetime_as_string(start, unit="D")
+        # pick the coarsest CF unit that represents every offset exactly
+        # (an hourly pattern encoded as 'days since' would truncate all
+        # offsets to 0 — any non-mapchete zarr/xarray consumer of the
+        # archive would see duplicate timestamps)
+        us = (ts - start).astype("timedelta64[us]").astype("<i8")
+        for unit, div in (("days", 86_400_000_000), ("hours", 3_600_000_000),
+                          ("seconds", 1_000_000), ("microseconds", 1)):
+            if (us % div == 0).all():
+                break
+        vals = (us // div).astype("<i8")
+        start_str = (np.datetime_as_string(start, unit="D") if unit == "days"
+                     else np.datetime_as_string(start, unit="s").replace("T", " "))
         zarray = _zarray_meta((len(ts),), (len(ts),), "<i8", None, self.compressor)
         zattrs = {
             "_ARRAY_DIMENSIONS": [spec.time_axis_name],
-            "units": f"days since {start_str}",
+            "units": f"{unit} since {start_str}",
             "calendar": "proleptic_gregorian",
         }
         name = spec.time_axis_name
         _put_json(os.path.join(self.path, name, ".zarray"), zarray)
         _put_json(os.path.join(self.path, name, ".zattrs"), zattrs)
         _put_bytes(os.path.join(self.path, name, "0"),
-                   _encode_chunk(days, self.compressor))
+                   _encode_chunk(vals, self.compressor))
         consolidated[f"{name}/.zarray"] = zarray
         consolidated[f"{name}/.zattrs"] = zattrs
 
@@ -484,7 +499,16 @@ class ZarrTileStore:
         coord = self.spec.timestamps
         if timestamps is not None:
             wanted = np.array(timestamps, dtype="datetime64[us]")
-            return [int(np.where(coord == t)[0][0]) for t in wanted]
+            out = []
+            for t in wanted:
+                hit = np.where(coord == t)[0]
+                if len(hit) == 0:
+                    raise ValueError(
+                        f"time slice {t} not available in archive time "
+                        f"coordinate: {list(coord)}"
+                    )
+                out.append(int(hit[0]))
+            return out
         if start_time is not None or end_time is not None:
             lo = np.datetime64(start_time, "us") if start_time is not None else coord[0]
             hi = np.datetime64(end_time, "us") if end_time is not None else coord[-1]

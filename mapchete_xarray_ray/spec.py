@@ -32,33 +32,69 @@ class JobSpecError(ValueError):
     """Equivalent of MapcheteConfigError for spec validation failures."""
 
 
-def _expand_pattern(start: datetime, end: datetime, pattern: str) -> list[datetime]:
-    """Minimal cron-pattern expansion (the fixtures use daily/hourly
-    patterns; reference uses croniter_range at _output.py:641-649).
+def _parse_cron_field(field: str, lo: int, hi: int, pattern: str) -> set[int]:
+    """One cron field -> the set of matching values. Supports ``*``,
+    ints, ranges ``a-b``, lists ``a,b,c`` and steps ``*/n`` / ``a-b/n``
+    (standard 5-field cron; dow accepts 7 as an alias for Sunday=0)."""
+    vals: set[int] = set()
+    for item in field.split(","):
+        step = 1
+        if "/" in item:
+            item, s = item.split("/", 1)
+            if not s.isdigit() or int(s) < 1:
+                raise JobSpecError(f"unsupported cron pattern: {pattern!r}")
+            step = int(s)
+        try:
+            if item == "*":
+                a, b = lo, hi
+            elif "-" in item:
+                a, b = (int(x) for x in item.split("-", 1))
+            else:
+                a = b = int(item)
+        except ValueError:
+            raise JobSpecError(f"unsupported cron pattern: {pattern!r}") from None
+        if not (lo <= a <= hi and lo <= b <= hi and a <= b):
+            raise JobSpecError(f"unsupported cron pattern: {pattern!r}")
+        vals.update(range(a, b + 1, step))
+    return vals
 
-    Supports ``"0 0 * * *"`` (daily) and ``"0 * * * *"`` (hourly) and the
-    generic 5-field form where minute/hour are fixed ints and the rest
-    are ``*`` — enough for the reference fixture space; anything else
-    raises.
+
+def _expand_pattern(start: datetime, end: datetime, pattern: str) -> list[datetime]:
+    """Full 5-field cron expansion over [start, end], both inclusive —
+    the stdlib equivalent of the reference's ``croniter_range``
+    (_output.py:641-649): minute, hour, day-of-month, month,
+    day-of-week with lists/ranges/steps, and the standard cron OR rule
+    when BOTH day fields are restricted. Enumeration walks days (not
+    minutes), so multi-year ranges stay cheap.
     """
     fields = pattern.split()
-    if len(fields) != 5 or fields[2:] != ["*", "*", "*"]:
+    if len(fields) != 5:
         raise JobSpecError(f"unsupported cron pattern: {pattern!r}")
-    minute, hour = fields[0], fields[1]
-    out = []
-    if hour == "*":
-        step = timedelta(hours=1)
-        cur = start.replace(minute=int(minute), second=0, microsecond=0)
-        if cur < start:
-            cur += step
-    else:
-        step = timedelta(days=1)
-        cur = start.replace(hour=int(hour), minute=int(minute), second=0, microsecond=0)
-        if cur < start:
-            cur += step
-    while cur <= end:
-        out.append(cur)
-        cur += step
+    minutes = sorted(_parse_cron_field(fields[0], 0, 59, pattern))
+    hours = sorted(_parse_cron_field(fields[1], 0, 23, pattern))
+    doms = _parse_cron_field(fields[2], 1, 31, pattern)
+    months = _parse_cron_field(fields[3], 1, 12, pattern)
+    dows = {v % 7 for v in _parse_cron_field(fields[4], 0, 7, pattern)}
+    dom_any = fields[2] == "*"
+    dow_any = fields[4] == "*"
+
+    out: list[datetime] = []
+    day = start.replace(hour=0, minute=0, second=0, microsecond=0)
+    while day <= end:
+        if day.month in months:
+            dom_ok = day.day in doms
+            dow_ok = (day.weekday() + 1) % 7 in dows  # cron: Sunday=0
+            # standard cron: if both day fields are restricted, either
+            # may match; otherwise the restricted one (or any) decides
+            if (dom_ok and dow_ok) if (dom_any and dow_any) else (
+                    (dom_ok or dow_ok) if (not dom_any and not dow_any)
+                    else (dom_ok if not dom_any else dow_ok)):
+                for h in hours:
+                    for m in minutes:
+                        t = day.replace(hour=h, minute=m)
+                        if start <= t <= end:
+                            out.append(t)
+        day += timedelta(days=1)
     return out
 
 

@@ -102,3 +102,51 @@ def test_4d_numpy_process_output(tmp_path):
     with pytest.raises(ValueError, match="requires a time axis"):
         output_cleaned(np.zeros((5, 3, 256, 256)),
                        default_spec(str(tmp_path / "no_t.zarr")))
+
+
+def test_dict_of_bands_process_output(tmp_path):
+    """Dataset-shaped (dict) returns: named bands + reserved-attrs
+    stripping (reference _output.py:455-492 Dataset branch)."""
+    spec = default_spec(str(tmp_path / "d.zarr"))
+    h = w = spec.chunk_px
+    arrs = {name: np.full((h, w), i + 1, dtype=spec.dtype)
+            for i, name in enumerate(spec.band_names)}
+    cleaned = output_cleaned(
+        dict(arrs, attrs={"json": "{}"}, mapchete={"x": 1},
+             AREA_OR_POINT="Area"), spec)
+    assert cleaned.shape == (len(spec.band_names), h, w)
+    for i in range(len(spec.band_names)):
+        assert (cleaned[i] == i + 1).all()
+    # wrong band names -> archive-fit error
+    with pytest.raises(ValueError, match="band names"):
+        output_cleaned({"nope": arrs[spec.band_names[0]]}, spec)
+
+
+def test_dict_of_bands_pipeline_and_index_hook(tmp_path):
+    """make_convert_process: named-band dict returns flow through the
+    pipeline; index features map slice ids to index values (reference
+    processes/convert_to_xarray.py:26-33); guards match the reference."""
+    from mapchete_xarray_ray.processes.convert import (
+        index_feature_attrs,
+        make_convert_process,
+    )
+
+    features = [{"properties": {"slice_id": "s1", "index": "granule-A"}},
+                {"properties": {"slice_id": "s2", "index": "granule-B"}}]
+    assert index_feature_attrs(features) == {"s1": "granule-A",
+                                             "s2": "granule-B"}
+    with pytest.raises(ValueError, match="index_band"):
+        make_convert_process(index=features)
+
+    pages = make_pages(n=300)
+    spec_a = default_spec(str(tmp_path / "a.zarr"))
+    spec_b = default_spec(str(tmp_path / "b.zarr"))
+    _collect(run_pipeline(ray.data.from_arrow(pages), spec_a))
+    proc = make_convert_process(band_names=list(spec_b.band_names),
+                                index=features, index_band=0)
+    _collect(run_pipeline(ray.data.from_arrow(pages), spec_b,
+                          process_fn=proc))
+    sa, sb = ZarrTileStore(spec_a), ZarrTileStore(spec_b)
+    assert sa.existing_tiles() == sb.existing_tiles()
+    for r, c in sa.existing_tiles():
+        np.testing.assert_array_equal(sa.read_tile(r, c), sb.read_tile(r, c))

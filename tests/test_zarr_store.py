@@ -67,12 +67,48 @@ def test_initialize_layout_4d(tmp_path):
     store.initialize()
     za = json.load(open(os.path.join(spec.path, "Band1", ".zarray")))
     assert za["shape"] == [5, 2048, 2048]
-    assert za["chunks"] == [5, 256, 256]  # min(T, chunksize)
+    # configured chunksize even though n_time < chunksize: zarr
+    # edge-chunk convention, matching the reference s2_stack.zarr layout
+    # (shape [5,...] with chunks [8,...])
+    assert za["chunks"] == [10, 256, 256]
     t_attrs = json.load(open(os.path.join(spec.path, "time", ".zattrs")))
     assert t_attrs["units"] == "days since 2022-06-01"
     assert t_attrs["calendar"] == "proleptic_gregorian"
     buf = zlib.decompress(open(os.path.join(spec.path, "time", "0"), "rb").read())
     np.testing.assert_array_equal(np.frombuffer(buf, "<i8"), [0, 3, 5, 8, 10])
+
+
+def test_time_coord_subdaily_units(tmp_path):
+    # an hourly pattern must NOT encode as 'days since' (offsets would
+    # all truncate to 0 for any standard zarr/xarray consumer)
+    spec = make_spec(tmp_path, time={
+        "start": "2022-06-01", "end": "2022-06-01T05:00:00",
+        "pattern": "0 * * * *"})
+    store = ZarrTileStore(spec)
+    store.initialize()
+    t_attrs = json.load(open(os.path.join(spec.path, "time", ".zattrs")))
+    assert t_attrs["units"] == "hours since 2022-06-01 00:00:00"
+    buf = zlib.decompress(open(os.path.join(spec.path, "time", "0"), "rb").read())
+    np.testing.assert_array_equal(np.frombuffer(buf, "<i8"), [0, 1, 2, 3, 4, 5])
+
+
+def test_reference_shaped_trailing_chunk_decodes(tmp_path):
+    # a chunk file padded to the configured time chunksize (what the
+    # reference writes for shape [5,...] chunks [8,...]) must decode
+    spec = make_spec(tmp_path, time=dict(TIME, chunksize=8), dtype="uint16")
+    store = ZarrTileStore(spec)
+    store.prepare()
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 500, (3, 5, 256, 256), dtype=np.uint16)
+    ts = np.array(TIME["steps"], dtype="datetime64[us]")
+    store.write_tile(1, 1, data, timestamps=ts)
+    import glob
+    (f,) = glob.glob(os.path.join(spec.path, "Band1", "0.1.1"))
+    raw = zlib.decompress(open(f, "rb").read())
+    # on-disk chunk holds 8 padded slices, not 5
+    assert len(raw) == 8 * 256 * 256 * 2
+    got = store.read_tile(1, 1)
+    np.testing.assert_array_equal(got, data)
 
 
 def test_write_read_roundtrip_3d(tmp_path):
@@ -192,3 +228,46 @@ def test_write_tile_rejects_band_mismatch(tmp_path):
     store.prepare()
     with pytest.raises(ValueError, match="2"):
         store.write_tile(0, 0, np.ones((3, 256, 256), dtype="uint8"))
+
+
+def test_cron_expansion_general_patterns():
+    """Full 5-field cron (croniter_range parity, _output.py:641-649)."""
+    from datetime import datetime
+
+    from mapchete_xarray_ray.spec import _expand_pattern
+
+    s, e = datetime(2022, 1, 1), datetime(2022, 12, 31)
+    monthly = _expand_pattern(s, e, "0 0 1 * *")
+    assert len(monthly) == 12 and monthly[2] == datetime(2022, 3, 1)
+    weekly = _expand_pattern(datetime(2022, 6, 1), datetime(2022, 6, 30),
+                             "0 12 * * 1")
+    assert [d.day for d in weekly] == [6, 13, 20, 27]  # Mondays
+    lists = _expand_pattern(datetime(2022, 6, 1), datetime(2022, 6, 3),
+                            "30 6,18 * * *")
+    # end = Jun 3 00:00, so Jun 3's two fires fall outside the range
+    assert len(lists) == 4 and lists[0] == datetime(2022, 6, 1, 6, 30)
+    steps = _expand_pattern(datetime(2022, 6, 1), datetime(2022, 6, 2),
+                            "*/20 0 * * *")
+    assert len(steps) == 4  # 00:00/:20/:40 day1 + 00:00 day2
+    # standard cron OR rule: dom AND dow both restricted -> either matches
+    both = _expand_pattern(datetime(2022, 6, 1), datetime(2022, 6, 30),
+                           "0 0 1 * 1")
+    assert [d.day for d in both] == [1, 6, 13, 20, 27]
+    with pytest.raises(JobSpecError, match="unsupported"):
+        _expand_pattern(s, e, "not a cron")
+    with pytest.raises(JobSpecError, match="unsupported"):
+        _expand_pattern(s, e, "0 0 32 * *")
+
+
+def test_monthly_pattern_archive_reopen(tmp_path):
+    """A monthly cron spec initializes, and the SAME pattern reopens the
+    archive (metadata compat) while another pattern is rejected."""
+    time = {"start": "2022-01-01", "end": "2022-06-30",
+            "pattern": "0 0 1 * *", "chunksize": 4}
+    spec = make_spec(tmp_path, time=dict(time))
+    assert len(spec.timestamps) == 6
+    ZarrTileStore(spec).prepare()
+    ZarrTileStore(make_spec(tmp_path, time=dict(time))).prepare()  # reopen ok
+    with pytest.raises(ValueError, match="incompatible"):
+        ZarrTileStore(make_spec(
+            tmp_path, time=dict(time, pattern="0 0 * * *"))).prepare()
