@@ -503,33 +503,6 @@ def q_minhash_neardup(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    # dedup candidate pairs (vectorized within coarse buckets), then
-    # verify exact Jaccard against the texts (texts for the candidate
-    # ids are broadcast — the candidate set is orders of magnitude
-    # smaller than the corpus)
-    def pair_bucket(batch: pa.Table) -> pa.Table:
-        if "id_a" not in batch.column_names:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "pbucket": pa.array([], pa.int64())})
-        b = (batch.column("id_a").to_numpy() * 31
-             + batch.column("id_b").to_numpy()) % 64
-        return batch.append_column("pbucket", pa.array(b.astype(np.int64)))
-
-    def uniq_pairs(group: pa.Table) -> pa.Table:
-        a = group.column("id_a").to_numpy(zero_copy_only=False)
-        b = group.column("id_b").to_numpy(zero_copy_only=False)
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        keep = np.ones(len(a), dtype=bool)
-        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
-                         "id_b": pa.array(b[keep], pa.int64())})
-
-    cands = (cands.map_batches(pair_bucket, batch_format="pyarrow")
-             .groupby("pbucket")
-             .map_groups(lambda g: uniq_pairs(g), batch_format="pyarrow"))
-
     # distributed exact-Jaccard verify — a hash semi-join, NOT a driver
     # text dict: only the candidate-ID SET is broadcast (8 B/id); texts
     # for candidate docs are co-grouped with the pair refs by doc
@@ -542,9 +515,18 @@ def q_minhash_neardup(sf_dir: str):
     if cands.num_rows == 0:
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64())})
+    # dedup (a pair matching in several LSH bands arrives once per
+    # band) on the already-collected id pairs — cheaper than an extra
+    # shuffle; np.unique on the packed int64
+    a = cands.column("id_a").to_numpy(zero_copy_only=False)
+    b = cands.column("id_b").to_numpy(zero_copy_only=False)
+    packed = np.unique((a << np.int64(31)) | b)
+    cands = pa.table({"id_a": pa.array(packed >> np.int64(31), pa.int64()),
+                      "id_b": pa.array(packed & np.int64((1 << 31) - 1),
+                                       pa.int64())})
     cand_ids = np.unique(np.concatenate([
-        cands.column("id_a").to_numpy(zero_copy_only=False),
-        cands.column("id_b").to_numpy(zero_copy_only=False)]))
+        cands.column("id_a").to_numpy(),
+        cands.column("id_b").to_numpy()]))
     ids_ref = ray.put(cand_ids)
 
     def pair_ref_rows(batch: pa.Table) -> pa.Table:
@@ -594,8 +576,8 @@ def q_minhash_neardup(sf_dir: str):
             "text": pa.array(t_txt[pos], pa.string()),
         })
 
-    joined = (refs.union(texts)
-              .map_batches(dbucket, batch_format="pyarrow")
+    joined = (_regroup(refs.union(texts)
+                       .map_batches(dbucket, batch_format="pyarrow"), 4)
               .groupby("db")
               .map_groups(attach_text, batch_format="pyarrow"))
 
@@ -624,7 +606,7 @@ def q_minhash_neardup(sf_dir: str):
             "id_b": pa.array(pu & np.int64((1 << 31) - 1), pa.int64()),
         })
 
-    return (joined.map_batches(pbucket2, batch_format="pyarrow")
+    return (_regroup(joined.map_batches(pbucket2, batch_format="pyarrow"), 4)
             .groupby("pb")
             .map_groups(score, batch_format="pyarrow"))
 
@@ -1286,6 +1268,188 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def q_events_range_join(sf_dir: str):
+    """Distributed range/interval join (SURVEY §2 custom-op list):
+    every event with ``event_id % 997 == 0`` opens a 15-minute window;
+    find all events falling inside any window. Shape: windows replicate
+    to each 1-hour time bin they overlap (<= 2 bins, window < bin),
+    events land in their own bin, co-group by bin, and the in-bin match
+    is two vectorized ``searchsorted`` calls on the window starts plus
+    a grouped-arange pair expansion — no per-event loop, no broadcast
+    of either side. An (event, window) pair exists only in the event's
+    bin, so no dedup pass is needed.
+    """
+    W = 900_000_000      # 15 min window length (us)
+    BIN = 3_600_000_000  # 1 h co-group bins
+
+    def wrows(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = eid % 997 == 0
+        wid, ws = eid[keep], ts[keep]
+        b0, b1 = ws // BIN, (ws + W - 1) // BIN
+        two = b1 != b0
+        return pa.table({
+            "bin": pa.array(np.concatenate([b0, b1[two]]), pa.int64()),
+            "id": pa.array(np.concatenate([wid, wid[two]]), pa.int64()),
+            "ts": pa.array(np.concatenate([ws, ws[two]]), pa.int64()),
+            "is_win": pa.array(np.ones(len(wid) + int(two.sum()), dtype=bool)),
+        })
+
+    def erows(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bin": pa.array(ts // BIN, pa.int64()),
+            "id": pa.array(eid, pa.int64()),
+            "ts": pa.array(ts, pa.int64()),
+            "is_win": pa.array(np.zeros(len(eid), dtype=bool)),
+        })
+
+    def match(group: pa.Table) -> pa.Table:
+        isw = group.column("is_win").to_numpy(zero_copy_only=False)
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        wid, ws = ids[isw], ts[isw]
+        o = np.lexsort((wid, ws))
+        wid, ws = wid[o], ws[o]
+        eid, ets = ids[~isw], ts[~isw]
+        # containment ws <= ts < ws + W  <=>  ts - W < ws <= ts
+        lo = np.searchsorted(ws, ets - W + 1, side="left")
+        hi = np.searchsorted(ws, ets, side="right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        ev_rep = np.repeat(eid, cnt)
+        ts_rep = np.repeat(ets, cnt)
+        cum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        widx = np.arange(tot) - np.repeat(cum, cnt) + np.repeat(lo, cnt)
+        return pa.table({
+            "window_id": pa.array(wid[widx], pa.int64()),
+            "event_id": pa.array(ev_rep, pa.int64()),
+            "offset_us": pa.array(ts_rep - ws[widx], pa.int64()),
+        })
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    wins = ev.map_batches(wrows, batch_format="pyarrow")
+    evs = ev.map_batches(erows, batch_format="pyarrow")
+    return (_regroup(wins.union(evs), 8)
+            .groupby("bin")
+            .map_groups(match, batch_format="pyarrow"))
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH w AS (
+  SELECT event_id AS window_id, epoch_us(ts) AS ws
+  FROM events WHERE event_id % 997 = 0
+)
+SELECT w.window_id, e.event_id,
+       (epoch_us(e.ts) - w.ws)::BIGINT AS offset_us
+FROM events e JOIN w
+  ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.ws + 900000000
+"""
+
+
+def q_orders_lineitem_join(sf_dir: str):
+    """Distributed big-x-big hash equi-join (orders x lineitem on
+    orderkey) — the shuffle-join shape the broadcast J2 pattern can't
+    cover when NEITHER side fits in memory. Plan: lineitem partials are
+    pre-aggregated per orderkey inside map_batches (the combiner), both
+    sides union under one schema and co-group by ``orderkey % 64`` —
+    ONE shuffle moving per-key partials, never raw rows; the in-bucket
+    merge is a vectorized sorted-merge (searchsorted), no per-key
+    python. The deterministic ``orderkey % 31`` filter is derivable on
+    BOTH sides without communication (key-predicate pushdown).
+    """
+    def l_partial(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        keep = k % 31 == 0
+        k = k[keep]
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        rev = np.floor(price * (1.0 - disc) * 100).astype(np.int64)
+        o = np.argsort(k, kind="stable")
+        k, rev = k[o], rev[o]
+        new = np.ones(len(k), dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.append(starts, len(k)))
+        revs = np.add.reduceat(rev, starts) if len(k) else rev
+        return pa.table({
+            "okey": pa.array(k[starts], pa.int64()),
+            "priority": pa.array([""] * len(starts), pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "rev": pa.array(revs, pa.int64()),
+            "is_order": pa.array(np.zeros(len(starts), dtype=bool)),
+        })
+
+    def o_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        keep = pa.array(k % 31 == 0)
+        kept = batch.filter(keep)
+        n = kept.num_rows
+        return pa.table({
+            "okey": kept.column("o_orderkey").cast(pa.int64()),
+            "priority": kept.column("o_orderpriority"),
+            "n": pa.array(np.zeros(n, dtype=np.int64)),
+            "rev": pa.array(np.zeros(n, dtype=np.int64)),
+            "is_order": pa.array(np.ones(n, dtype=bool)),
+        })
+
+    def jbucket(batch: pa.Table) -> pa.Table:
+        b = batch.column("okey").to_numpy(zero_copy_only=False) % 64
+        return batch.append_column("jb", pa.array(b.astype(np.int64)))
+
+    def join_group(group: pa.Table) -> pa.Table:
+        iso = group.column("is_order").to_numpy(zero_copy_only=False)
+        okey = group.column("okey").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        rev = group.column("rev").to_numpy(zero_copy_only=False)
+        lk, ln, lr = okey[~iso], n[~iso], rev[~iso]
+        o = np.argsort(lk, kind="stable")
+        lk, ln, lr = lk[o], ln[o], lr[o]
+        new = np.ones(len(lk), dtype=bool)
+        new[1:] = lk[1:] != lk[:-1]
+        starts = np.flatnonzero(new)
+        ukeys = lk[starts]
+        un = np.add.reduceat(ln, starts) if len(lk) else ln
+        ur = np.add.reduceat(lr, starts) if len(lk) else lr
+        oidx = np.flatnonzero(iso)
+        ok = okey[oidx]
+        pos = np.searchsorted(ukeys, ok)
+        hit = pos < len(ukeys)
+        hit[hit] = ukeys[pos[hit]] == ok[hit]  # inner join
+        sel = oidx[hit]
+        return pa.table({
+            "o_orderkey": pa.array(ok[hit], pa.int64()),
+            "o_orderpriority": group.column("priority").take(pa.array(sel)),
+            "n_lines": pa.array(un[pos[hit]], pa.int64()),
+            "revenue_cents": pa.array(ur[pos[hit]], pa.int64()),
+        })
+
+    lpart = _read(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_orderkey", "l_extendedprice", "l_discount"]
+                  ).map_batches(l_partial, batch_format="pyarrow")
+    orders = _read(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_orderpriority"]
+                   ).map_batches(o_rows, batch_format="pyarrow")
+    return (_regroup(lpart.union(orders)
+                     .map_batches(jbucket, batch_format="pyarrow"), 8)
+            .groupby("jb")
+            .map_groups(join_group, batch_format="pyarrow"))
+
+
+SQL_ORDERS_LINEITEM_JOIN = """
+SELECT o_orderkey, o_orderpriority,
+       count(*)::BIGINT AS n_lines,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+         AS revenue_cents
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey % 31 = 0
+GROUP BY o_orderkey, o_orderpriority
+"""
+
+
 def q_store_roundtrip(sf_dir: str):
     """Zarr store write/read roundtrip under the driver oracle (S1-S4 +
     A4): documents are rasterized into per-tile count grids, written
@@ -1390,6 +1554,8 @@ REGISTRY: dict[str, tuple] = {
     "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "store_roundtrip": (q_store_roundtrip, SQL_RASTERIZE_ROUNDTRIP),
+    "orders_lineitem_join": (q_orders_lineitem_join, SQL_ORDERS_LINEITEM_JOIN),
+    "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
 }
 
 
