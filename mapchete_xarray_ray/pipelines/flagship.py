@@ -261,7 +261,6 @@ def _tile_writer(spec: JobSpec, process_fn=None):
             return (g.reshape(3, spec.chunk_px, spec.chunk_px)
                      .clip(info.min, info.max).astype(spec.dtype))
 
-        tensor = grids(pix, en, lt)
         if spec.time is not None:
             ts = group.column("warc_ts").to_numpy(zero_copy_only=False)
             uniq = np.array(sorted(set(ts.tolist())), dtype="datetime64[us]")
@@ -270,6 +269,7 @@ def _tile_writer(spec: JobSpec, process_fn=None):
             n_chunks = store.write_tile(row, col, tensor4, timestamps=uniq)
             written_arr = tensor4  # lineage checksum attests written bytes
         else:
+            tensor = grids(pix, en, lt)
             n_chunks = store.write_tile(row, col, tensor)
             written_arr = tensor
 

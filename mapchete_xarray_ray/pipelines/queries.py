@@ -98,6 +98,25 @@ def collect_table(res):
     return pa.concat_tables(tabs) if tabs else pa.table({})
 
 
+def _mod_bucket(col: str, out: str = "bucket", mod: int = 64,
+                empty: dict | None = None):
+    """map_batches fn factory: append ``out = col % mod`` (the coarse
+    shuffle key for the one-python-call-per-bucket group pattern).
+    ``empty`` maps column name -> pyarrow type for the typed
+    empty-table guard — post-groupby stages can hand over zero-column
+    blocks, and an unguarded ``batch.column(col)`` there raises."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if col not in batch.column_names:
+            cols = dict(empty or {})
+            cols[out] = pa.int64()
+            return pa.table({n: pa.array([], t) for n, t in cols.items()})
+        b = batch.column(col).to_numpy(zero_copy_only=False) % mod
+        return batch.append_column(out, pa.array(b.astype(np.int64)))
+
+    return fn
+
+
 def _schema_finalize(ds, cols: dict):
     """map_batches stage that coerces every block to one fixed schema.
 
@@ -262,16 +281,6 @@ def q_pip_join(sf_dir: str):
         (rid, [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
         for rid, x0, y0, x1, y1 in rects
     ]
-    def finalize(batch: pa.Table) -> pa.Table:
-        # Explicit fixed schema: Ray 2.49 delivers heterogeneous blocks
-        # (fused-projection vs post-join) to the driver, and
-        # select_columns over them breaks concat. Same pattern as q_knn.
-        if "doc_id" not in batch.column_names:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "region_id": pa.array([], pa.int64())})
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "region_id": batch.column("region_id")})
-
     ds = (
         _docs(sf_dir, ["doc_id"])
         .map_batches(assign_doc_ids_fn(ZOOM), batch_format="pyarrow")
@@ -281,9 +290,11 @@ def q_pip_join(sf_dir: str):
             batch_format="pyarrow",
             concurrency=2,
         )
-        .map_batches(finalize, batch_format="pyarrow")
     )
-    return ds
+    # explicit fixed schema instead of select_columns: Ray 2.49 can
+    # deliver heterogeneous (fused-projection vs post-join) blocks
+    return _schema_finalize(ds, {"doc_id": pa.int64(),
+                                 "region_id": pa.int64()})
 
 
 # (region_id, minx, miny, maxx, maxy) in global z5 pixel coords;
@@ -555,9 +566,9 @@ def q_minhash_neardup(sf_dir: str):
         pair_ref_rows, batch_format="pyarrow")
     texts = docs.map_batches(cand_text_rows, batch_format="pyarrow")
 
-    def dbucket(batch: pa.Table) -> pa.Table:
-        b = batch.column("doc_id").to_numpy(zero_copy_only=False) % 64
-        return batch.append_column("db", pa.array(b.astype(np.int64)))
+    dbucket = _mod_bucket("doc_id", "db", empty={
+        "pid": pa.int64(), "doc_id": pa.int64(), "side": pa.int64(),
+        "text": pa.string()})
 
     def attach_text(group: pa.Table) -> pa.Table:
         side = group.column("side").to_numpy(zero_copy_only=False)
@@ -581,14 +592,8 @@ def q_minhash_neardup(sf_dir: str):
               .groupby("db")
               .map_groups(attach_text, batch_format="pyarrow"))
 
-    def pbucket2(batch: pa.Table) -> pa.Table:
-        if "pid" not in batch.column_names:
-            return pa.table({"pid": pa.array([], pa.int64()),
-                             "side": pa.array([], pa.int64()),
-                             "text": pa.array([], pa.string()),
-                             "pb": pa.array([], pa.int64())})
-        b = batch.column("pid").to_numpy(zero_copy_only=False) % 64
-        return batch.append_column("pb", pa.array(b.astype(np.int64)))
+    pbucket2 = _mod_bucket("pid", "pb", empty={
+        "pid": pa.int64(), "side": pa.int64(), "text": pa.string()})
 
     def score(group: pa.Table) -> pa.Table:
         pid = group.column("pid").to_numpy(zero_copy_only=False)
@@ -908,10 +913,9 @@ def q_events_sessions(sf_dir: str):
             "n_events": pa.array(ends - starts, pa.int64()),
         })
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        b = batch.column("user_id").to_numpy(zero_copy_only=False) % 64
-        return batch.append_column("bucket", pa.array(b.astype(np.int64)))
-
+    add_bucket = _mod_bucket("user_id", empty={
+        "event_id": pa.int64(), "ts": pa.timestamp("us"),
+        "user_id": pa.int64()})
     return (
         _regroup(_read(f"{sf_dir}/events.parquet",
                        columns=["event_id", "ts", "user_id"])
@@ -1149,9 +1153,9 @@ def q_running_totals(sf_dir: str):
     not just a commutative groupby."""
     from mapchete_xarray_ray.stages.streaming import running_totals_group
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        b = batch.column("user_id").to_numpy(zero_copy_only=False) % 32
-        return batch.append_column("bucket", pa.array(b.astype(np.int64)))
+    add_bucket = _mod_bucket("user_id", mod=32, empty={
+        "event_id": pa.int64(), "ts": pa.timestamp("us"),
+        "user_id": pa.int64(), "value": pa.float64()})
 
     return (
         _regroup(_read(
@@ -1209,10 +1213,9 @@ def q_events_asof(sf_dir: str):
             "gap_us": pa.array(prev_gap),
         })
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        b = batch.column("user_id").to_numpy(zero_copy_only=False) % 64
-        return batch.append_column("bucket", pa.array(b.astype(np.int64)))
-
+    add_bucket = _mod_bucket("user_id", empty={
+        "event_id": pa.int64(), "ts": pa.timestamp("us"),
+        "user_id": pa.int64()})
     return (
         _regroup(_read(f"{sf_dir}/events.parquet",
                        columns=["event_id", "ts", "user_id"])
@@ -1329,10 +1332,12 @@ def q_events_range_join(sf_dir: str):
             "offset_us": pa.array(ts_rep - ws[widx], pa.int64()),
         })
 
+    def both(batch: pa.Table) -> pa.Table:
+        # one read feeds both sides (no second scan of the big input)
+        return pa.concat_tables([wrows(batch), erows(batch)])
+
     ev = _read(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
-    wins = ev.map_batches(wrows, batch_format="pyarrow")
-    evs = ev.map_batches(erows, batch_format="pyarrow")
-    return (_regroup(wins.union(evs), 8)
+    return (_regroup(ev.map_batches(both, batch_format="pyarrow"), 8)
             .groupby("bin")
             .map_groups(match, batch_format="pyarrow"))
 
@@ -1396,9 +1401,9 @@ def q_orders_lineitem_join(sf_dir: str):
             "is_order": pa.array(np.ones(n, dtype=bool)),
         })
 
-    def jbucket(batch: pa.Table) -> pa.Table:
-        b = batch.column("okey").to_numpy(zero_copy_only=False) % 64
-        return batch.append_column("jb", pa.array(b.astype(np.int64)))
+    jbucket = _mod_bucket("okey", "jb", empty={
+        "okey": pa.int64(), "priority": pa.string(), "n": pa.int64(),
+        "rev": pa.int64(), "is_order": pa.bool_()})
 
     def join_group(group: pa.Table) -> pa.Table:
         iso = group.column("is_order").to_numpy(zero_copy_only=False)

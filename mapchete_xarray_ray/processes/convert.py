@@ -84,6 +84,11 @@ def make_convert_process(band_names=None, index=None, index_band=None,
                                   [None, lang == "en", text_len >= 80])
         names = list(band_names) if band_names is not None else list(
             spec.band_names)
+        if len(names) != tensor.shape[0]:
+            raise ValueError(
+                f"process produced {tensor.shape[0]} bands but "
+                f"{len(names)} band names are declared"
+            )
         out = dict(zip(names, tensor))
         attrs = {}
         if index is not None:

@@ -189,6 +189,23 @@ class ZarrTileStore:
         # matches the reference layout (s2_stack.zarr: shape [5,...],
         # chunks [8,...]), so reference-written chunk files decode here
         self.time_chunk = spec.time_chunksize if self.has_time else 0
+        self._layout_synced = False
+
+    def _sync_time_chunk(self) -> None:
+        """Align the decode layout with the STORED chunk shape: an
+        existing archive written under another time-chunk layout (e.g.
+        the pre-r2 min(n_time, chunksize) convention) must be decoded
+        by its on-disk ``.zarray``, not by what the spec would write
+        today. One metadata read, cached."""
+        if not self.has_time or self._layout_synced:
+            return
+        self._layout_synced = True
+        buf = _get_bytes(os.path.join(self.path, self.spec.band_names[0],
+                                      ".zarray"))
+        if buf is not None:
+            chunks = json.loads(buf).get("chunks")
+            if chunks and len(chunks) == 3 and int(chunks[0]) > 0:
+                self.time_chunk = int(chunks[0])
 
     # --- S1: initialize --------------------------------------------------
     def initialize(self) -> None:
@@ -270,8 +287,16 @@ class ZarrTileStore:
             if (us % div == 0).all():
                 break
         vals = (us // div).astype("<i8")
-        start_str = (np.datetime_as_string(start, unit="D") if unit == "days"
-                     else np.datetime_as_string(start, unit="s").replace("T", " "))
+        # the BASE must carry start's full precision too: a day-unit
+        # archive starting at 12:00, or a second-unit one starting at
+        # .5 s, decodes shifted if the base string truncates
+        start_us = start.astype("datetime64[us]").astype("<i8")
+        if unit == "days" and start_us % 86_400_000_000 == 0:
+            start_str = np.datetime_as_string(start, unit="D")
+        elif start_us % 1_000_000 == 0:
+            start_str = np.datetime_as_string(start, unit="s").replace("T", " ")
+        else:
+            start_str = np.datetime_as_string(start, unit="us").replace("T", " ")
         zarray = _zarray_meta((len(ts),), (len(ts),), "<i8", None, self.compressor)
         zattrs = {
             "_ARRAY_DIMENSIONS": [spec.time_axis_name],
@@ -326,6 +351,7 @@ class ZarrTileStore:
         return tile_row - row0, tile_col - col0
 
     def chunk_files(self, band: str, crow: int, ccol: int) -> list[str]:
+        self._sync_time_chunk()
         if self.has_time:
             n_tchunks = math.ceil(self.n_time / self.time_chunk)
             return [os.path.join(self.path, band, f"{t}.{crow}.{ccol}")
@@ -349,6 +375,7 @@ class ZarrTileStore:
         """
         if data is None or data.size == 0:
             return 0
+        self._sync_time_chunk()
         spec = self.spec
         dt = np.dtype(spec.dtype)
         crow, ccol = self.tile_to_chunk(tile_row, tile_col)
@@ -442,6 +469,7 @@ class ZarrTileStore:
         ``bands``: list of band names (already resolved). ``time_idxs``:
         indices into the time coordinate.
         """
+        self._sync_time_chunk()
         spec = self.spec
         dt = np.dtype(spec.dtype)
         bands = bands or spec.band_names

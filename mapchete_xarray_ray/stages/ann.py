@@ -93,27 +93,6 @@ def brute_topk_stage(query_ref, k: int, id_col: str = "vec_id",
     return fn
 
 
-def merge_topk_per_query(k: int):
-    """map_groups fn: merge per-batch partial candidate lists."""
-
-    def fn(group: pa.Table) -> pa.Table:
-        q = group.column("vec_id").to_numpy(zero_copy_only=False)
-        c = group.column("neighbor_id").to_numpy(zero_copy_only=False)
-        s = group.column("cosine").to_numpy(zero_copy_only=False)
-        _, uidx = np.unique(c, return_index=True)
-        c, s = c[uidx], s[uidx]
-        order = np.lexsort((c, -s))[: min(k, len(c))]
-        n = len(order)
-        return pa.table({
-            "vec_id": pa.array(np.full(n, q[0]), pa.int64()),
-            "neighbor_id": pa.array(c[order], pa.int64()),
-            "rank": pa.array(np.arange(1, n + 1), pa.int64()),
-            "cosine": pa.array(s[order], pa.float64()),
-        })
-
-    return fn
-
-
 def _add_id_bucket(batch: pa.Table) -> pa.Table:
     """Coarse merge key: one python group-call per BUCKET (id % 64),
     not per query — the repo's measured ~30ms/group dispatch rule."""
@@ -225,14 +204,28 @@ def ivf_assign_stage(cent_ref, nprobe: int = 1, id_col: str = "vec_id",
 def ivf_assign_both_stage(cent_ref, nprobe: int, id_col: str = "vec_id",
                           emb_col: str = "embedding"):
     """One-pass variant for self-join ANN (every corpus vector is also
-    a query): emits the vector's single inverted-list row AND its
-    ``nprobe`` probe copies from ONE read of the batch — halves the
-    input executions vs running two assign stages + union."""
-    lists = ivf_assign_stage(cent_ref, 1, id_col, emb_col, as_query=False)
-    probes = ivf_assign_stage(cent_ref, nprobe, id_col, emb_col, as_query=True)
+    a query): ONE decode + centroid matmul per batch emits both the
+    vector's single inverted-list row (top-1 centroid) and its
+    ``nprobe`` probe copies — halves input executions vs two assign
+    stages + union, without re-running the assignment compute."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        return pa.concat_tables([lists(batch), probes(batch)])
+        cent = ray.get(cent_ref)
+        m = normalize_rows(_embedding_matrix(batch, emb_col))
+        sims = m @ cent.T  # (n, C)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]  # (n, p)
+        n = len(m)
+        # inverted-list rows: top-1; probe rows: top-nprobe
+        idx = np.concatenate([np.arange(n), np.repeat(np.arange(n), nprobe)])
+        clusters = np.concatenate([top[:, 0], top.reshape(-1)])
+        is_query = np.concatenate([np.zeros(n, dtype=bool),
+                                   np.ones(n * nprobe, dtype=bool)])
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(idx)),
+            emb_col: batch.column(emb_col).take(pa.array(idx)),
+            "cluster": pa.array(clusters.astype(np.int64)),
+            "is_query": pa.array(is_query),
+        })
 
     return fn
 

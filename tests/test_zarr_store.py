@@ -271,3 +271,32 @@ def test_monthly_pattern_archive_reopen(tmp_path):
     with pytest.raises(ValueError, match="incompatible"):
         ZarrTileStore(make_spec(
             tmp_path, time=dict(time, pattern="0 0 * * *"))).prepare()
+
+
+def test_legacy_time_chunk_layout_decodes(tmp_path):
+    """Archives written under the old min(n_time, chunksize) layout
+    (pre-r2) must still decode: the store syncs its decode layout from
+    the stored .zarray chunks, not from what it would write today."""
+    spec = make_spec(tmp_path, time=dict(TIME, chunksize=10), dtype="uint16")
+    store = ZarrTileStore(spec)
+    store.prepare()
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 500, (3, 5, 256, 256), dtype=np.uint16)
+    ts = np.array(TIME["steps"], dtype="datetime64[us]")
+    store.write_tile(1, 1, data, timestamps=ts)
+    # rewrite to the legacy layout: 5-slice chunks + matching .zarray
+    for b in spec.band_names:
+        zp = os.path.join(spec.path, b, ".zarray")
+        za = json.load(open(zp))
+        full = np.frombuffer(
+            zlib.decompress(open(os.path.join(spec.path, b, "0.1.1"),
+                                 "rb").read()),
+            dtype="<u2").reshape(10, 256, 256)
+        za["chunks"][0] = 5
+        json.dump(za, open(zp, "w"))
+        open(os.path.join(spec.path, b, "0.1.1"), "wb").write(
+            zlib.compress(full[:5].tobytes(), 1))
+    legacy = ZarrTileStore(make_spec(tmp_path, time=dict(TIME, chunksize=10),
+                                     dtype="uint16"))
+    got = legacy.read_tile(1, 1)
+    np.testing.assert_array_equal(got, data)
