@@ -127,7 +127,14 @@ def run_pyramid_step(in_path: str, out_path: str, how: str = "sum",
     out_store.prepare()
 
     r0, r1, c0, c1 = out_spec.tile_range()
-    tiles = [(r, c) for r in range(r0, r1 + 1) for c in range(c0, c1 + 1)]
+    # enumerate parents from the CHILD archive's existing chunks (one
+    # LIST per band prefix), not the full grid: a sparse z-level keeps
+    # the work list at O(written tiles), and a skipped parent reads
+    # back as fill anyway — same semantics, none of the empty writes
+    in_store = ZarrTileStore(in_spec)
+    parents = {(cr // 2, cc // 2) for cr, cc in in_store.existing_tiles()}
+    tiles = [(r, c) for r, c in sorted(parents)
+             if r0 <= r <= r1 and c0 <= c <= c1]
     tiles = prune_tiles(tiles, out_spec, archive_bbox(in_spec))
     if mode == "continue":
         done = completed_tiles(out_store)

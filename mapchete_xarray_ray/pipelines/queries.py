@@ -1455,16 +1455,11 @@ GROUP BY o_orderkey, o_orderpriority
 """
 
 
-def q_store_roundtrip(sf_dir: str):
-    """Zarr store write/read roundtrip under the driver oracle (S1-S4 +
-    A4): documents are rasterized into per-tile count grids, written
-    tile-by-tile into a real :class:`ZarrTileStore` archive (encode +
-    chunk addressing + fill handling), then read back via
-    :meth:`read_tile` and vectorized to one row per non-zero pixel. The
-    SQL twin is the plain per-pixel GROUP BY — any byte-level breakage
-    in the store (encode/decode, chunk naming, tile->chunk offset)
-    flips the hash. Reference contract: _output.py:353-390, 422-458.
-    """
+def _write_counts_archive(sf_dir: str):
+    """Rasterize documents into a fresh per-tile count archive at ZOOM
+    (the shared write half of the store/pyramid roundtrip queries).
+    Returns (spec, spec_ref, written) AFTER the write barrier — only the
+    small (tile_row, tile_col) list lands on the driver."""
     import os
     import tempfile
 
@@ -1478,29 +1473,50 @@ def q_store_roundtrip(sf_dir: str):
     ZarrTileStore(spec).initialize()
     spec_ref = ray.put(spec)  # broadcast once; actors rebuild the handle
 
-    def write_tile_group(group: pa.Table) -> pa.Table:
+    def write_tile_bucket(group: pa.Table) -> pa.Table:
+        # one python call per TILE BUCKET (tile_id % 64), many tiles per
+        # call: a tile's rows live wholly in one bucket, so chunk
+        # ownership (one writer per chunk file) is preserved
         if group.num_rows == 0 or "tile_id" not in group.column_names:
             return pa.table({"tile_row": pa.array([], pa.int64()),
                              "tile_col": pa.array([], pa.int64())})
         store = ZarrTileStore(ray.get(spec_ref))
-        row = int(group.column("tile_row")[0].as_py())
-        col = int(group.column("tile_col")[0].as_py())
+        tid = group.column("tile_id").to_numpy(zero_copy_only=False)
         px = group.column("px").to_numpy(zero_copy_only=False)
         py = group.column("py").to_numpy(zero_copy_only=False)
-        grid = np.zeros((256, 256), dtype=np.int32)
-        np.add.at(grid, (py % 256, px % 256), 1)
-        store.write_tile(row, col, grid[None])  # (bands, h, w)
-        return pa.table({"tile_row": pa.array([row], pa.int64()),
-                         "tile_col": pa.array([col], pa.int64())})
+        trow = group.column("tile_row").to_numpy(zero_copy_only=False)
+        tcol = group.column("tile_col").to_numpy(zero_copy_only=False)
+        o = np.argsort(tid, kind="stable")
+        tid, px, py, trow, tcol = tid[o], px[o], py[o], trow[o], tcol[o]
+        new = np.ones(len(tid), dtype=bool)
+        new[1:] = tid[1:] != tid[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(tid))
+        out_r, out_c = [], []
+        for s, e in zip(starts, ends):
+            grid = np.zeros((256, 256), dtype=np.int32)
+            np.add.at(grid, (py[s:e] % 256, px[s:e] % 256), 1)
+            store.write_tile(int(trow[s]), int(tcol[s]), grid[None])
+            out_r.append(int(trow[s]))
+            out_c.append(int(tcol[s]))
+        return pa.table({"tile_row": pa.array(out_r, pa.int64()),
+                         "tile_col": pa.array(out_c, pa.int64())})
 
     written = collect_table(
         _regroup(_docs(sf_dir, ["doc_id"])
                  .map_batches(assign_doc_ids_fn(ZOOM), batch_format="pyarrow")
-                 .select_columns(["px", "py", "tile_row", "tile_col", "tile_id"]))
-        .groupby("tile_id")
-        .map_groups(write_tile_group, batch_format="pyarrow"))
-    # barrier: collect_table materializes the writes; only the small
-    # (tile_row, tile_col) list lands on the driver (<= n_tiles rows)
+                 .select_columns(["px", "py", "tile_row", "tile_col", "tile_id"])
+                 .map_batches(_mod_bucket("tile_id", "tb"),
+                              batch_format="pyarrow"))
+        .groupby("tb")
+        .map_groups(write_tile_bucket, batch_format="pyarrow"))
+    return spec, spec_ref, written
+
+
+def _pixel_rows_stage(spec_ref, zoom: int):
+    """map_batches fn over a (tile_row, tile_col) work list: read each
+    tile back and emit one row per non-zero pixel."""
+    from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
 
     def read_tiles(batch: pa.Table) -> pa.Table:
         store = ZarrTileStore(ray.get(spec_ref))
@@ -1511,7 +1527,7 @@ def q_store_roundtrip(sf_dir: str):
         for row, col in zip(rows, cols):
             grid = store.read_tile(int(row), int(col))[0]
             yy, xx = np.nonzero(grid)
-            tid = (ZOOM << 58) | (int(row) << 29) | int(col)
+            tid = (zoom << 58) | (int(row) << 29) | int(col)
             out_tid.append(np.full(len(yy), tid, dtype=np.int64))
             out_iy.append(yy.astype(np.int64))
             out_ix.append(xx.astype(np.int64))
@@ -1523,8 +1539,74 @@ def q_store_roundtrip(sf_dir: str):
                          "ix": pa.array(cat(out_ix)),
                          "n_docs": pa.array(cat(out_n))})
 
+    return read_tiles
+
+
+def q_store_roundtrip(sf_dir: str):
+    """Zarr store write/read roundtrip under the driver oracle (S1-S4 +
+    A4): documents are rasterized into per-tile count grids, written
+    tile-by-tile into a real :class:`ZarrTileStore` archive (encode +
+    chunk addressing + fill handling), then read back via
+    :meth:`read_tile` and vectorized to one row per non-zero pixel. The
+    SQL twin is the plain per-pixel GROUP BY — any byte-level breakage
+    in the store (encode/decode, chunk naming, tile->chunk offset)
+    flips the hash. Reference contract: _output.py:353-390, 422-458.
+    """
+    _spec, spec_ref, written = _write_counts_archive(sf_dir)
     return ray.data.from_arrow(written).map_batches(
-        read_tiles, batch_format="pyarrow")
+        _pixel_rows_stage(spec_ref, ZOOM), batch_format="pyarrow")
+
+
+def q_pyramid_roundtrip(sf_dir: str):
+    """E3 (output-as-input pyramid) under the driver oracle: rasterize
+    docs into a z5 count archive, run the real pyramid step (per-parent
+    2x2 mosaic read -> sum-downsample -> z4 write, no shuffle —
+    pipelines/pyramid.py), read the z4 archive back and emit per-pixel
+    rows. The SQL twin aggregates counts directly at z4 pixel
+    coordinates (px//2, py//2) — any error in the mosaic window read,
+    the block-reduce, or the child/parent tile addressing flips the
+    hash. Reference contract: _output.py:146-163, 165-200, 556.
+    """
+    import os
+
+    from mapchete_xarray_ray.pipelines.pyramid import run_pyramid_step
+    from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+
+    spec, _spec_ref, _written = _write_counts_archive(sf_dir)
+    z4_path = os.path.join(os.path.dirname(spec.path), "counts_z4.zarr")
+    # consuming the step's Dataset is the write barrier; pool sized to
+    # HALF the session CPUs (at 0.5 cpu/actor that reserves a quarter)
+    # — a pool that covers every CPU deadlocks its own producer tasks
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    collect_table(run_pyramid_step(spec.path, z4_path, how="sum",
+                                   concurrency=max(2, n_cpus // 2)))
+
+    from mapchete_xarray_ray.sources.zarr_input import spec_from_archive
+
+    z4_spec = spec_from_archive(z4_path)
+    z4_store = ZarrTileStore(z4_spec)
+    tiles = sorted(z4_store.existing_tiles())
+    work = pa.table({
+        "tile_row": pa.array([t[0] for t in tiles], pa.int64()),
+        "tile_col": pa.array([t[1] for t in tiles], pa.int64()),
+    })
+    out = ray.data.from_arrow(work).map_batches(
+        _pixel_rows_stage(ray.put(z4_spec), 4), batch_format="pyarrow")
+    return _schema_finalize(out, {"tile_id": pa.int64(), "iy": pa.int64(),
+                                  "ix": pa.int64(), "n_docs": pa.int64()})
+
+
+SQL_PYRAMID_ROUNDTRIP = """
+SELECT
+  (4::BIGINT << 58)
+    | (((((doc_id * 40503) % 8192) // 2) // 256)::BIGINT << 29)
+    | ((((doc_id * 2654435761) % 16384) // 2) // 256) AS tile_id,
+  (((doc_id * 40503) % 8192) // 2) % 256 AS iy,
+  (((doc_id * 2654435761) % 16384) // 2) % 256 AS ix,
+  count(*)::BIGINT AS n_docs
+FROM documents
+GROUP BY tile_id, iy, ix
+"""
 
 
 # --- registry ------------------------------------------------------------
@@ -1561,6 +1643,7 @@ REGISTRY: dict[str, tuple] = {
     "store_roundtrip": (q_store_roundtrip, SQL_RASTERIZE_ROUNDTRIP),
     "orders_lineitem_join": (q_orders_lineitem_join, SQL_ORDERS_LINEITEM_JOIN),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
+    "pyramid_roundtrip": (q_pyramid_roundtrip, SQL_PYRAMID_ROUNDTRIP),
 }
 
 
