@@ -1609,6 +1609,158 @@ GROUP BY tile_id, iy, ix
 """
 
 
+def q_frame_sample(sf_dir: str):
+    """Multimodal frame sampling under the driver's EXACT hash: doc
+    text bytes stand in for opaque video payloads; the actor-pool
+    :class:`FrameSampleStage` (flat_map shape — one row per sampled
+    frame, stride 2) slices each payload into ``(doc_id % 7) + 2``
+    frame segments. The fake codec is deterministic byte slicing, so
+    the SQL twin reproduces every frame byte-for-byte via substr — the
+    Ray-side plumbing (actor pool, small binary batches, flat_map
+    output schema) is the real thing being checked.
+    """
+    from mapchete_xarray_ray.stages.multimodal import FrameSampleStage
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "id": pa.array(d, pa.int64()),
+            "payload": pa.array([t.encode("utf-8") for t in texts],
+                                pa.binary()),
+            "n_frames": pa.array((d % 7) + 2, pa.int64()),
+        })
+
+    ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs=dict(backend="fake", stride=2),
+            batch_format="pyarrow",
+            batch_size=256,   # wide binary rows -> bounded batches
+            concurrency=2,
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if "id" not in batch.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "frame_idx": pa.array([], pa.int64()),
+                             "frame_text": pa.array([], pa.string())})
+        return pa.table({
+            "doc_id": batch.column("id"),
+            "frame_idx": batch.column("frame_idx"),
+            "frame_text": batch.column("frame_payload").cast(pa.string()),
+        })
+
+    return ds.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_FRAME_SAMPLE = """
+WITH f AS (
+  SELECT doc_id, text, (doc_id % 7) + 2 AS nf,
+         greatest(length(text) // ((doc_id % 7) + 2), 1) AS seg
+  FROM documents
+)
+SELECT doc_id, frame_idx,
+       substr(text, (frame_idx * seg)::INT + 1, seg::INT) AS frame_text
+FROM (SELECT doc_id, text, seg,
+             unnest(range(0, nf::BIGINT, 2)) AS frame_idx
+      FROM f)
+"""
+
+
+def q_lineitem_median(sf_dir: str):
+    """Distributed EXACT median (lower median, rank (n+1)//2) of
+    integer price cents per (returnflag, linestatus) — the distributed
+    selection shape no single-pass commutative aggregate can express.
+    Two streaming passes: (1) per-batch partial histograms over coarse
+    4096-cent buckets (vectorized, pre-combined per batch) locate each
+    key's median bucket and the rank within it; (2) a filtered rescan
+    collects ONLY that bucket's values (~n / n_buckets rows) for the
+    exact pick. Driver holds histograms + one bucket per key, never the
+    data."""
+    COLS = ["l_returnflag", "l_linestatus", "l_extendedprice"]
+    SHIFT = 12  # 4096-cent histogram buckets
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "bucket": pa.array(cents >> SHIFT),
+            "n": pa.array(np.ones(len(cents), dtype=np.int64)),
+        })
+        g = t.group_by(["l_returnflag", "l_linestatus", "bucket"]).aggregate(
+            [("n", "sum")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "bucket", "n"])
+
+    hist = collect_table(
+        _regroup(_read(f"{sf_dir}/lineitem.parquet", columns=COLS)
+                 .map_batches(hist_partial, batch_format="pyarrow"))
+        .groupby(["l_returnflag", "l_linestatus", "bucket"])
+        .sum("n"))
+    hdf = hist.to_pandas().rename(columns={"sum(n)": "n"})
+
+    # per key: median rank -> owning bucket + rank within the bucket
+    targets = {}
+    for key, grp in hdf.groupby(["l_returnflag", "l_linestatus"]):
+        grp = grp.sort_values("bucket")
+        counts = grp["n"].to_numpy()
+        cum = np.cumsum(counts)
+        rank = (int(cum[-1]) + 1) // 2  # 1-based lower median
+        bi = int(np.searchsorted(cum, rank))
+        targets[key] = (int(grp["bucket"].iloc[bi]),
+                        rank - (int(cum[bi - 1]) if bi else 0))
+    t_ref = ray.put(targets)
+
+    def keep_bucket(batch: pa.Table) -> pa.Table:
+        tg = ray.get(t_ref)
+        rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        ls = batch.column("l_linestatus").to_numpy(zero_copy_only=False)
+        cents = np.floor(batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        bucket = cents >> SHIFT
+        keep = np.zeros(len(cents), dtype=bool)
+        for (krf, kls), (kb, _r) in tg.items():
+            keep |= (rf == krf) & (ls == kls) & (bucket == kb)
+        return pa.table({
+            "l_returnflag": pa.array(rf[keep], pa.string()),
+            "l_linestatus": pa.array(ls[keep], pa.string()),
+            "cents": pa.array(cents[keep], pa.int64()),
+        })
+
+    narrowed = collect_table(
+        _read(f"{sf_dir}/lineitem.parquet", columns=COLS)
+        .map_batches(keep_bucket, batch_format="pyarrow"))
+    ndf = narrowed.to_pandas()
+    rows = []
+    for key, (kb, rank_in) in sorted(targets.items()):
+        vals = np.sort(ndf[(ndf["l_returnflag"] == key[0])
+                           & (ndf["l_linestatus"] == key[1])]["cents"].to_numpy())
+        rows.append((key[0], key[1], int(vals[rank_in - 1])))
+    return pa.table({
+        "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+        "l_linestatus": pa.array([r[1] for r in rows], pa.string()),
+        "median_cents": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+SQL_LINEITEM_MEDIAN = """
+SELECT l_returnflag, l_linestatus, cents AS median_cents FROM (
+  SELECT l_returnflag, l_linestatus,
+         floor(l_extendedprice * 100)::BIGINT AS cents,
+         row_number() OVER (
+           PARTITION BY l_returnflag, l_linestatus
+           ORDER BY floor(l_extendedprice * 100)::BIGINT) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+  FROM lineitem
+) WHERE rn = (n + 1) // 2
+"""
+
+
 # --- registry ------------------------------------------------------------
 
 REGISTRY: dict[str, tuple] = {
@@ -1644,6 +1796,8 @@ REGISTRY: dict[str, tuple] = {
     "orders_lineitem_join": (q_orders_lineitem_join, SQL_ORDERS_LINEITEM_JOIN),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "pyramid_roundtrip": (q_pyramid_roundtrip, SQL_PYRAMID_ROUNDTRIP),
+    "lineitem_median": (q_lineitem_median, SQL_LINEITEM_MEDIAN),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
 }
 
 
