@@ -1682,7 +1682,9 @@ def q_lineitem_median(sf_dir: str):
     exact pick. Driver holds histograms + one bucket per key, never the
     data."""
     COLS = ["l_returnflag", "l_linestatus", "l_extendedprice"]
-    SHIFT = 12  # 4096-cent histogram buckets
+    SHIFT = 16  # 65k-cent histogram buckets: ~170 buckets over the price
+    # range keeps the per-batch partials small (pre-aggregation works),
+    # and the pass-2 rescan still collects only ~n/170 rows per key
 
     def hist_partial(batch: pa.Table) -> pa.Table:
         cents = np.floor(batch.column("l_extendedprice").to_numpy(

@@ -117,16 +117,41 @@ _FP_BASE = np.uint64(257)
 def fingerprint_stage(batch: pa.Table, col: str = "text",
                       id_col: str = "doc_id") -> pa.Table:
     """Polynomial rolling hash of the utf-8 bytes, mod 2^64 (numpy
-    wraparound): fp = sum(byte[i] * 257^(n-1-i)). Vectorized per doc
-    with a precomputed power table."""
-    texts = batch.column(col).to_pylist()
-    maxlen = max((len(t.encode("utf-8")) for t in texts), default=1)
-    pows = np.ones(maxlen, dtype=np.uint64)
-    for i in range(1, maxlen):
-        pows[i] = pows[i - 1] * _FP_BASE  # wraps mod 2^64
-    fps = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        n = len(b)
-        fps[i] = (b * pows[:n][::-1]).sum() if n else np.uint64(0)
+    wraparound): fp = sum(byte[i] * 257^(n-1-i)). One concatenated
+    bytes pass over the whole batch — per-position exponents come from
+    segment arithmetic and the per-doc sum is a single ``reduceat``
+    (no python loop per doc)."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # concatenated utf-8 bytes + per-doc lengths straight from the
+    # Arrow string buffers (no per-row python strings)
+    flat = arr.cast(pa.binary())
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    off0 = flat.offset  # sliced arrays: offsets buffer starts earlier
+    offsets = np.frombuffer(flat.buffers()[1], dtype=np.int32,
+                            count=off0 + len(flat) + 1)[off0:].astype(np.int64)
+    data_buf = flat.buffers()[2]
+    all_bytes = (np.frombuffer(data_buf, dtype=np.uint8)
+                 if data_buf is not None else np.empty(0, np.uint8))
+    lens = np.diff(offsets)
+    starts = offsets[:-1] - offsets[0]
+    total = int(lens.sum())
+    b = all_bytes[offsets[0]:offsets[0] + total].astype(np.uint64)
+    if total:
+        maxlen = int(lens.max())
+        pows = np.ones(maxlen, dtype=np.uint64)
+        pows[1:] = _FP_BASE
+        np.cumprod(pows, out=pows)  # wraps mod 2^64
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        exp = np.repeat(lens, lens) - 1 - pos
+        contrib = b * pows[exp]
+        fps = np.zeros(len(lens), dtype=np.uint64)
+        nonempty = lens > 0
+        red_starts = starts[nonempty]
+        if len(red_starts):
+            fps[nonempty] = np.add.reduceat(contrib, red_starts)
+    else:
+        fps = np.zeros(len(lens), dtype=np.uint64)
     return batch.append_column("fingerprint", pa.array(fps.astype(np.int64)))
