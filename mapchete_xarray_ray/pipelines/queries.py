@@ -55,18 +55,18 @@ _CELL_SQL = _morton_sql("((doc_id * 40503) % 8192) // 256",
                         "((doc_id * 2654435761) % 16384) // 256")
 
 
-def _strip_meta(batch: pa.Table) -> pa.Table:
-    """Drop parquet/pandas schema metadata (zero-copy). Blocks that keep
-    it make ``hash(schema)`` raise inside Ray's shuffle reduce
-    (pyarrow Schema with a metadata dict is unhashable), producing
-    per-task 'Failed to hash the schemas' warnings and defeating schema
-    deduplication."""
-    return batch.replace_schema_metadata(None)
-
-
 def _read(path: str, columns):
-    return ray.data.read_parquet(path, columns=columns).map_batches(
-        _strip_meta, batch_format="pyarrow")
+    """Pruned parquet read with a METADATA-FREE schema. Blocks carrying
+    the file's pandas metadata make ``hash(schema)`` raise inside Ray's
+    shuffle reduce (a pyarrow Schema holding a metadata dict is
+    unhashable) — per-task 'Failed to hash the schemas' warnings and no
+    schema deduplication. Passing the stripped schema at the source
+    fixes every downstream block without an extra stage."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path).remove_metadata()
+    sub = pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(path, columns=columns, schema=sub)
 
 
 def _docs(sf_dir: str, columns):

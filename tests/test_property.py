@@ -104,3 +104,130 @@ def test_pip_square(x, y):
     inside = point_in_ring(x, y, ring)
     want = (-5 <= x <= 5) and (-5 <= y <= 5)
     assert inside == want
+
+
+# --- round-2 vectorized kernels vs scalar references ---------------------
+
+
+@given(st.data())
+@settings(max_examples=100, deadline=None)
+def test_rowwise_topk_matches_scalar(data):
+    from mapchete_xarray_ray.stages.ann import rowwise_topk
+
+    q = data.draw(st.integers(1, 8))
+    c = data.draw(st.integers(1, 12))
+    k = data.draw(st.integers(1, 6))
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    # small float pool so ties actually happen
+    key = rng.choice([0.0, 0.5, 1.0, -0.5], size=(q, c))
+    q_ids = rng.integers(0, 6, size=q)
+    c_ids = rng.integers(0, 6, size=c)
+    q_sel, c_sel, rank = rowwise_topk(key, q_ids, c_ids, k)
+    # scalar reference: per row lexsort((cand_id, key)) excluding same id
+    exp_rows = []
+    for qi in range(q):
+        mask = c_ids != q_ids[qi]
+        km, cm, idx = key[qi][mask], c_ids[mask], np.arange(c)[mask]
+        order = np.lexsort((cm, km))[:min(k, mask.sum())]
+        for r, oi in enumerate(order, 1):
+            exp_rows.append((qi, idx[oi], r))
+    got_rows = list(zip(q_sel.tolist(), c_sel.tolist(), rank.tolist()))
+    # compare as (row, rank) -> candidate VALUE-key (ties may pick any
+    # index among equal (key, cand_id) pairs; the sort key must match)
+    exp = sorted((qi, r, key[qi][ci], c_ids[ci]) for qi, ci, r in exp_rows)
+    got = sorted((qi, r, key[qi][ci], c_ids[ci]) for qi, ci, r in got_rows)
+    assert got == exp
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_keyed_running_state_matches_sequential(data):
+    from mapchete_xarray_ray.stages.streaming import KeyedRunningState
+
+    n = data.draw(st.integers(0, 200))
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    keys = rng.integers(0, 8, size=n)
+    # ts ascending per key <=> globally sorted then stable-keyed order
+    ts = np.sort(rng.integers(0, 10_000, size=n))
+    vals = rng.integers(-50, 50, size=n)
+    chunk = data.draw(st.integers(1, 50))
+
+    st_v = KeyedRunningState()
+    for lo in range(0, n, chunk):
+        st_v.update(keys[lo:lo + chunk], ts[lo:lo + chunk], vals[lo:lo + chunk])
+    got = st_v.snapshot().to_pydict()
+
+    # sequential reference
+    state = {}
+    for k, t, v in zip(keys, ts, vals):
+        s = state.get(k)
+        if s is None:
+            state[k] = [1, v, t, 0]
+        else:
+            gap = t - s[2]
+            s[0] += 1
+            s[1] += v
+            s[2] = t
+            if gap > s[3]:
+                s[3] = gap
+    want_keys = sorted(state)
+    assert got["user_id"] == [int(k) for k in want_keys]
+    assert got["n_events"] == [state[k][0] for k in want_keys]
+    assert got["sum_value_milli"] == [int(state[k][1]) for k in want_keys]
+    assert got["last_ts_us"] == [int(state[k][2]) for k in want_keys]
+    assert got["max_gap_us"] == [int(state[k][3]) for k in want_keys]
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_cron_expansion_matches_minute_scan(data):
+    from datetime import datetime, timedelta
+
+    from mapchete_xarray_ray.spec import _expand_pattern
+
+    minute = data.draw(st.sampled_from(["0", "30", "*/20", "5,35"]))
+    hour = data.draw(st.sampled_from(["0", "*", "6-8", "*/12"]))
+    dom = data.draw(st.sampled_from(["*", "1", "10-12", "*/9"]))
+    month = data.draw(st.sampled_from(["*", "2", "1-3"]))
+    dow = data.draw(st.sampled_from(["*", "1", "0,6"]))
+    pattern = " ".join([minute, hour, dom, month, dow])
+    start = datetime(2022, 1, data.draw(st.integers(1, 28)),
+                     data.draw(st.integers(0, 23)))
+    end = start + timedelta(days=data.draw(st.integers(0, 70)))
+
+    got = _expand_pattern(start, end, pattern)
+
+    def field_match(v, f, lo, hi):
+        for item in f.split(","):
+            step = 1
+            if "/" in item:
+                item, s = item.split("/")
+                step = int(s)
+            if item == "*":
+                a, b = lo, hi
+            elif "-" in item:
+                a, b = map(int, item.split("-"))
+            else:
+                a = b = int(item)
+            if v in range(a, b + 1, step):
+                return True
+        return False
+
+    want = []
+    t = start.replace(second=0, microsecond=0)
+    while t <= end:
+        m_ok = field_match(t.minute, minute, 0, 59)
+        h_ok = field_match(t.hour, hour, 0, 23)
+        mo_ok = field_match(t.month, month, 1, 12)
+        dom_ok = field_match(t.day, dom, 1, 31)
+        dow_ok = field_match((t.weekday() + 1) % 7, dow, 0, 7)
+        if dom == "*" and dow == "*":
+            day_ok = True
+        elif dom != "*" and dow != "*":
+            day_ok = dom_ok or dow_ok
+        else:
+            day_ok = dom_ok if dom != "*" else dow_ok
+        if m_ok and h_ok and mo_ok and day_ok and t >= start:
+            want.append(t)
+        t += timedelta(minutes=1)
+    assert got == want
