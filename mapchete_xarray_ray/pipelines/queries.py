@@ -1671,6 +1671,130 @@ FROM (SELECT doc_id, text, seg,
 """
 
 
+def q_emb_neardup_lsh(sf_dir: str):
+    """LSH-bucketed embedding near-dup pairs (the scale path next to
+    the exact broadcast baseline q_emb_neardup): per-band hyperplane
+    buckets, exact cosine within buckets (all emitted pairs are true
+    positives), distributed cross-band dedup. Rows-only driver check;
+    precision (subset of exact) + recall + determinism asserted in
+    tests/test_ann.py."""
+    from mapchete_xarray_ray.stages.ann import emb_neardup_lsh_pipeline
+
+    emb = _read(f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"])
+    out = emb_neardup_lsh_pipeline(emb, dim=64, tau=0.35)
+    return _schema_finalize(out, {"id_a": pa.int64(), "id_b": pa.int64()})
+
+
+def q_store_roundtrip_time(sf_dir: str):
+    """The 4-D TIME-AXIS store path under the driver oracle (A3 + S7 +
+    the r2 edge-chunk padding): three time steps with ``chunksize=2``
+    force TWO time-chunk files per tile (the second padded), docs land
+    in step ``doc_id % 3``, each tile writes only the steps it has
+    (labeled-slice insertion), and the read-back crosses both chunk
+    files. SQL twin: per (tile, step, pixel) counts. Any breakage in
+    the time coordinate, chunk addressing ``{t}.{r}.{c}``, padding, or
+    labeled insertion flips the hash. Reference: _output.py:213-217,
+    358-389, 641-649."""
+    import os
+    import tempfile
+
+    from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+    from mapchete_xarray_ray.spec import JobSpec
+
+    STEPS = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    out_dir = tempfile.mkdtemp(prefix="store_rtt_", dir="/tmp")
+    spec = JobSpec(path=os.path.join(out_dir, "counts_t.zarr"), zoom=ZOOM,
+                   bounds=(-180.0, -90.0, 180.0, 90.0), bands=1,
+                   dtype="int32", nodata=0,
+                   time={"start": STEPS[0], "end": STEPS[-1],
+                         "steps": STEPS, "chunksize": 2})
+    ZarrTileStore(spec).initialize()
+    spec_ref = ray.put(spec)
+
+    def write_tile_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "tile_id" not in group.column_names:
+            return pa.table({"tile_row": pa.array([], pa.int64()),
+                             "tile_col": pa.array([], pa.int64())})
+        sp = ray.get(spec_ref)
+        store = ZarrTileStore(sp)
+        tid = group.column("tile_id").to_numpy(zero_copy_only=False)
+        px = group.column("px").to_numpy(zero_copy_only=False)
+        py = group.column("py").to_numpy(zero_copy_only=False)
+        trow = group.column("tile_row").to_numpy(zero_copy_only=False)
+        tcol = group.column("tile_col").to_numpy(zero_copy_only=False)
+        ti = group.column("doc_id").to_numpy(zero_copy_only=False) % 3
+        o = np.argsort(tid, kind="stable")
+        tid, px, py, trow, tcol, ti = (a[o] for a in
+                                       (tid, px, py, trow, tcol, ti))
+        new = np.ones(len(tid), dtype=bool)
+        new[1:] = tid[1:] != tid[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(tid))
+        out_r, out_c = [], []
+        for s, e in zip(starts, ends):
+            present = np.unique(ti[s:e])
+            tensor = np.zeros((1, len(present), 256, 256), dtype=np.int32)
+            for j, step in enumerate(present):
+                m = ti[s:e] == step
+                np.add.at(tensor[0, j], (py[s:e][m] % 256, px[s:e][m] % 256), 1)
+            store.write_tile(int(trow[s]), int(tcol[s]), tensor,
+                             timestamps=sp.timestamps[present])
+            out_r.append(int(trow[s]))
+            out_c.append(int(tcol[s]))
+        return pa.table({"tile_row": pa.array(out_r, pa.int64()),
+                         "tile_col": pa.array(out_c, pa.int64())})
+
+    written = collect_table(
+        _regroup(_docs(sf_dir, ["doc_id"])
+                 .map_batches(assign_doc_ids_fn(ZOOM), batch_format="pyarrow")
+                 .select_columns(["doc_id", "px", "py", "tile_row",
+                                  "tile_col", "tile_id"])
+                 .map_batches(_mod_bucket("tile_id", "tb"),
+                              batch_format="pyarrow"))
+        .groupby("tb")
+        .map_groups(write_tile_bucket, batch_format="pyarrow"))
+
+    def read_tiles(batch: pa.Table) -> pa.Table:
+        store = ZarrTileStore(ray.get(spec_ref))
+        rows = batch.column("tile_row").to_numpy(zero_copy_only=False)
+        cols = batch.column("tile_col").to_numpy(zero_copy_only=False)
+        tid_o, t_o, iy_o, ix_o, n_o = [], [], [], [], []
+        for row, col in zip(rows, cols):
+            cube = store.read_tile(int(row), int(col))[0]  # (T, h, w)
+            tt, yy, xx = np.nonzero(cube)
+            tid = (ZOOM << 58) | (int(row) << 29) | int(col)
+            tid_o.append(np.full(len(tt), tid, dtype=np.int64))
+            t_o.append(tt.astype(np.int64))
+            iy_o.append(yy.astype(np.int64))
+            ix_o.append(xx.astype(np.int64))
+            n_o.append(cube[tt, yy, xx].astype(np.int64))
+        cat = (lambda p: np.concatenate(p) if p else
+               np.array([], dtype=np.int64))
+        return pa.table({"tile_id": pa.array(cat(tid_o)),
+                         "t_idx": pa.array(cat(t_o)),
+                         "iy": pa.array(cat(iy_o)),
+                         "ix": pa.array(cat(ix_o)),
+                         "n_docs": pa.array(cat(n_o))})
+
+    return ray.data.from_arrow(written).map_batches(
+        read_tiles, batch_format="pyarrow")
+
+
+SQL_STORE_ROUNDTRIP_TIME = """
+SELECT
+  (5::BIGINT << 58)
+    | ((((doc_id * 40503) % 8192) // 256)::BIGINT << 29)
+    | (((doc_id * 2654435761) % 16384) // 256) AS tile_id,
+  doc_id % 3 AS t_idx,
+  ((doc_id * 40503) % 8192) % 256 AS iy,
+  ((doc_id * 2654435761) % 16384) % 256 AS ix,
+  count(*)::BIGINT AS n_docs
+FROM documents
+GROUP BY tile_id, t_idx, iy, ix
+"""
+
+
 def q_lineitem_median(sf_dir: str):
     """Distributed EXACT median (lower median, rank (n+1)//2) of
     integer price cents per (returnflag, linestatus) — the distributed
@@ -1800,6 +1924,8 @@ REGISTRY: dict[str, tuple] = {
     "pyramid_roundtrip": (q_pyramid_roundtrip, SQL_PYRAMID_ROUNDTRIP),
     "lineitem_median": (q_lineitem_median, SQL_LINEITEM_MEDIAN),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    "store_roundtrip_time": (q_store_roundtrip_time, SQL_STORE_ROUNDTRIP_TIME),
+    "emb_neardup_lsh": (q_emb_neardup_lsh, None),
 }
 
 

@@ -310,6 +310,75 @@ def ann_ivf_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
             .map_groups(_bucket_merge_topk(k), batch_format="pyarrow"))
 
 
+def emb_neardup_lsh_pipeline(corpus: ray.data.Dataset, dim: int,
+                             tau: float, n_planes: int = 4,
+                             n_bands: int = 16) -> ray.data.Dataset:
+    """Scale path for embedding-cosine near-dup pairs (cos >= tau):
+    multi-band random-hyperplane LSH. Each vector lands in one bucket
+    PER BAND (independent plane sets, seeds derived from _HP_SEED);
+    within a (band, bucket) group the check is EXACT cosine, so every
+    emitted pair is a true positive — only recall is approximate
+    (pairs sharing no bucket in any band are missed; more bands raise
+    recall). Cross-band duplicates are removed by a packed-pair-id
+    co-group, never on the driver. This replaces the exact baseline's
+    whole-corpus broadcast (q_emb_neardup) at scale.
+
+    Band sizing: a plane splits a cos=tau pair with prob theta/pi, so
+    per-band match prob is (1 - theta/pi)^n_planes and recall is
+    1-(1-p)^n_bands. For tau=0.35 (theta ~ 69.5 deg, p_plane ~ 0.61)
+    the 4x16 default gives ~0.9 expected recall at the threshold;
+    higher-cosine pairs (the ones dedup cares about) match with far
+    higher probability.
+    """
+    bands = [np.random.default_rng(_HP_SEED + 1 + b).standard_normal(
+        (n_planes, dim)) for b in range(n_bands)]
+
+    def bucket_all(batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, "embedding")
+        parts = []
+        for b, planes in enumerate(bands):
+            signs = (m @ planes.T) > 0
+            bucket = (signs.astype(np.int64)
+                      << np.arange(n_planes, dtype=np.int64)[None, :]).sum(axis=1)
+            parts.append(pa.table({
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding"),
+                "bb": pa.array((np.int64(b) << 32) | bucket),
+            }))
+        return pa.concat_tables(parts)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        m = normalize_rows(_embedding_matrix(group, "embedding"))
+        sims = m @ m.T
+        ai, bi = np.nonzero(sims >= tau)
+        keep = ids[ai] < ids[bi]
+        pid = (ids[ai][keep] << np.int64(31)) | ids[bi][keep]
+        return pa.table({"pid": pa.array(np.unique(pid), pa.int64())})
+
+    def uniq(group: pa.Table) -> pa.Table:
+        pid = np.unique(group.column("pid").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "id_a": pa.array(pid >> np.int64(31), pa.int64()),
+            "id_b": pa.array(pid & np.int64((1 << 31) - 1), pa.int64()),
+        })
+
+    pairs = (corpus.map_batches(bucket_all, batch_format="pyarrow")
+             .repartition(8)
+             .groupby("bb")
+             .map_groups(bucket_pairs, batch_format="pyarrow"))
+    return (pairs.map_batches(
+                lambda b: (b.append_column(
+                    "pb", pa.array((b.column("pid").to_numpy() % 64)
+                                   .astype(np.int64)))
+                    if "pid" in b.column_names else
+                    pa.table({"pid": pa.array([], pa.int64()),
+                              "pb": pa.array([], pa.int64())})),
+                batch_format="pyarrow")
+            .groupby("pb")
+            .map_groups(uniq, batch_format="pyarrow"))
+
+
 def ann_lsh_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
                      n_planes: int = N_PLANES) -> ray.data.Dataset:
     """Approximate all-pairs top-k: bucket by hyperplane signs, exact

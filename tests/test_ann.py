@@ -118,3 +118,33 @@ def test_ivf_ann_recall_and_determinism():
     assert len(got_r1) == len(ids)
     hits = sum(1 for v, n in got_r1.items() if want[v] and n == want[v][0])
     assert hits / len(ids) > 0.6
+
+
+def test_emb_neardup_lsh_precision_recall_determinism(sf_dir):
+    """The LSH near-dup scale path: every emitted pair is a TRUE
+    positive (exact cosine inside buckets), recall vs the exact
+    baseline is substantial, and reruns are identical."""
+    import pyarrow as pa
+    import ray
+
+    from mapchete_xarray_ray.pipelines.queries import (
+        REGISTRY,
+        collect_table,
+        q_emb_neardup,
+        q_emb_neardup_lsh,
+    )
+
+    exact = collect_table(q_emb_neardup(sf_dir))
+    exact_pairs = set(zip(exact.column("id_a").to_pylist(),
+                          exact.column("id_b").to_pylist()))
+    got = collect_table(q_emb_neardup_lsh(sf_dir))
+    got_pairs = set(zip(got.column("id_a").to_pylist(),
+                        got.column("id_b").to_pylist()))
+    assert got_pairs <= exact_pairs          # precision 1.0 by design
+    assert len(exact_pairs) > 0
+    recall = len(got_pairs) / len(exact_pairs)
+    assert recall >= 0.5, recall
+    got2 = collect_table(q_emb_neardup_lsh(sf_dir))
+    got2_pairs = set(zip(got2.column("id_a").to_pylist(),
+                         got2.column("id_b").to_pylist()))
+    assert got_pairs == got2_pairs           # deterministic
