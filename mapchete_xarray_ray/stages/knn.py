@@ -202,7 +202,11 @@ def knn_pipeline(points: ray.data.Dataset, k: int, cell_span: float,
             _replicate(ncols, nrows, max(prev_r, 0), radius, as_query=True),
             batch_format="pyarrow",
         )
+        # consolidate before each sort-shuffle: the exchange cost is
+        # per-block, and the union of replicate stages arrives as many
+        # small blocks
         cell_partial = (cand.union(rep)
+                        .repartition(8)
                         .groupby("grp")
                         .map_groups(_cell_topk(k), batch_format="pyarrow")
                         .select_columns(["id", "neighbor_id", "dist2"]))
@@ -223,6 +227,7 @@ def knn_pipeline(points: ray.data.Dataset, k: int, cell_span: float,
         done_all = radius >= max(ncols, nrows) or rounds >= max_rounds
         guaranteed = float("inf") if done_all else (radius * cell_span) ** 2
         merged = (cell_partial.map_batches(add_bucket, batch_format="pyarrow")
+                  .repartition(8)
                   .groupby("id_bucket")
                   .map_groups(_merge_topk(k, guaranteed, need),
                               batch_format="pyarrow")).materialize()
