@@ -551,6 +551,11 @@ def q_minhash_neardup(sf_dir: str):
     def pair_ref_rows(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").to_numpy(zero_copy_only=False)
         b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        if len(a) and (min(a.min(), b.min()) < 0
+                       or max(a.max(), b.max()) >= 2**31):
+            raise ValueError(
+                "pair packing requires 0 <= doc_id < 2**31 (the engine's "
+                "documented id domain, functions/geocode.py)")
         pid = (a << np.int64(31)) | b
         return pa.table({
             "pid": pa.array(np.concatenate([pid, pid]), pa.int64()),
@@ -1469,52 +1474,73 @@ GROUP BY o_orderkey, o_orderpriority
 """
 
 
+def _tile_write_bucket(spec_ref, per_tile):
+    """map_groups factory shared by the store roundtrips: segment one
+    tile-hash bucket by tile_id (stable argsort + flatnonzero) and call
+    ``per_tile(store, spec, row, col, segment)`` once per tile — one
+    python dispatch per BUCKET, chunk ownership preserved (a tile's
+    rows live wholly in one bucket). Emits the written (row, col)
+    list."""
+    from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+
+    def fn(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "tile_id" not in group.column_names:
+            return pa.table({"tile_row": pa.array([], pa.int64()),
+                             "tile_col": pa.array([], pa.int64())})
+        sp = ray.get(spec_ref)
+        store = ZarrTileStore(sp)
+        tid = group.column("tile_id").to_numpy(zero_copy_only=False)
+        o = np.argsort(tid, kind="stable")
+        group = group.take(pa.array(o))
+        tid = tid[o]
+        new = np.ones(len(tid), dtype=bool)
+        new[1:] = tid[1:] != tid[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(tid))
+        out_r, out_c = [], []
+        for st, en in zip(starts, ends):
+            seg = group.slice(st, en - st)
+            row = int(seg.column("tile_row")[0].as_py())
+            col = int(seg.column("tile_col")[0].as_py())
+            per_tile(store, sp, row, col, seg)
+            out_r.append(row)
+            out_c.append(col)
+        return pa.table({"tile_row": pa.array(out_r, pa.int64()),
+                         "tile_col": pa.array(out_c, pa.int64())})
+
+    return fn
+
+
 def _write_counts_archive(sf_dir: str):
     """Rasterize documents into a fresh per-tile count archive at ZOOM
     (the shared write half of the store/pyramid roundtrip queries).
     Returns (spec, spec_ref, written) AFTER the write barrier — only the
     small (tile_row, tile_col) list lands on the driver."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
     from mapchete_xarray_ray.spec import JobSpec
 
     out_dir = tempfile.mkdtemp(prefix="store_rt_", dir="/tmp")
+    # consumed lazily after return -> clean at process exit, not here
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     spec = JobSpec(path=os.path.join(out_dir, "counts.zarr"), zoom=ZOOM,
                    bounds=(-180.0, -90.0, 180.0, 90.0), bands=1,
                    dtype="int32", nodata=0)
     ZarrTileStore(spec).initialize()
     spec_ref = ray.put(spec)  # broadcast once; actors rebuild the handle
 
-    def write_tile_bucket(group: pa.Table) -> pa.Table:
-        # one python call per TILE BUCKET (tile_id % 64), many tiles per
-        # call: a tile's rows live wholly in one bucket, so chunk
-        # ownership (one writer per chunk file) is preserved
-        if group.num_rows == 0 or "tile_id" not in group.column_names:
-            return pa.table({"tile_row": pa.array([], pa.int64()),
-                             "tile_col": pa.array([], pa.int64())})
-        store = ZarrTileStore(ray.get(spec_ref))
-        tid = group.column("tile_id").to_numpy(zero_copy_only=False)
-        px = group.column("px").to_numpy(zero_copy_only=False)
-        py = group.column("py").to_numpy(zero_copy_only=False)
-        trow = group.column("tile_row").to_numpy(zero_copy_only=False)
-        tcol = group.column("tile_col").to_numpy(zero_copy_only=False)
-        o = np.argsort(tid, kind="stable")
-        tid, px, py, trow, tcol = tid[o], px[o], py[o], trow[o], tcol[o]
-        new = np.ones(len(tid), dtype=bool)
-        new[1:] = tid[1:] != tid[:-1]
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], len(tid))
-        out_r, out_c = [], []
-        for s, e in zip(starts, ends):
-            grid = np.zeros((256, 256), dtype=np.int32)
-            np.add.at(grid, (py[s:e] % 256, px[s:e] % 256), 1)
-            store.write_tile(int(trow[s]), int(tcol[s]), grid[None])
-            out_r.append(int(trow[s]))
-            out_c.append(int(tcol[s]))
-        return pa.table({"tile_row": pa.array(out_r, pa.int64()),
-                         "tile_col": pa.array(out_c, pa.int64())})
+    def per_tile_counts(store, sp, row, col, seg: pa.Table) -> None:
+        px = seg.column("px").to_numpy(zero_copy_only=False)
+        py = seg.column("py").to_numpy(zero_copy_only=False)
+        grid = np.zeros((256, 256), dtype=np.int32)
+        np.add.at(grid, (py % 256, px % 256), 1)
+        store.write_tile(row, col, grid[None])  # (bands, h, w)
+
+    write_tile_bucket = _tile_write_bucket(spec_ref, per_tile_counts)
 
     written = collect_table(
         _regroup(_docs(sf_dir, ["doc_id"])
@@ -1638,6 +1664,14 @@ def q_frame_sample(sf_dir: str):
     def to_payload(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
+        # ASCII-only subset, same predicate as the SQL twin's
+        # octet_length == length filter: the sampler slices BYTES
+        # (multimodal payloads are opaque) while substr slices
+        # CHARACTERS — they agree exactly iff the text is single-byte,
+        # and a frame boundary can never split a multibyte char
+        keep = np.array([t.isascii() for t in texts], dtype=bool)
+        d = d[keep]
+        texts = [t for t, k in zip(texts, keep) if k]
         return pa.table({
             "id": pa.array(d, pa.int64()),
             "payload": pa.array([t.encode("utf-8") for t in texts],
@@ -1676,6 +1710,7 @@ WITH f AS (
   SELECT doc_id, text, (doc_id % 7) + 2 AS nf,
          greatest(length(text) // ((doc_id % 7) + 2), 1) AS seg
   FROM documents
+  WHERE octet_length(encode(text)) = length(text)  -- ASCII subset
 )
 SELECT doc_id, frame_idx,
        substr(text, (frame_idx * seg)::INT + 1, seg::INT) AS frame_text
@@ -1710,7 +1745,9 @@ def q_store_roundtrip_time(sf_dir: str):
     the time coordinate, chunk addressing ``{t}.{r}.{c}``, padding, or
     labeled insertion flips the hash. Reference: _output.py:213-217,
     358-389, 641-649."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
@@ -1718,6 +1755,7 @@ def q_store_roundtrip_time(sf_dir: str):
 
     STEPS = ["2024-01-01", "2024-01-02", "2024-01-03"]
     out_dir = tempfile.mkdtemp(prefix="store_rtt_", dir="/tmp")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     spec = JobSpec(path=os.path.join(out_dir, "counts_t.zarr"), zoom=ZOOM,
                    bounds=(-180.0, -90.0, 180.0, 90.0), bands=1,
                    dtype="int32", nodata=0,
@@ -1726,38 +1764,18 @@ def q_store_roundtrip_time(sf_dir: str):
     ZarrTileStore(spec).initialize()
     spec_ref = ray.put(spec)
 
-    def write_tile_bucket(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0 or "tile_id" not in group.column_names:
-            return pa.table({"tile_row": pa.array([], pa.int64()),
-                             "tile_col": pa.array([], pa.int64())})
-        sp = ray.get(spec_ref)
-        store = ZarrTileStore(sp)
-        tid = group.column("tile_id").to_numpy(zero_copy_only=False)
-        px = group.column("px").to_numpy(zero_copy_only=False)
-        py = group.column("py").to_numpy(zero_copy_only=False)
-        trow = group.column("tile_row").to_numpy(zero_copy_only=False)
-        tcol = group.column("tile_col").to_numpy(zero_copy_only=False)
-        ti = group.column("doc_id").to_numpy(zero_copy_only=False) % 3
-        o = np.argsort(tid, kind="stable")
-        tid, px, py, trow, tcol, ti = (a[o] for a in
-                                       (tid, px, py, trow, tcol, ti))
-        new = np.ones(len(tid), dtype=bool)
-        new[1:] = tid[1:] != tid[:-1]
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], len(tid))
-        out_r, out_c = [], []
-        for s, e in zip(starts, ends):
-            present = np.unique(ti[s:e])
-            tensor = np.zeros((1, len(present), 256, 256), dtype=np.int32)
-            for j, step in enumerate(present):
-                m = ti[s:e] == step
-                np.add.at(tensor[0, j], (py[s:e][m] % 256, px[s:e][m] % 256), 1)
-            store.write_tile(int(trow[s]), int(tcol[s]), tensor,
-                             timestamps=sp.timestamps[present])
-            out_r.append(int(trow[s]))
-            out_c.append(int(tcol[s]))
-        return pa.table({"tile_row": pa.array(out_r, pa.int64()),
-                         "tile_col": pa.array(out_c, pa.int64())})
+    def per_tile_time_counts(store, sp, row, col, seg: pa.Table) -> None:
+        px = seg.column("px").to_numpy(zero_copy_only=False)
+        py = seg.column("py").to_numpy(zero_copy_only=False)
+        ti = seg.column("doc_id").to_numpy(zero_copy_only=False) % 3
+        present = np.unique(ti)
+        tensor = np.zeros((1, len(present), 256, 256), dtype=np.int32)
+        for j, step in enumerate(present):
+            m = ti == step
+            np.add.at(tensor[0, j], (py[m] % 256, px[m] % 256), 1)
+        store.write_tile(row, col, tensor, timestamps=sp.timestamps[present])
+
+    write_tile_bucket = _tile_write_bucket(spec_ref, per_tile_time_counts)
 
     written = collect_table(
         _regroup(_docs(sf_dir, ["doc_id"])
@@ -1814,7 +1832,7 @@ def q_lineitem_median(sf_dir: str):
     integer price cents per (returnflag, linestatus) — the distributed
     selection shape no single-pass commutative aggregate can express.
     Two streaming passes: (1) per-batch partial histograms over coarse
-    4096-cent buckets (vectorized, pre-combined per batch) locate each
+    65536-cent buckets (vectorized, pre-combined per batch) locate each
     key's median bucket and the rank within it; (2) a filtered rescan
     collects ONLY that bucket's values (~n / n_buckets rows) for the
     exact pick. Driver holds histograms + one bucket per key, never the

@@ -349,6 +349,11 @@ def emb_neardup_lsh_pipeline(corpus: ray.data.Dataset, dim: int,
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) and (ids.min() < 0 or ids.max() >= 2**31):
+            raise ValueError(
+                "pair packing requires 0 <= vec_id < 2**31; re-key the "
+                "corpus (or switch the dedup key to struct pairs) for "
+                "wider id spaces")
         m = normalize_rows(_embedding_matrix(group, "embedding"))
         sims = m @ m.T
         ai, bi = np.nonzero(sims >= tau)
