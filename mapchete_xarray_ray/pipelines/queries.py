@@ -1919,6 +1919,83 @@ SELECT l_returnflag, l_linestatus, cents AS median_cents FROM (
 """
 
 
+def q_corpus_curation(sf_dir: str):
+    """END-TO-END training-data curation, the composition a real user
+    runs daily, as ONE streaming chain under the driver's exact hash:
+    language-ID (stopword heuristic) -> quality metrics -> filter
+    (known lang, >= 20 tokens, >= 100 chars) -> exact dedup by content
+    (hash-bucket shuffle, keep min doc_id) -> deterministic 50% sample
+    -> (doc_id, lang_pred, n_tokens). One map pass computes all
+    per-doc features; the only shuffle is the dedup's bucketed
+    co-group. Every stage reuses the individually-oracled kernels, so
+    the composed hash pins their interaction, not just each stage.
+    """
+    from mapchete_xarray_ray.functions.geocode import stable_hash64
+    from mapchete_xarray_ray.stages.text import langid_stage, quality_stage
+
+    def features_filter(batch: pa.Table) -> pa.Table:
+        batch = quality_stage(langid_stage(batch))
+        keep = (
+            pa.compute.and_(
+                pa.compute.and_(
+                    pa.compute.not_equal(batch.column("lang_pred"), "unknown"),
+                    pa.compute.greater_equal(batch.column("n_tokens"), 20)),
+                pa.compute.greater_equal(batch.column("n_chars"), 100)))
+        kept = batch.filter(keep)
+        h = stable_hash64(kept.column("text").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "text": kept.column("text"),
+            "lang_pred": kept.column("lang_pred"),
+            "n_tokens": kept.column("n_tokens"),
+            "doc_id": kept.column("doc_id"),
+            "bucket": pa.array((h % 64).astype(np.int64)),
+        })
+
+    def dedup_sample(group: pa.Table) -> pa.Table:
+        # lang_pred / n_tokens are pure functions of text, so min()
+        # over a duplicate set returns THE value
+        agg = group.group_by("text").aggregate(
+            [("doc_id", "min"), ("lang_pred", "min"), ("n_tokens", "min")])
+        d = agg.column("doc_id_min").to_numpy(zero_copy_only=False)
+        keep = (d * 2654435761) % 100 < 50
+        return pa.table({
+            "doc_id": pa.array(d[keep], pa.int64()),
+            "lang_pred": agg.column("lang_pred_min").filter(pa.array(keep)),
+            "n_tokens": agg.column("n_tokens_min").filter(
+                pa.array(keep)).cast(pa.int64()),
+        })
+
+    return (
+        _regroup(_docs(sf_dir, ["doc_id", "text"])
+                 .map_batches(features_filter, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(dedup_sample, batch_format="pyarrow")
+    )
+
+
+def _curation_sql() -> str:
+    from mapchete_xarray_ray.stages.text import langid_sql_parts
+
+    hits, case = langid_sql_parts("text")
+    inner = ", ".join(hits[L] for L in sorted(hits))
+    return rf"""
+WITH h AS (SELECT doc_id, text, {inner} FROM documents),
+l AS (SELECT doc_id, text, {case} AS lang_pred,
+             array_length(regexp_split_to_array(trim(text), '\s+'))::BIGINT
+               AS n_tokens,
+             length(text)::BIGINT AS n_chars
+      FROM h),
+f AS (SELECT * FROM l
+      WHERE lang_pred <> 'unknown' AND n_tokens >= 20 AND n_chars >= 100),
+d AS (SELECT min(doc_id)::BIGINT AS doc_id,
+             min(lang_pred) AS lang_pred,
+             min(n_tokens)::BIGINT AS n_tokens
+      FROM f GROUP BY text)
+SELECT doc_id, lang_pred, n_tokens FROM d
+WHERE (doc_id * 2654435761) % 100 < 50
+"""
+
+
 # --- registry ------------------------------------------------------------
 
 REGISTRY: dict[str, tuple] = {
@@ -1958,6 +2035,7 @@ REGISTRY: dict[str, tuple] = {
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "store_roundtrip_time": (q_store_roundtrip_time, SQL_STORE_ROUNDTRIP_TIME),
     "emb_neardup_lsh": (q_emb_neardup_lsh, None),
+    "corpus_curation": (q_corpus_curation, _curation_sql()),
 }
 
 
