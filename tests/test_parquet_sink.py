@@ -1,0 +1,76 @@
+"""Resumable partitioned-Parquet sink (brief: per-partition dirs +
+skip-finished-partitions resume)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from mapchete_xarray_ray.sinks.parquet import (
+    completed_partitions,
+    read_partitioned,
+    write_partitioned,
+)
+
+
+def _make_ds(n=1000):
+    langs = np.array(["en", "de", "fr", "es", "zh"], dtype=object)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "lang": pa.array(langs[np.arange(n) % 5], pa.string()),
+        "val": pa.array((np.arange(n) * 7) % 101, pa.int64()),
+    })
+    return t, ray.data.from_arrow(t)
+
+
+def test_write_read_roundtrip_partitioned(tmp_path):
+    t, ds = _make_ds()
+    out = str(tmp_path / "out")
+    summary = write_partitioned(ds, out, "lang", mode="overwrite")
+    assert sorted(summary.column("partition").to_pylist()) == [
+        "de", "en", "es", "fr", "zh"]
+    assert sum(summary.column("n_rows").to_pylist()) == 1000
+    # hive layout, one dir per partition, marker written
+    assert os.path.exists(os.path.join(out, "lang=en", "_SUCCESS"))
+    back = pa.concat_tables([
+        ray.get(r) for r in read_partitioned(out).to_arrow_refs()])
+    got = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got[["doc_id", "lang", "val"]].equals(want)
+
+
+def test_resume_skips_complete_rewrites_torn(tmp_path):
+    _t, ds = _make_ds()
+    out = str(tmp_path / "out")
+    write_partitioned(ds, out, "lang", mode="overwrite")
+    # complete run: continue mode writes nothing
+    s2 = write_partitioned(ds, out, "lang", mode="continue")
+    assert s2.num_rows == 0
+    # torn partition: data present but marker missing -> redone, and
+    # ONLY that partition is rewritten
+    os.unlink(os.path.join(out, "lang=fr", "_SUCCESS"))
+    before = {p: os.path.getmtime(os.path.join(out, f"lang={p}",
+                                               "part-0.parquet"))
+              for p in ["en", "de", "es", "zh"]}
+    s3 = write_partitioned(ds, out, "lang", mode="continue")
+    assert s3.column("partition").to_pylist() == ["fr"]
+    assert completed_partitions(out, "lang") == {"en", "de", "fr", "es", "zh"}
+    for p, mt in before.items():
+        assert os.path.getmtime(os.path.join(out, f"lang={p}",
+                                             "part-0.parquet")) == mt
+
+
+def test_curation_to_partitioned_parquet(tmp_path, sf_dir):
+    """The curated corpus lands as per-language parquet partitions —
+    the composed export a training-data pipeline actually ships."""
+    from mapchete_xarray_ray.pipelines.queries import q_corpus_curation
+
+    cur = q_corpus_curation(sf_dir)
+    out = str(tmp_path / "corpus")
+    summary = write_partitioned(cur, out, "lang_pred", mode="overwrite")
+    n = sum(summary.column("n_rows").to_pylist())
+    back = pa.concat_tables([
+        ray.get(r) for r in read_partitioned(out).to_arrow_refs()])
+    assert back.num_rows == n > 0
+    assert set(back.column("lang_pred").to_pylist()) <= {"de", "en", "es", "fr"}
