@@ -1593,7 +1593,9 @@ def q_store_roundtrip(sf_dir: str):
     flips the hash. Reference contract: _output.py:353-390, 422-458.
     """
     _spec, spec_ref, written = _write_counts_archive(sf_dir)
-    return ray.data.from_arrow(written).map_batches(
+    # spread the tile work list across blocks: from_arrow yields ONE
+    # block, which would run the whole read-back on a single task
+    return ray.data.from_arrow(written).repartition(32).map_batches(
         _pixel_rows_stage(spec_ref, ZOOM), batch_format="pyarrow")
 
 
@@ -1630,7 +1632,7 @@ def q_pyramid_roundtrip(sf_dir: str):
         "tile_row": pa.array([t[0] for t in tiles], pa.int64()),
         "tile_col": pa.array([t[1] for t in tiles], pa.int64()),
     })
-    out = ray.data.from_arrow(work).map_batches(
+    out = ray.data.from_arrow(work).repartition(32).map_batches(
         _pixel_rows_stage(ray.put(z4_spec), 4), batch_format="pyarrow")
     return _schema_finalize(out, {"tile_id": pa.int64(), "iy": pa.int64(),
                                   "ix": pa.int64(), "n_docs": pa.int64()})
@@ -1809,7 +1811,7 @@ def q_store_roundtrip_time(sf_dir: str):
                          "ix": pa.array(cat(ix_o)),
                          "n_docs": pa.array(cat(n_o))})
 
-    return ray.data.from_arrow(written).map_batches(
+    return ray.data.from_arrow(written).repartition(32).map_batches(
         read_tiles, batch_format="pyarrow")
 
 
