@@ -35,6 +35,17 @@ def main(argv=None):
     ov.add_argument("--min-zoom", type=int, required=True)
     ov.add_argument("--how", choices=["sum", "max"], default="sum")
     ov.add_argument("--num-cpus", type=int, default=None)
+    exp = sub.add_parser(
+        "export",
+        help="curate a documents parquet (lang-ID, quality filter, exact "
+             "dedup, deterministic sample) and write resumable "
+             "lang-partitioned parquet")
+    exp.add_argument("src", help="documents parquet path/dir")
+    exp.add_argument("dst", help="output directory (hive partitions)")
+    exp.add_argument("--overwrite", action="store_true",
+                     help="rewrite all partitions (default: continue mode "
+                          "skips complete ones)")
+    exp.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
     import ray
@@ -68,6 +79,20 @@ def main(argv=None):
 
             out = run_pyramid_step(args.src, args.dst, how=args.how)
             print(json.dumps({"tiles_written": out.count(), "path": args.dst}))
+        elif args.cmd == "export":
+            from mapchete_xarray_ray.pipelines.queries import curation_pipeline
+            from mapchete_xarray_ray.sinks.parquet import write_partitioned
+
+            cur = curation_pipeline(ray.data.read_parquet(
+                args.src, columns=["doc_id", "text"]))
+            summary = write_partitioned(
+                cur, args.dst, "lang_pred",
+                mode="overwrite" if args.overwrite else "continue")
+            print(json.dumps({
+                "partitions_written": summary.column("partition").to_pylist(),
+                "rows": int(sum(summary.column("n_rows").to_pylist())),
+                "path": args.dst,
+            }))
         else:  # overviews: E3 chained until --min-zoom
             from mapchete_xarray_ray.pipelines.pyramid import run_pyramid_step
             from mapchete_xarray_ray.sources.zarr_input import spec_from_archive

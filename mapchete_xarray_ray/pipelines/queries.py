@@ -1932,6 +1932,12 @@ def q_corpus_curation(sf_dir: str):
     co-group. Every stage reuses the individually-oracled kernels, so
     the composed hash pins their interaction, not just each stage.
     """
+    return curation_pipeline(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def curation_pipeline(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """The curation chain over any (doc_id, text) Dataset — shared by
+    the registry query and the CLI ``export`` command."""
     from mapchete_xarray_ray.functions.geocode import stable_hash64
     from mapchete_xarray_ray.stages.text import langid_stage, quality_stage
 
@@ -1968,8 +1974,7 @@ def q_corpus_curation(sf_dir: str):
         })
 
     return (
-        _regroup(_docs(sf_dir, ["doc_id", "text"])
-                 .map_batches(features_filter, batch_format="pyarrow"))
+        _regroup(docs.map_batches(features_filter, batch_format="pyarrow"))
         .groupby("bucket")
         .map_groups(dedup_sample, batch_format="pyarrow")
     )
