@@ -2003,6 +2003,116 @@ WHERE (doc_id * 2654435761) % 100 < 50
 """
 
 
+def q_top_users_per_type(sf_dir: str):
+    """Per-GROUP top-k (the windowed rank shape, vs q_top_users' global
+    top-k): top-3 users by event count within each event_type, ties by
+    user_id ascending. Partials pre-combine per batch; the per-type
+    rank is segment arithmetic inside one small map_groups."""
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate(
+            [("user_id", "count")])
+        return g.rename_columns(["event_type", "user_id", "n"])
+
+    def topk(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, -n, et))
+        et, uid, n = et[order], uid[order], n[order]
+        new = np.ones(len(et), dtype=bool)
+        new[1:] = et[1:] != et[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(et)) - np.repeat(starts, np.diff(
+            np.append(starts, len(et)))) + 1
+        keep = rank <= 3
+        return pa.table({
+            "event_type": pa.array(et[keep], pa.string()),
+            "user_id": pa.array(uid[keep], pa.int64()),
+            "n_events": pa.array(n[keep], pa.int64()),
+            "rank": pa.array(rank[keep], pa.int64()),
+        })
+
+    ds = (_regroup(_read(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+                   .map_batches(partial, batch_format="pyarrow"))
+          .groupby(["event_type", "user_id"])
+          .sum("n"))
+
+    def renorm(batch: pa.Table) -> pa.Table:
+        if "event_type" not in batch.column_names:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "user_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"event_type": batch.column("event_type"),
+                         "user_id": batch.column("user_id"),
+                         "n": batch.column("sum(n)").cast(pa.int64())})
+
+    # final rank over the per-(type,user) aggregate — tiny, one group
+    return (ds.map_batches(renorm, batch_format="pyarrow")
+            .repartition(1)
+            .groupby("event_type")
+            .map_groups(topk, batch_format="pyarrow"))
+
+
+SQL_TOP_USERS_PER_TYPE = """
+SELECT event_type, user_id, n_events, rank FROM (
+  SELECT event_type, user_id, count(*)::BIGINT AS n_events,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC, user_id)::BIGINT AS rank
+  FROM events GROUP BY event_type, user_id
+) WHERE rank <= 3
+"""
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact per-type distinct-user count (§2.6 set op): per-batch
+    local distinct first (np-free arrow group_by), then the global
+    dedup shuffle moves only the surviving (type, user) pairs, and the
+    count is a segment reduction — never a row-level global sort."""
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    def bucket_partial_count(group: pa.Table) -> pa.Table:
+        # a user lives in exactly one bucket, so per-bucket distinct
+        # (type, user) pairs are globally distinct; emit per-type
+        # partial counts — the final exchange moves O(types x buckets)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        o = np.lexsort((uid, et))
+        et, uid = et[o], uid[o]
+        uniq = np.ones(len(et), dtype=bool)
+        uniq[1:] = (et[1:] != et[:-1]) | (uid[1:] != uid[:-1])
+        et_u = et[uniq]
+        new = np.ones(len(et_u), dtype=bool)
+        new[1:] = et_u[1:] != et_u[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(et_u)))
+        return pa.table({
+            "event_type": pa.array(et_u[starts], pa.string()),
+            "n_users": pa.array(counts, pa.int64()),
+        })
+
+    ds = (_regroup(_read(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+                   .map_batches(local_distinct, batch_format="pyarrow")
+                   .map_batches(_mod_bucket("user_id", "ub"),
+                                batch_format="pyarrow"), 8)
+          .groupby("ub")
+          .map_groups(bucket_partial_count, batch_format="pyarrow")
+          .groupby("event_type")
+          .sum("n_users"))
+    return _schema_finalize(
+        ds.rename_columns({"sum(n_users)": "n_users"}),
+        {"event_type": pa.string(), "n_users": pa.int64()})
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 # --- registry ------------------------------------------------------------
 
 REGISTRY: dict[str, tuple] = {
@@ -2043,6 +2153,8 @@ REGISTRY: dict[str, tuple] = {
     "store_roundtrip_time": (q_store_roundtrip_time, SQL_STORE_ROUNDTRIP_TIME),
     "emb_neardup_lsh": (q_emb_neardup_lsh, None),
     "corpus_curation": (q_corpus_curation, _curation_sql()),
+    "top_users_per_type": (q_top_users_per_type, SQL_TOP_USERS_PER_TYPE),
+    "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
 }
 
 
