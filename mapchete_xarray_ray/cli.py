@@ -83,8 +83,12 @@ def main(argv=None):
             from mapchete_xarray_ray.pipelines.queries import curation_pipeline
             from mapchete_xarray_ray.sinks.parquet import write_partitioned
 
-            cur = curation_pipeline(ray.data.read_parquet(
-                args.src, columns=["doc_id", "text"]))
+            docs = ray.data.read_parquet(
+                args.src, columns=["doc_id", "text"]
+            ).map_batches(lambda b: b.replace_schema_metadata(None),
+                          batch_format="pyarrow")  # hashable schemas in
+            # the curation shuffle (same reason as queries._read)
+            cur = curation_pipeline(docs, keep_text=True)
             summary = write_partitioned(
                 cur, args.dst, "lang_pred",
                 mode="overwrite" if args.overwrite else "continue")

@@ -1935,9 +1935,12 @@ def q_corpus_curation(sf_dir: str):
     return curation_pipeline(_docs(sf_dir, ["doc_id", "text"]))
 
 
-def curation_pipeline(docs: ray.data.Dataset) -> ray.data.Dataset:
+def curation_pipeline(docs: ray.data.Dataset,
+                      keep_text: bool = False) -> ray.data.Dataset:
     """The curation chain over any (doc_id, text) Dataset — shared by
-    the registry query and the CLI ``export`` command."""
+    the registry query and the CLI ``export`` command. ``keep_text``
+    carries the curated document text through (the export use case);
+    the registry query drops it to match its SQL-twin shape."""
     from mapchete_xarray_ray.functions.geocode import stable_hash64
     from mapchete_xarray_ray.stages.text import langid_stage, quality_stage
 
@@ -1965,13 +1968,23 @@ def curation_pipeline(docs: ray.data.Dataset) -> ray.data.Dataset:
         agg = group.group_by("text").aggregate(
             [("doc_id", "min"), ("lang_pred", "min"), ("n_tokens", "min")])
         d = agg.column("doc_id_min").to_numpy(zero_copy_only=False)
+        if d.size and (d.min() < 0 or d.max() >= 2**31):
+            # the sample multiplier overflows int64 beyond 2^31 ids —
+            # numpy would wrap silently while the SQL twin errors
+            # (same documented domain as functions/geocode.py)
+            raise ValueError(
+                "deterministic sample requires 0 <= doc_id < 2**31")
         keep = (d * 2654435761) % 100 < 50
-        return pa.table({
+        out = {
             "doc_id": pa.array(d[keep], pa.int64()),
             "lang_pred": agg.column("lang_pred_min").filter(pa.array(keep)),
             "n_tokens": agg.column("n_tokens_min").filter(
                 pa.array(keep)).cast(pa.int64()),
-        })
+        }
+        if keep_text:
+            # group_by("text") keys-first: column 0 is the text itself
+            out["text"] = agg.column("text").filter(pa.array(keep))
+        return pa.table(out)
 
     return (
         _regroup(docs.map_batches(features_filter, batch_format="pyarrow"))

@@ -37,15 +37,20 @@ def _partition_dir(out_dir: str, col: str, value) -> str:
 
 
 def completed_partitions(out_dir: str, col: str) -> set:
-    """Partition values whose _SUCCESS marker exists (the resume probe:
-    one listdir of the output root)."""
+    """Partition values that are COMPLETE: _SUCCESS marker AND at least
+    one data file (a marker whose data file was lost must be redone,
+    not silently skipped). One listdir of the root + one per candidate
+    directory."""
     out = set()
     if not os.path.isdir(out_dir):
         return out
     prefix = f"{col}="
     for name in os.listdir(out_dir):
-        if name.startswith(prefix) and os.path.exists(
-                os.path.join(out_dir, name, "_SUCCESS")):
+        if not name.startswith(prefix):
+            continue
+        pdir = os.path.join(out_dir, name)
+        if os.path.exists(os.path.join(pdir, "_SUCCESS")) and any(
+                f.endswith(".parquet") for f in os.listdir(pdir)):
             out.add(name[len(prefix):])
     return out
 
@@ -71,12 +76,22 @@ def write_partitioned(ds: ray.data.Dataset, out_dir: str, partition_col: str,
     table (partition, n_rows) of partitions written THIS run. Rows of
     already-completed partitions are dropped at the first map stage in
     continue mode."""
+    if mode == "overwrite" and os.path.isdir(out_dir):
+        # stale partitions (absent from the new dataset) must not
+        # survive an overwrite with valid markers
+        import shutil
+
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     done = completed_partitions(out_dir, partition_col) \
         if mode == "continue" else set()
     done_ref = ray.put(np.array(sorted(done), dtype=object))
 
     def bucket_stage(batch: pa.Table) -> pa.Table:
+        if partition_col not in batch.column_names:
+            # upstream groupby stages can emit zero-column blocks for
+            # empty partitions
+            return pa.table({"__pb": pa.array([], pa.int64())})
         vals = batch.column(partition_col).to_numpy(zero_copy_only=False)
         done_vals = ray.get(done_ref)
         if len(done_vals):
@@ -87,9 +102,12 @@ def write_partitioned(ds: ray.data.Dataset, out_dir: str, partition_col: str,
 
         # stable across workers (python hash() is seed-randomized per
         # process, which would split one partition over several buckets
-        # and break the one-writer-per-directory invariant)
-        h = np.array([zlib.crc32(str(v).encode()) % buckets for v in vals],
-                     dtype=np.int64)
+        # and break the one-writer-per-directory invariant); crc only
+        # the UNIQUE values, then scatter via the inverse index
+        uniq, inv = np.unique(vals.astype(str), return_inverse=True)
+        codes = np.array([zlib.crc32(u.encode()) % buckets for u in uniq],
+                         dtype=np.int64)
+        h = codes[inv] if len(uniq) else np.empty(0, dtype=np.int64)
         return batch.append_column("__pb", pa.array(h))
 
     def write_bucket(group: pa.Table) -> pa.Table:
@@ -123,7 +141,10 @@ def write_partitioned(ds: ray.data.Dataset, out_dir: str, partition_col: str,
 
     out = (ds.map_batches(bucket_stage, batch_format="pyarrow")
            .groupby("__pb")
-           .map_groups(write_bucket, batch_format="pyarrow"))
+           .map_groups(write_bucket, batch_format="pyarrow")
+           .materialize())  # exactly ONE execution of the writes:
+    # collecting refs off an unmaterialized plan triggers Ray's schema
+    # probe, which re-runs the (side-effecting) pipeline a second time
     tabs = [t for t in (ray.get(r) for r in out.to_arrow_refs())
             if t.num_columns > 0]
     return (pa.concat_tables(tabs) if tabs else

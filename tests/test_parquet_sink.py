@@ -74,3 +74,48 @@ def test_curation_to_partitioned_parquet(tmp_path, sf_dir):
         ray.get(r) for r in read_partitioned(out).to_arrow_refs()])
     assert back.num_rows == n > 0
     assert set(back.column("lang_pred").to_pylist()) <= {"de", "en", "es", "fr"}
+
+
+def test_overwrite_clears_stale_partitions(tmp_path):
+    """A partition absent from the new dataset must not survive an
+    overwrite with a valid marker (stale-data hazard)."""
+    t, ds = _make_ds()
+    out = str(tmp_path / "out")
+    write_partitioned(ds, out, "lang", mode="overwrite")
+    smaller = ray.data.from_arrow(t.filter(
+        pa.compute.not_equal(t.column("lang"), "zh")))
+    write_partitioned(smaller, out, "lang", mode="overwrite")
+    assert completed_partitions(out, "lang") == {"en", "de", "fr", "es"}
+    back = pa.concat_tables([
+        ray.get(r) for r in read_partitioned(out).to_arrow_refs()])
+    assert "zh" not in set(back.column("lang").to_pylist())
+
+
+def test_marker_without_data_is_redone(tmp_path):
+    """_SUCCESS without a data file is NOT complete: the partition is
+    rewritten, not silently skipped."""
+    _t, ds = _make_ds()
+    out = str(tmp_path / "out")
+    write_partitioned(ds, out, "lang", mode="overwrite")
+    os.unlink(os.path.join(out, "lang=de", "part-0.parquet"))
+    assert "de" not in completed_partitions(out, "lang")
+    s = write_partitioned(ds, out, "lang", mode="continue")
+    assert s.column("partition").to_pylist() == ["de"]
+
+
+def test_export_keeps_text(tmp_path, sf_dir):
+    """The exported corpus carries the curated TEXT (an export without
+    document content is not a training corpus)."""
+    import ray.data as rd
+
+    from mapchete_xarray_ray.pipelines.queries import curation_pipeline
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    cur = curation_pipeline(docs, keep_text=True)
+    out = str(tmp_path / "corpus")
+    write_partitioned(cur, out, "lang_pred", mode="overwrite")
+    back = pa.concat_tables([
+        ray.get(r) for r in read_partitioned(out).to_arrow_refs()])
+    assert "text" in back.column_names and back.num_rows > 0
+    assert min(len(t) for t in back.column("text").to_pylist()) >= 100
