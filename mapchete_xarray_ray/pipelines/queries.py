@@ -2026,10 +2026,7 @@ def q_top_users_per_type(sf_dir: str):
             [("user_id", "count")])
         return g.rename_columns(["event_type", "user_id", "n"])
 
-    def topk(group: pa.Table) -> pa.Table:
-        et = group.column("event_type").to_numpy(zero_copy_only=False)
-        uid = group.column("user_id").to_numpy(zero_copy_only=False)
-        n = group.column("n").to_numpy(zero_copy_only=False)
+    def _rank_topk(et, uid, n, k=3):
         order = np.lexsort((uid, -n, et))
         et, uid, n = et[order], uid[order], n[order]
         new = np.ones(len(et), dtype=bool)
@@ -2037,34 +2034,48 @@ def q_top_users_per_type(sf_dir: str):
         starts = np.flatnonzero(new)
         rank = np.arange(len(et)) - np.repeat(starts, np.diff(
             np.append(starts, len(et)))) + 1
-        keep = rank <= 3
-        return pa.table({
-            "event_type": pa.array(et[keep], pa.string()),
-            "user_id": pa.array(uid[keep], pa.int64()),
-            "n_events": pa.array(n[keep], pa.int64()),
-            "rank": pa.array(rank[keep], pa.int64()),
-        })
+        keep = rank <= k
+        return et[keep], uid[keep], n[keep], rank[keep]
 
-    ds = (_regroup(_read(f"{sf_dir}/events.parquet",
-                         columns=["event_type", "user_id"])
-                   .map_batches(partial, batch_format="pyarrow"))
-          .groupby(["event_type", "user_id"])
-          .sum("n"))
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        # a user lives in ONE bucket, so per-(type,user) totals are
+        # complete here; the global top-3 per type is among the
+        # per-bucket top-3 candidates (<= 3 x types rows per bucket)
+        t = group.group_by(["event_type", "user_id"]).aggregate([("n", "sum")])
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        n = t.column("n_sum").to_numpy(zero_copy_only=False)
+        et, uid, n, _r = _rank_topk(et, uid, n)
+        return pa.table({"event_type": pa.array(et, pa.string()),
+                         "user_id": pa.array(uid, pa.int64()),
+                         "n": pa.array(n.astype(np.int64))})
 
-    def renorm(batch: pa.Table) -> pa.Table:
+    def final_topk(batch: pa.Table) -> pa.Table:
         if "event_type" not in batch.column_names:
             return pa.table({"event_type": pa.array([], pa.string()),
                              "user_id": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        return pa.table({"event_type": batch.column("event_type"),
-                         "user_id": batch.column("user_id"),
-                         "n": batch.column("sum(n)").cast(pa.int64())})
+                             "n_events": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        et, uid, n, rank = _rank_topk(
+            batch.column("event_type").to_numpy(zero_copy_only=False),
+            batch.column("user_id").to_numpy(zero_copy_only=False),
+            batch.column("n").to_numpy(zero_copy_only=False))
+        return pa.table({"event_type": pa.array(et, pa.string()),
+                         "user_id": pa.array(uid, pa.int64()),
+                         "n_events": pa.array(n.astype(np.int64)),
+                         "rank": pa.array(rank, pa.int64())})
 
-    # final rank over the per-(type,user) aggregate — tiny, one group
-    return (ds.map_batches(renorm, batch_format="pyarrow")
+    # one shuffle over batch partials; candidates (<= buckets x types
+    # x 3 rows) merge in a single final task
+    return (_regroup(_read(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "user_id"])
+                     .map_batches(partial, batch_format="pyarrow")
+                     .map_batches(_mod_bucket("user_id", "ub"),
+                                  batch_format="pyarrow"), 8)
+            .groupby("ub")
+            .map_groups(bucket_topk, batch_format="pyarrow")
             .repartition(1)
-            .groupby("event_type")
-            .map_groups(topk, batch_format="pyarrow"))
+            .map_batches(final_topk, batch_format="pyarrow"))
 
 
 SQL_TOP_USERS_PER_TYPE = """
