@@ -698,19 +698,23 @@ def q_simhash_neardup(sf_dir: str):
         lambda b: simhash_stage(b).group_by("doc_id").aggregate(
             [("sig", "min")]).rename_columns(["doc_id", "sig"]),
         batch_format="pyarrow")))
-    sig_ref = ray.put(dict(zip(sig_tbl.column("doc_id").to_pylist(),
-                               sig_tbl.column("sig").to_pylist())))
+    # broadcast as SORTED numpy arrays (id, sig): searchsorted lookup
+    # per batch — no python dict, no per-row dict.get
+    _sid = sig_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    _ssig = sig_tbl.column("sig").to_numpy(zero_copy_only=False)
+    _o = np.argsort(_sid)
+    sig_ref = ray.put((_sid[_o], _ssig[_o]))
 
     def verify(batch: pa.Table) -> pa.Table:
         if "id_a" not in batch.column_names or batch.num_rows == 0:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int64())})
-        sigs = ray.get(sig_ref)
+        sid, ssig = ray.get(sig_ref)
         a = batch.column("id_a").to_numpy(zero_copy_only=False)
         b = batch.column("id_b").to_numpy(zero_copy_only=False)
-        sa = np.array([sigs[x] for x in a], dtype=np.int64).astype(np.uint64)
-        sb = np.array([sigs[x] for x in b], dtype=np.int64).astype(np.uint64)
+        sa = ssig[np.searchsorted(sid, a)].astype(np.uint64)
+        sb = ssig[np.searchsorted(sid, b)].astype(np.uint64)
         d = hamming64(sa, sb)
         keep = d <= 3
         # dedup pairs found via multiple chunks
