@@ -325,6 +325,112 @@ GROUP BY doc_id
 """
 
 
+def q_pip_antijoin(sf_dir: str):
+    """ANTI-join shape (NOT EXISTS): documents whose point falls in NO
+    region polygon — the complement of pip_join, via the same broadcast
+    joiner with ``keep_unmatched`` and a region_id == -1 filter (no
+    second pass, no shuffle)."""
+    from mapchete_xarray_ray.stages.join import PIPJoiner
+
+    regions = [
+        (rid, [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        for rid, x0, y0, x1, y1 in _PIP_RECTS
+    ]
+
+    def unmatched_only(batch: pa.Table) -> pa.Table:
+        if "doc_id" not in batch.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        m = pa.compute.equal(batch.column("region_id"), -1)
+        return pa.table({"doc_id": batch.filter(m).column("doc_id")})
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(assign_doc_ids_fn(ZOOM), batch_format="pyarrow")
+        .map_batches(
+            PIPJoiner,
+            fn_constructor_kwargs=dict(regions=regions, x_col="px",
+                                       y_col="py", keep_unmatched=True),
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .map_batches(unmatched_only, batch_format="pyarrow")
+    )
+
+
+SQL_PIP_ANTIJOIN = """
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id * 2654435761) % 16384 AS px,
+         (doc_id * 40503) % 8192 AS py
+  FROM documents
+), regions(region_id, minx, miny, maxx, maxy) AS (
+  VALUES (0, 1000, 1000, 5000, 4000),
+         (1, 4000, 3000, 9000, 6000),
+         (2, 9000, 3000, 12000, 6000),
+         (3, 13000, 500, 16000, 7500)
+)
+SELECT doc_id FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM regions r
+  WHERE p.px BETWEEN r.minx AND r.maxx AND p.py BETWEEN r.miny AND r.maxy)
+"""
+
+
+def q_customers_with_orders(sf_dir: str):
+    """SEMI-join shape (EXISTS): customers having at least one order,
+    with their nation key — the dedup side of a join without carrying
+    the payload. Both sides co-group by ``custkey % 64``; the orders
+    side is pre-deduped per batch so the shuffle moves distinct keys,
+    not order rows."""
+    def o_keys(batch: pa.Table) -> pa.Table:
+        k = np.unique(batch.column("o_custkey").to_numpy(
+            zero_copy_only=False))
+        return pa.table({
+            "custkey": pa.array(k, pa.int64()),
+            "nationkey": pa.array(np.full(len(k), -1), pa.int64()),
+            "is_cust": pa.array(np.zeros(len(k), dtype=bool)),
+        })
+
+    def c_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "custkey": batch.column("c_custkey").cast(pa.int64()),
+            "nationkey": batch.column("c_nationkey").cast(pa.int64()),
+            "is_cust": pa.array(np.ones(n, dtype=bool)),
+        })
+
+    def semi(group: pa.Table) -> pa.Table:
+        isc = group.column("is_cust").to_numpy(zero_copy_only=False)
+        key = group.column("custkey").to_numpy(zero_copy_only=False)
+        nat = group.column("nationkey").to_numpy(zero_copy_only=False)
+        okeys = np.unique(key[~isc])
+        ck, cn = key[isc], nat[isc]
+        pos = np.searchsorted(okeys, ck)
+        hit = pos < len(okeys)
+        hit[hit] = okeys[pos[hit]] == ck[hit]
+        return pa.table({
+            "c_custkey": pa.array(ck[hit], pa.int64()),
+            "c_nationkey": pa.array(cn[hit], pa.int64()),
+        })
+
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+                   ).map_batches(o_keys, batch_format="pyarrow")
+    cust = _read(f"{sf_dir}/customer.parquet",
+                 columns=["c_custkey", "c_nationkey"]
+                 ).map_batches(c_rows, batch_format="pyarrow")
+    return (_regroup(orders.union(cust)
+                     .map_batches(_mod_bucket("custkey", "jb"),
+                                  batch_format="pyarrow"), 8)
+            .groupby("jb")
+            .map_groups(semi, batch_format="pyarrow"))
+
+
+SQL_CUSTOMERS_WITH_ORDERS = """
+SELECT c_custkey, c_nationkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
 def q_knn(sf_dir: str):
     """Exact kNN (J5) via k-ring gather + refinement in pixel space.
 
@@ -2183,6 +2289,9 @@ REGISTRY: dict[str, tuple] = {
     "corpus_curation": (q_corpus_curation, _curation_sql()),
     "top_users_per_type": (q_top_users_per_type, SQL_TOP_USERS_PER_TYPE),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
+    "pip_antijoin": (q_pip_antijoin, SQL_PIP_ANTIJOIN),
+    "customers_with_orders": (q_customers_with_orders,
+                              SQL_CUSTOMERS_WITH_ORDERS),
 }
 
 
