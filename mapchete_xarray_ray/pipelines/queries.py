@@ -276,11 +276,7 @@ def q_pip_join(sf_dir: str):
     """
     from mapchete_xarray_ray.stages.join import PIPJoiner
 
-    rects = _PIP_RECTS
-    regions = [
-        (rid, [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
-        for rid, x0, y0, x1, y1 in rects
-    ]
+    regions = _pip_regions()
     ds = (
         _docs(sf_dir, ["doc_id"])
         .map_batches(assign_doc_ids_fn(ZOOM), batch_format="pyarrow")
@@ -325,6 +321,15 @@ GROUP BY doc_id
 """
 
 
+def _pip_regions():
+    """_PIP_RECTS as closed rings — shared by the PIP join and
+    anti-join so the polygon construction cannot diverge."""
+    return [
+        (rid, [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        for rid, x0, y0, x1, y1 in _PIP_RECTS
+    ]
+
+
 def q_pip_antijoin(sf_dir: str):
     """ANTI-join shape (NOT EXISTS): documents whose point falls in NO
     region polygon — the complement of pip_join, via the same broadcast
@@ -332,10 +337,7 @@ def q_pip_antijoin(sf_dir: str):
     second pass, no shuffle)."""
     from mapchete_xarray_ray.stages.join import PIPJoiner
 
-    regions = [
-        (rid, [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
-        for rid, x0, y0, x1, y1 in _PIP_RECTS
-    ]
+    regions = _pip_regions()
 
     def unmatched_only(batch: pa.Table) -> pa.Table:
         if "doc_id" not in batch.column_names:
@@ -819,8 +821,16 @@ def q_simhash_neardup(sf_dir: str):
         sid, ssig = ray.get(sig_ref)
         a = batch.column("id_a").to_numpy(zero_copy_only=False)
         b = batch.column("id_b").to_numpy(zero_copy_only=False)
-        sa = ssig[np.searchsorted(sid, a)].astype(np.uint64)
-        sb = ssig[np.searchsorted(sid, b)].astype(np.uint64)
+        pa_ = np.searchsorted(sid, a)
+        pb_ = np.searchsorted(sid, b)
+        # fail loud on ids missing from the signature table (the old
+        # dict lookup raised KeyError; searchsorted would silently pick
+        # a neighbor)
+        if (pa_ >= len(sid)).any() or (pb_ >= len(sid)).any() \
+                or (sid[pa_] != a).any() or (sid[pb_] != b).any():
+            raise KeyError("candidate pair id missing from signature table")
+        sa = ssig[pa_].astype(np.uint64)
+        sb = ssig[pb_].astype(np.uint64)
         d = hamming64(sa, sb)
         keep = d <= 3
         # dedup pairs found via multiple chunks

@@ -71,15 +71,23 @@ class ImageDecodeStage:
         col = batch.column(self.payload_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        payloads = [(b or b"") for b in col.to_pylist()]
-        n = len(payloads)
-        crcs = np.fromiter((zlib.crc32(b) for b in payloads),
-                           dtype=np.uint64, count=n)
+        n = len(col)
+        # zero-copy: offsets + values straight from the Arrow binary
+        # buffers; nulls read as empty payloads
+        off0 = col.offset
+        offsets = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                                count=off0 + n + 1)[off0:].astype(np.int64)
+        data_buf = col.buffers()[2]
+        raw = (np.frombuffer(data_buf, dtype=np.uint8)
+               if data_buf is not None else np.empty(0, np.uint8))
+        lens = np.diff(offsets)
+        mv = memoryview(raw)
+        crcs = np.fromiter(
+            (zlib.crc32(mv[s:e]) for s, e in zip(offsets[:-1], offsets[1:])),
+            dtype=np.uint64, count=n)
         widths = (16 + (crcs & 0xFF)).astype(np.int64)
         heights = (16 + ((crcs >> np.uint64(8)) & 0xFF)).astype(np.int64)
-        lens = np.fromiter((len(b) for b in payloads), dtype=np.int64,
-                           count=n)
-        all_bytes = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        all_bytes = raw[offsets[0]:offsets[-1]]
         feats = np.zeros((n, IMAGE_FEATURE_DIM), dtype=np.float64)
         if all_bytes.size:
             row = np.repeat(np.arange(n), lens)

@@ -60,3 +60,29 @@ def test_frame_sampling_flatmap_shape():
     # frames are non-overlapping slices of the payload
     first = out.filter(pa.compute.equal(out.column("id"), 0))
     assert first.column("frame_idx").to_pylist() == [0, 2]
+
+
+def test_vectorized_decode_matches_scalar_reference():
+    """The batched histogram/crc path must equal the per-item scalar
+    decode exactly (incl. empty payloads)."""
+    import random
+
+    import numpy as np
+    import numpy.testing as npt
+    import pyarrow as pa
+
+    from mapchete_xarray_ray.stages.multimodal import ImageDecodeStage
+
+    random.seed(3)
+    payloads = [bytes(random.getrandbits(8) for _ in range(
+        random.randint(0, 400))) for _ in range(200)] + [b""]
+    t = pa.table({"id": pa.array(range(len(payloads)), pa.int64()),
+                  "payload": pa.array(payloads, pa.binary())})
+    st = ImageDecodeStage(backend="fake")
+    out = st(t)
+    ws, hs, fs = zip(*(st._decode_fake(b) for b in payloads))
+    npt.assert_array_equal(out.column("width").to_numpy(), np.array(ws))
+    npt.assert_array_equal(out.column("height").to_numpy(), np.array(hs))
+    got = np.asarray(out.column("feature").combine_chunks()
+                     .values.to_numpy()).reshape(len(payloads), -1)
+    npt.assert_array_equal(got, np.stack(fs))
