@@ -2041,6 +2041,53 @@ SELECT l_returnflag, l_linestatus, cents AS median_cents FROM (
 """
 
 
+def q_events_dedup_horizon(sf_dir: str):
+    """Stream-shaped dedup-within-horizon (stages/streaming.py's third
+    named use case): an event is kept unless the SAME (user,
+    event_type) fired within the previous hour — the
+    suppress-repeated-alerts operator. Bucketed by user, ordered
+    (ts, event_id) within the bucket, boundary-masked vectorized gap
+    test; same shape as events_asof."""
+    H = 3_600_000_000
+
+    def horizon(group: pa.Table) -> pa.Table:
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, et, uid))
+        eid, ts, uid, et = eid[order], ts[order], uid[order], et[order]
+        keep = np.ones(len(eid), dtype=bool)
+        if len(eid) > 1:
+            same = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+            keep[1:] = ~same | (ts[1:] - ts[:-1] > H)
+        return pa.table({"event_id": pa.array(eid[keep], pa.int64()),
+                         "user_id": pa.array(uid[keep], pa.int64()),
+                         "event_type": pa.array(et[keep], pa.string())})
+
+    add_bucket = _mod_bucket("user_id", empty={
+        "event_id": pa.int64(), "ts": pa.timestamp("us"),
+        "user_id": pa.int64(), "event_type": pa.string()})
+    return (
+        _regroup(_read(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "ts", "user_id", "event_type"])
+                 .map_batches(add_bucket, batch_format="pyarrow"),
+                 nblocks=16)
+        .groupby("bucket")
+        .map_groups(horizon, batch_format="pyarrow")
+    )
+
+
+SQL_EVENTS_DEDUP_HORIZON = """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+  FROM events
+) WHERE gap IS NULL OR gap > 3600000000
+"""
+
+
 def q_corpus_curation(sf_dir: str):
     """END-TO-END training-data curation, the composition a real user
     runs daily, as ONE streaming chain under the driver's exact hash:
@@ -2302,6 +2349,8 @@ REGISTRY: dict[str, tuple] = {
     "pip_antijoin": (q_pip_antijoin, SQL_PIP_ANTIJOIN),
     "customers_with_orders": (q_customers_with_orders,
                               SQL_CUSTOMERS_WITH_ORDERS),
+    "events_dedup_horizon": (q_events_dedup_horizon,
+                             SQL_EVENTS_DEDUP_HORIZON),
 }
 
 
