@@ -2088,6 +2088,75 @@ SELECT event_id, user_id, event_type FROM (
 """
 
 
+def q_lineitem_rollup(sf_dir: str):
+    """Hierarchical aggregate (GROUP BY ROLLUP shape): revenue sums at
+    (returnflag, linestatus), per returnflag, and grand total — the
+    coarser levels derive from the FINEST aggregate's partial rows
+    (never a second scan of the input), the scale-right rollup plan.
+    NULL rollup slots use the 'ALL' sentinel on both sides."""
+    def partial(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "rev": pa.array(np.floor(price * 100).astype(np.int64)),
+            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("rev", "sum"), ("n", "sum")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "rev", "n"])
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        # derive all three levels from the finest aggregate (tiny)
+        if "l_returnflag" not in batch.column_names:
+            return pa.table({"l_returnflag": pa.array([], pa.string()),
+                             "l_linestatus": pa.array([], pa.string()),
+                             "revenue_cents": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        base = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("rev", "sum"), ("n", "sum")]).rename_columns(
+            ["l_returnflag", "l_linestatus", "rev", "n"])
+        lvl1 = base.group_by("l_returnflag").aggregate(
+            [("rev", "sum"), ("n", "sum")]).rename_columns(
+            ["l_returnflag", "rev", "n"])
+        tot_rev = int(pa.compute.sum(base.column("rev")).as_py() or 0)
+        tot_n = int(pa.compute.sum(base.column("n")).as_py() or 0)
+        out = {
+            "l_returnflag": (base.column("l_returnflag").to_pylist()
+                             + lvl1.column("l_returnflag").to_pylist()
+                             + ["ALL"]),
+            "l_linestatus": (base.column("l_linestatus").to_pylist()
+                             + ["ALL"] * lvl1.num_rows + ["ALL"]),
+            "revenue_cents": (base.column("rev").to_pylist()
+                              + lvl1.column("rev").to_pylist() + [tot_rev]),
+            "n_rows": (base.column("n").to_pylist()
+                       + lvl1.column("n").to_pylist() + [tot_n]),
+        }
+        return pa.table({
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+            "revenue_cents": pa.array(out["revenue_cents"], pa.int64()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+        })
+
+    return (_regroup(_read(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_returnflag", "l_linestatus",
+                                    "l_extendedprice"])
+                     .map_batches(partial, batch_format="pyarrow"), 4)
+            .repartition(1)
+            .map_batches(rollup, batch_format="pyarrow"))
+
+
+SQL_LINEITEM_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS revenue_cents,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def q_corpus_curation(sf_dir: str):
     """END-TO-END training-data curation, the composition a real user
     runs daily, as ONE streaming chain under the driver's exact hash:
@@ -2351,6 +2420,7 @@ REGISTRY: dict[str, tuple] = {
                               SQL_CUSTOMERS_WITH_ORDERS),
     "events_dedup_horizon": (q_events_dedup_horizon,
                              SQL_EVENTS_DEDUP_HORIZON),
+    "lineitem_rollup": (q_lineitem_rollup, SQL_LINEITEM_ROLLUP),
 }
 
 
