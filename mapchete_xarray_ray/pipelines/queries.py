@@ -2108,11 +2108,13 @@ def q_lineitem_rollup(sf_dir: str):
 
     def rollup(batch: pa.Table) -> pa.Table:
         # derive all three levels from the finest aggregate (tiny)
-        if "l_returnflag" not in batch.column_names:
-            return pa.table({"l_returnflag": pa.array([], pa.string()),
-                             "l_linestatus": pa.array([], pa.string()),
-                             "revenue_cents": pa.array([], pa.int64()),
-                             "n_rows": pa.array([], pa.int64())})
+        if "l_returnflag" not in batch.column_names or batch.num_rows == 0:
+            # SQL ROLLUP emits the () grouping-set row even over an
+            # empty input: sum=NULL, count=0
+            return pa.table({"l_returnflag": pa.array(["ALL"], pa.string()),
+                             "l_linestatus": pa.array(["ALL"], pa.string()),
+                             "revenue_cents": pa.array([None], pa.int64()),
+                             "n_rows": pa.array([0], pa.int64())})
         base = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("rev", "sum"), ("n", "sum")]).rename_columns(
             ["l_returnflag", "l_linestatus", "rev", "n"])
@@ -2139,10 +2141,10 @@ def q_lineitem_rollup(sf_dir: str):
             "n_rows": pa.array(out["n_rows"], pa.int64()),
         })
 
-    return (_regroup(_read(f"{sf_dir}/lineitem.parquet",
-                           columns=["l_returnflag", "l_linestatus",
-                                    "l_extendedprice"])
-                     .map_batches(partial, batch_format="pyarrow"), 4)
+    return (_read(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_returnflag", "l_linestatus",
+                           "l_extendedprice"])
+            .map_batches(partial, batch_format="pyarrow")
             .repartition(1)
             .map_batches(rollup, batch_format="pyarrow"))
 
