@@ -112,6 +112,81 @@ class KeyedRunningState:
         })
 
 
+class _StateShard:
+    """One shard of cross-pass keyed state (plain object; wrapped by
+    ``ray.remote`` in :func:`state_actor_pool`). Holds a
+    :class:`KeyedRunningState` plus a seen-key set for
+    dedup-across-passes."""
+
+    def __init__(self):
+        self.state = KeyedRunningState()
+        self._seen = np.empty(0, dtype=np.int64)
+
+    def update(self, keys, ts_us, values):
+        self.state.update(keys, ts_us, values)
+
+    def filter_unseen(self, keys):
+        """Return the boolean keep-mask of keys NOT seen in any prior
+        call (then mark them seen) — continuous-ingest dedup where the
+        horizon spans Dataset passes."""
+        keys = np.asarray(keys, dtype=np.int64)
+        pos = np.searchsorted(self._seen, keys)
+        hit = pos < len(self._seen)
+        hit[hit] = self._seen[pos[hit]] == keys[hit]
+        # within-call duplicates: only the FIRST occurrence is fresh
+        _u, first_idx = np.unique(keys, return_index=True)
+        first = np.zeros(len(keys), dtype=bool)
+        first[first_idx] = True
+        keep = ~hit & first
+        fresh = keys[keep]
+        if len(fresh):
+            self._seen = np.unique(np.concatenate([self._seen, fresh]))
+        return keep
+
+    def snapshot(self):
+        return self.state.snapshot()
+
+
+def state_actor_pool(n_shards: int = 8):
+    """Cross-pass keyed state as a FIXED pool of Ray actors, one per
+    key-hash shard (``key % n_shards`` routes every batch of a key to
+    its owning actor). This is the variant the per-pass map_groups
+    pattern can't cover: the state must OUTLIVE one Dataset execution
+    (continuous ingest, incremental batches arriving across separate
+    pipeline runs). Call ``actors[k % n](...)`` from map_batches tasks;
+    shard ownership makes the single-writer rule hold without locks."""
+    import ray as _ray
+
+    Shard = _ray.remote(_StateShard)
+    return [Shard.options(num_cpus=0.25).remote() for _ in range(n_shards)]
+
+
+def dedup_across_passes(ds, actors, id_col: str = "event_id"):
+    """Filter a Dataset to rows whose ``id_col`` was never seen by the
+    actor pool — including in PREVIOUS calls with other Datasets (the
+    dedup-within-horizon op extended across pipeline runs). Each batch
+    routes its ids to the owning shards and keeps only fresh rows."""
+    import ray as _ray
+
+    n = len(actors)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if id_col not in batch.column_names or batch.num_rows == 0:
+            return batch
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        shard = ids % n
+        keep = np.zeros(len(ids), dtype=bool)
+        # one RPC per shard present in the batch, not per row
+        present = np.unique(shard)
+        masks = _ray.get([actors[s].filter_unseen.remote(ids[shard == s])
+                          for s in present])
+        for s, m in zip(present, masks):
+            keep[shard == s] = m
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def running_totals_group(group: pa.Table) -> pa.Table:
     """map_groups fn over a key-hash bucket: ts-order the bucket, stream
     it through KeyedRunningState, emit final snapshots."""
