@@ -16,7 +16,6 @@ computed once here, mirroring _output.py:71-94.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta
 from typing import Any
