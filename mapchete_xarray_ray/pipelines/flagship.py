@@ -353,8 +353,9 @@ def run_pipeline(ds: ray.data.Dataset, spec: JobSpec, mode: str = "continue",
     # ~3 blocks per CPU keeps the sort parallel without drowning the
     # object store in tiny transfers (measured 40s -> 7s at 200k pages)
     if repartition_blocks is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-        repartition_blocks = max(8, ncpu * 3)
+        from mapchete_xarray_ray.scale import nblocks_for_cluster
+
+        repartition_blocks = nblocks_for_cluster(3.0, lo=8)
     if repartition_blocks:
         ds = ds.repartition(repartition_blocks)
 

@@ -103,8 +103,8 @@ class PyramidReducer:
 
 
 def run_pyramid_step(in_path: str, out_path: str, how: str = "sum",
-                     mode: str = "continue", concurrency: int | None = None
-                     ) -> ray.data.Dataset:
+                     mode: str = "continue", concurrency: int | None = None,
+                     compressor: int = 1) -> ray.data.Dataset:
     in_spec = spec_from_archive(in_path)
     out_spec = JobSpec(
         path=out_path,
@@ -123,7 +123,10 @@ def run_pyramid_step(in_path: str, out_path: str, how: str = "sum",
         time=in_spec.time,
     )
     check_grid_compatible(in_spec, out_spec)
-    out_store = ZarrTileStore(out_spec)
+    # compressor applies only when this call CREATES the archive; an
+    # existing one keeps its on-disk layout (write_tile syncs from
+    # .zarray metadata)
+    out_store = ZarrTileStore(out_spec, compressor=compressor)
     out_store.prepare()
 
     r0, r1, c0, c1 = out_spec.tile_range()

@@ -19,6 +19,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from mapchete_xarray_ray.scale import nblocks_for_cluster
 from mapchete_xarray_ray.stages.assign import assign_doc_ids_fn
 
 ZOOM = 5  # documents-query zoom: 32x64 tiles, 8192x16384 global pixels
@@ -73,11 +74,27 @@ def _docs(sf_dir: str, columns):
     return _read(f"{sf_dir}/documents.parquet", columns)
 
 
-def _regroup(ds, nblocks: int = 8):
+def _regroup(ds, per_cpu: float = 0.25):
     """Consolidate blocks before a small groupby: the sort-shuffle's cost
     is per-block (S blocks -> O(S^2) shuffle objects), and pre-aggregated
-    partials are tiny — a handful of blocks keeps the exchange cheap."""
-    return ds.repartition(nblocks)
+    partials are tiny — a handful of blocks keeps the exchange cheap.
+    Width scales with the cluster (``scale.nblocks_for_cluster``), not a
+    constant: 8 fixed blocks on a 256-node cluster would mean multi-GB
+    blocks and 8-way parallelism into every sort exchange."""
+    return ds.repartition(nblocks_for_cluster(per_cpu))
+
+
+def _store_compressor() -> int:
+    """zlib level for archives created by the roundtrip queries.
+
+    ``GRAFT_STORE_COMPRESSOR=0`` (set by bench.py) writes raw chunks so
+    the roundtrip bench numbers measure the store/pipeline machinery,
+    not zlib. Values are identical either way (the driver hash doesn't
+    see bytes on disk); readers decode by the archive's own ``.zarray``
+    metadata, so the knob only matters at initialize time."""
+    import os
+
+    return int(os.environ.get("GRAFT_STORE_COMPRESSOR", "1"))
 
 
 def collect_table(res):
@@ -709,7 +726,7 @@ def q_minhash_neardup(sf_dir: str):
         })
 
     joined = (_regroup(refs.union(texts)
-                       .map_batches(dbucket, batch_format="pyarrow"), 4)
+                       .map_batches(dbucket, batch_format="pyarrow"), 0.125)
               .groupby("db")
               .map_groups(attach_text, batch_format="pyarrow"))
 
@@ -733,7 +750,7 @@ def q_minhash_neardup(sf_dir: str):
         })
 
     result = collect_table(
-        _regroup(joined.map_batches(pbucket2, batch_format="pyarrow"), 4)
+        _regroup(joined.map_batches(pbucket2, batch_format="pyarrow"), 0.125)
         .groupby("pb")
         .map_groups(score, batch_format="pyarrow"))
     if result.num_columns == 0:
@@ -1059,7 +1076,7 @@ def q_events_sessions(sf_dir: str):
         _regroup(_read(f"{sf_dir}/events.parquet",
                        columns=["event_id", "ts", "user_id"])
                  .map_batches(add_bucket, batch_format="pyarrow"),
-                 nblocks=16)
+                 per_cpu=0.5)
         .groupby("bucket")
         .map_groups(sessions, batch_format="pyarrow")
     )
@@ -1359,7 +1376,7 @@ def q_events_asof(sf_dir: str):
         _regroup(_read(f"{sf_dir}/events.parquet",
                        columns=["event_id", "ts", "user_id"])
                  .map_batches(add_bucket, batch_format="pyarrow"),
-                 nblocks=16)
+                 per_cpu=0.5)
         .groupby("bucket")
         .map_groups(asof, batch_format="pyarrow")
     )
@@ -1476,7 +1493,7 @@ def q_events_range_join(sf_dir: str):
         return pa.concat_tables([wrows(batch), erows(batch)])
 
     ev = _read(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
-    return (_regroup(ev.map_batches(both, batch_format="pyarrow"), 8)
+    return (_regroup(ev.map_batches(both, batch_format="pyarrow"))
             .groupby("bin")
             .map_groups(match, batch_format="pyarrow"))
 
@@ -1650,7 +1667,7 @@ def _write_counts_archive(sf_dir: str):
     spec = JobSpec(path=os.path.join(out_dir, "counts.zarr"), zoom=ZOOM,
                    bounds=(-180.0, -90.0, 180.0, 90.0), bands=1,
                    dtype="int32", nodata=0)
-    ZarrTileStore(spec).initialize()
+    ZarrTileStore(spec, compressor=_store_compressor()).initialize()
     spec_ref = ray.put(spec)  # broadcast once; actors rebuild the handle
 
     def per_tile_counts(store, sp, row, col, seg: pa.Table) -> None:
@@ -1715,7 +1732,7 @@ def q_store_roundtrip(sf_dir: str):
     _spec, spec_ref, written = _write_counts_archive(sf_dir)
     # spread the tile work list across blocks: from_arrow yields ONE
     # block, which would run the whole read-back on a single task
-    return ray.data.from_arrow(written).repartition(32).map_batches(
+    return ray.data.from_arrow(written).repartition(nblocks_for_cluster(1.0, lo=8)).map_batches(
         _pixel_rows_stage(spec_ref, ZOOM), batch_format="pyarrow")
 
 
@@ -1741,7 +1758,8 @@ def q_pyramid_roundtrip(sf_dir: str):
     # — a pool that covers every CPU deadlocks its own producer tasks
     n_cpus = int(ray.cluster_resources().get("CPU", 4))
     collect_table(run_pyramid_step(spec.path, z4_path, how="sum",
-                                   concurrency=max(2, n_cpus // 2)))
+                                   concurrency=max(2, n_cpus // 2),
+                                   compressor=_store_compressor()))
 
     from mapchete_xarray_ray.sources.zarr_input import spec_from_archive
 
@@ -1752,7 +1770,7 @@ def q_pyramid_roundtrip(sf_dir: str):
         "tile_row": pa.array([t[0] for t in tiles], pa.int64()),
         "tile_col": pa.array([t[1] for t in tiles], pa.int64()),
     })
-    out = ray.data.from_arrow(work).repartition(32).map_batches(
+    out = ray.data.from_arrow(work).repartition(nblocks_for_cluster(1.0, lo=8)).map_batches(
         _pixel_rows_stage(ray.put(z4_spec), 4), batch_format="pyarrow")
     return _schema_finalize(out, {"tile_id": pa.int64(), "iy": pa.int64(),
                                   "ix": pa.int64(), "n_docs": pa.int64()})
@@ -1883,7 +1901,7 @@ def q_store_roundtrip_time(sf_dir: str):
                    dtype="int32", nodata=0,
                    time={"start": STEPS[0], "end": STEPS[-1],
                          "steps": STEPS, "chunksize": 2})
-    ZarrTileStore(spec).initialize()
+    ZarrTileStore(spec, compressor=_store_compressor()).initialize()
     spec_ref = ray.put(spec)
 
     def per_tile_time_counts(store, sp, row, col, seg: pa.Table) -> None:
@@ -1931,7 +1949,7 @@ def q_store_roundtrip_time(sf_dir: str):
                          "ix": pa.array(cat(ix_o)),
                          "n_docs": pa.array(cat(n_o))})
 
-    return ray.data.from_arrow(written).repartition(32).map_batches(
+    return ray.data.from_arrow(written).repartition(nblocks_for_cluster(1.0, lo=8)).map_batches(
         read_tiles, batch_format="pyarrow")
 
 
@@ -2072,7 +2090,7 @@ def q_events_dedup_horizon(sf_dir: str):
         _regroup(_read(f"{sf_dir}/events.parquet",
                        columns=["event_id", "ts", "user_id", "event_type"])
                  .map_batches(add_bucket, batch_format="pyarrow"),
-                 nblocks=16)
+                 per_cpu=0.5)
         .groupby("bucket")
         .map_groups(horizon, batch_format="pyarrow")
     )

@@ -192,20 +192,25 @@ class ZarrTileStore:
         self._layout_synced = False
 
     def _sync_time_chunk(self) -> None:
-        """Align the decode layout with the STORED chunk shape: an
+        """Align the decode layout with the STORED ``.zarray``: an
         existing archive written under another time-chunk layout (e.g.
-        the pre-r2 min(n_time, chunksize) convention) must be decoded
-        by its on-disk ``.zarray``, not by what the spec would write
-        today. One metadata read, cached."""
-        if not self.has_time or self._layout_synced:
+        the pre-r2 min(n_time, chunksize) convention) or another
+        compressor (e.g. raw bench archives) must be decoded by its
+        on-disk metadata, not by what the spec would write today. One
+        metadata read, cached."""
+        if self._layout_synced:
             return
         self._layout_synced = True
         buf = _get_bytes(os.path.join(self.path, self.spec.band_names[0],
                                       ".zarray"))
         if buf is not None:
-            chunks = json.loads(buf).get("chunks")
-            if chunks and len(chunks) == 3 and int(chunks[0]) > 0:
+            meta = json.loads(buf)
+            chunks = meta.get("chunks")
+            if (self.has_time and chunks and len(chunks) == 3
+                    and int(chunks[0]) > 0):
                 self.time_chunk = int(chunks[0])
+            comp = meta.get("compressor")
+            self.compressor = int(comp.get("level", 1)) if comp else 0
 
     # --- S1: initialize --------------------------------------------------
     def initialize(self) -> None:

@@ -21,6 +21,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from mapchete_xarray_ray.scale import nblocks_for_cluster
+
 _HP_SEED = 0x5EED
 N_PLANES = 12  # 4096 buckets
 
@@ -111,7 +113,7 @@ def ann_brute_pipeline(corpus: ray.data.Dataset, query_ids: np.ndarray,
     ref = ray.put((query_ids, normalize_rows(query_mat.astype(np.float64))))
     partial = corpus.map_batches(brute_topk_stage(ref, k), batch_format="pyarrow")
     return (partial.map_batches(_add_id_bucket, batch_format="pyarrow")
-            .repartition(8)
+            .repartition(nblocks_for_cluster())
             .groupby("id_bucket")
             .map_groups(_bucket_merge_topk(k), batch_format="pyarrow"))
 
@@ -301,7 +303,7 @@ def ann_ivf_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
 
     partial = (corpus.map_batches(ivf_assign_both_stage(cent_ref, nprobe),
                                   batch_format="pyarrow")
-               .repartition(8)  # few blocks into the 16-group shuffle
+               .repartition(nblocks_for_cluster())  # few blocks into the 16-group shuffle
                .groupby("cluster")
                .map_groups(_ivf_cluster_topk(k), batch_format="pyarrow"))
 
@@ -369,7 +371,7 @@ def emb_neardup_lsh_pipeline(corpus: ray.data.Dataset, dim: int,
         })
 
     pairs = (corpus.map_batches(bucket_all, batch_format="pyarrow")
-             .repartition(8)
+             .repartition(nblocks_for_cluster())
              .groupby("bb")
              .map_groups(bucket_pairs, batch_format="pyarrow"))
     return (pairs.map_batches(

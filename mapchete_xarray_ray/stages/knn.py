@@ -37,6 +37,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from mapchete_xarray_ray.scale import nblocks_for_cluster
+
 
 def _shell_offsets(lo: int, hi: int):
     """Offsets with lo < Chebyshev distance <= hi (lo=0 includes home)."""
@@ -206,7 +208,7 @@ def knn_pipeline(points: ray.data.Dataset, k: int, cell_span: float,
         # per-block, and the union of replicate stages arrives as many
         # small blocks
         cell_partial = (cand.union(rep)
-                        .repartition(8)
+                        .repartition(nblocks_for_cluster())
                         .groupby("grp")
                         .map_groups(_cell_topk(k), batch_format="pyarrow")
                         .select_columns(["id", "neighbor_id", "dist2"]))
@@ -227,7 +229,7 @@ def knn_pipeline(points: ray.data.Dataset, k: int, cell_span: float,
         done_all = radius >= max(ncols, nrows) or rounds >= max_rounds
         guaranteed = float("inf") if done_all else (radius * cell_span) ** 2
         merged = (cell_partial.map_batches(add_bucket, batch_format="pyarrow")
-                  .repartition(8)
+                  .repartition(nblocks_for_cluster())
                   .groupby("id_bucket")
                   .map_groups(_merge_topk(k, guaranteed, need),
                               batch_format="pyarrow")).materialize()
