@@ -614,24 +614,37 @@ def q_fingerprint(sf_dir: str):
     )
 
 
-_MINHASH_PAIR_CACHE: dict[str, pa.Table] = {}
+_MINHASH_PAIR_CACHE: dict[str, "ray.data.MaterializedDataset"] = {}
 
 
-def q_minhash_neardup(sf_dir: str):
-    """MinHash+LSH near-dup pairs with exact-Jaccard verify >= 0.5.
+def clear_query_caches() -> None:
+    """Drop memoized intermediates (bench.py calls this between timed
+    runs so every query pays its own cost)."""
+    _MINHASH_PAIR_CACHE.clear()
 
-    Not SQL-expressible (rows-only driver check); pair-exactness vs a
-    sequential brute-force oracle is tested in tests/test_dedup.py.
-    The verified pair set is memoized per sf_dir (pure function of the
-    input files) so dedup_clusters doesn't recompute the full LSH +
-    verify pipeline in the same process.
+
+def _minhash_pairs_ds(sf_dir: str) -> "ray.data.MaterializedDataset":
+    """Verified MinHash near-dup pairs as a MATERIALIZED Dataset
+    (id_a, id_b), memoized per sf_dir (pure function of the input
+    files) so dedup_clusters doesn't recompute the LSH + verify chain
+    in the same process.
+
+    Fully distributed: LSH band buckets -> candidate pairs -> bucketed
+    pair dedup on the packed pid -> exact-Jaccard verify via doc-bucket
+    co-group (stages/dedup.py machinery). Only the candidate-ID set is
+    broadcast; the pair table and document texts never land on the
+    driver — shuffled bytes are O(candidate pairs), not O(corpus).
     """
     if sf_dir in _MINHASH_PAIR_CACHE:
         return _MINHASH_PAIR_CACHE[sf_dir]
     from mapchete_xarray_ray.stages.dedup import (
+        attach_pair_values,
         candidate_pairs_bucketed,
+        dedup_pairs_ds,
         jaccard,
         minhash_stage,
+        paired_values,
+        unpack_pids,
     )
 
     docs = _docs(sf_dir, ["doc_id", "text"])
@@ -647,135 +660,54 @@ def q_minhash_neardup(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    # distributed exact-Jaccard verify — a hash semi-join, NOT a driver
-    # text dict: only the candidate-ID SET is broadcast (8 B/id); texts
-    # for candidate docs are co-grouped with the pair refs by doc
-    # bucket to attach each side's text, then by pair id to score. The
-    # corpus text never lands on the driver; shuffled bytes are
-    # O(candidate pairs), not O(corpus). pair id packs (id_a, id_b)
-    # into one int64 — doc_id < 2^31, the engine's documented id domain
-    # (functions/geocode.py).
-    cands = collect_table(cands)  # id-only pairs; candidate-set-sized
-    if cands.num_rows == 0:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64())})
-    # dedup (a pair matching in several LSH bands arrives once per
-    # band) on the already-collected id pairs — cheaper than an extra
-    # shuffle; np.unique on the packed int64
-    a = cands.column("id_a").to_numpy(zero_copy_only=False)
-    b = cands.column("id_b").to_numpy(zero_copy_only=False)
-    packed = np.unique((a << np.int64(31)) | b)
-    cands = pa.table({"id_a": pa.array(packed >> np.int64(31), pa.int64()),
-                      "id_b": pa.array(packed & np.int64((1 << 31) - 1),
-                                       pa.int64())})
-    cand_ids = np.unique(np.concatenate([
-        cands.column("id_a").to_numpy(),
-        cands.column("id_b").to_numpy()]))
-    ids_ref = ray.put(cand_ids)
-
-    def pair_ref_rows(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").to_numpy(zero_copy_only=False)
-        b = batch.column("id_b").to_numpy(zero_copy_only=False)
-        if len(a) and (min(a.min(), b.min()) < 0
-                       or max(a.max(), b.max()) >= 2**31):
-            raise ValueError(
-                "pair packing requires 0 <= doc_id < 2**31 (the engine's "
-                "documented id domain, functions/geocode.py)")
-        pid = (a << np.int64(31)) | b
-        return pa.table({
-            "pid": pa.array(np.concatenate([pid, pid]), pa.int64()),
-            "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
-            "side": pa.array(np.repeat([0, 1], len(a)).astype(np.int64)),
-            "text": pa.array([""] * (2 * len(a)), pa.string()),
-        })
-
-    def cand_text_rows(batch: pa.Table) -> pa.Table:
-        m = np.isin(batch.column("doc_id").to_numpy(), ray.get(ids_ref))
-        kept = batch.filter(pa.array(m))
-        n = kept.num_rows
-        return pa.table({
-            "pid": pa.array(np.full(n, -1), pa.int64()),
-            "doc_id": kept.column("doc_id").cast(pa.int64()),
-            "side": pa.array(np.full(n, -1), pa.int64()),
-            "text": kept.column("text"),
-        })
-
-    refs = ray.data.from_arrow(cands).map_batches(
-        pair_ref_rows, batch_format="pyarrow")
-    texts = docs.map_batches(cand_text_rows, batch_format="pyarrow")
-
-    dbucket = _mod_bucket("doc_id", "db", empty={
-        "pid": pa.int64(), "doc_id": pa.int64(), "side": pa.int64(),
-        "text": pa.string()})
-
-    def attach_text(group: pa.Table) -> pa.Table:
-        side = group.column("side").to_numpy(zero_copy_only=False)
-        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
-        txt = group.column("text").to_numpy(zero_copy_only=False)
-        is_text = side == -1
-        t_doc, t_txt = doc[is_text], txt[is_text]
-        o = np.argsort(t_doc, kind="stable")
-        t_doc, t_txt = t_doc[o], t_txt[o]
-        p = ~is_text
-        pos = np.searchsorted(t_doc, doc[p])
-        return pa.table({
-            "pid": pa.array(group.column("pid").to_numpy(
-                zero_copy_only=False)[p], pa.int64()),
-            "side": pa.array(side[p], pa.int64()),
-            "text": pa.array(t_txt[pos], pa.string()),
-        })
-
-    joined = (_regroup(refs.union(texts)
-                       .map_batches(dbucket, batch_format="pyarrow"), 0.125)
-              .groupby("db")
-              .map_groups(attach_text, batch_format="pyarrow"))
-
-    pbucket2 = _mod_bucket("pid", "pb", empty={
+    pids = dedup_pairs_ds(cands).materialize()
+    paired = attach_pair_values(pids, docs, "text", pa.string())
+    vbucket = _mod_bucket("pid", "vb", empty={
         "pid": pa.int64(), "side": pa.int64(), "text": pa.string()})
 
     def score(group: pa.Table) -> pa.Table:
-        pid = group.column("pid").to_numpy(zero_copy_only=False)
-        side = group.column("side").to_numpy(zero_copy_only=False)
-        txt = group.column("text").to_numpy(zero_copy_only=False)
-        o = np.lexsort((side, pid))
-        pid, txt = pid[o], txt[o]
-        # rows come in (side 0, side 1) pairs per pid after the sort
-        ta, tb, pu = txt[0::2], txt[1::2], pid[0::2]
+        pu, ta, tb = paired_values(group, "text")
+        ta = ta.to_numpy(zero_copy_only=False)
+        tb = tb.to_numpy(zero_copy_only=False)
         keep = np.fromiter((jaccard(x, y) >= 0.5 for x, y in zip(ta, tb)),
                            dtype=bool, count=len(pu))
-        pu = pu[keep]
-        return pa.table({
-            "id_a": pa.array(pu >> np.int64(31), pa.int64()),
-            "id_b": pa.array(pu & np.int64((1 << 31) - 1), pa.int64()),
-        })
+        ia, ib = unpack_pids(pu[keep])
+        return pa.table({"id_a": pa.array(ia, pa.int64()),
+                         "id_b": pa.array(ib, pa.int64())})
 
-    result = collect_table(
-        _regroup(joined.map_batches(pbucket2, batch_format="pyarrow"), 0.125)
-        .groupby("pb")
-        .map_groups(score, batch_format="pyarrow"))
-    if result.num_columns == 0:
-        result = pa.table({"id_a": pa.array([], pa.int64()),
-                           "id_b": pa.array([], pa.int64())})
+    result = (_regroup(paired.map_batches(vbucket, batch_format="pyarrow"),
+                       0.125)
+              .groupby("vb")
+              .map_groups(score, batch_format="pyarrow")).materialize()
     _MINHASH_PAIR_CACHE[sf_dir] = result
     return result
 
 
-def q_dedup_clusters(sf_dir: str):
-    """Near-dup CLUSTERS: MinHash-LSH pairs -> connected components ->
-    (doc_id, cluster_id) with the smallest doc as the canonical keeper.
-    Docs in no pair are implicitly their own singleton cluster (omitted
-    — the output lists only docs affected by dedup). Rows-only; the
-    component labelling is verified against a union-find oracle in
-    tests/test_dedup.py."""
-    from mapchete_xarray_ray.stages.dedup import connected_components
+def q_minhash_neardup(sf_dir: str):
+    """MinHash+LSH near-dup pairs with exact-Jaccard verify >= 0.5.
 
-    pairs = q_minhash_neardup(sf_dir)
-    if isinstance(pairs, ray.data.Dataset):
-        pairs = collect_table(pairs)
-    if pairs.num_rows == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "cluster_id": pa.array([], pa.int64())})
-    return connected_components(pairs)
+    Not SQL-expressible (rows-only driver check); pair-exactness vs a
+    sequential brute-force oracle is tested in tests/test_dedup.py.
+    """
+    return _schema_finalize(_minhash_pairs_ds(sf_dir),
+                            {"id_a": pa.int64(), "id_b": pa.int64()})
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: MinHash-LSH pairs -> DISTRIBUTED connected
+    components (stages/dedup.py connected_components_ds — per-round
+    bucketed label propagation with pointer-doubling edges; the driver
+    sees only a per-round changed count) -> (doc_id, cluster_id) with
+    the smallest doc as the canonical keeper. Docs in no pair are
+    implicitly their own singleton cluster (omitted — the output lists
+    only docs affected by dedup). Rows-only; the component labelling is
+    verified against a union-find oracle in tests/test_dedup.py."""
+    from mapchete_xarray_ray.stages.dedup import connected_components_ds
+
+    pairs = _minhash_pairs_ds(sf_dir)
+    return _schema_finalize(connected_components_ds(pairs),
+                            {"doc_id": pa.int64(),
+                             "cluster_id": pa.int64()})
 
 
 def q_simhash(sf_dir: str):
@@ -795,14 +727,21 @@ def q_simhash(sf_dir: str):
 
 def q_simhash_neardup(sf_dir: str):
     """SimHash near-dup pairs (Hamming <= 3): 4x16-bit chunk blocking
-    (pigeonhole-complete for <=3) -> candidate pairs -> exact Hamming
-    verify against broadcast signatures. Rows-only driver check; the
+    (pigeonhole-complete for <=3) -> bucketed pair dedup -> exact
+    Hamming verify with signatures attached by doc-bucket co-group
+    (the same distributed machinery as the MinHash path — no
+    corpus-sized signature broadcast). Rows-only driver check; the
     blocking-vs-brute-force equivalence is proven in tests/test_dedup.py.
     """
     from mapchete_xarray_ray.stages.dedup import (
+        attach_pair_values,
+        batch_simhash64,
         candidate_pairs_bucketed,
+        dedup_pairs_ds,
         hamming64,
+        paired_values,
         simhash_stage,
+        unpack_pids,
     )
 
     docs = _docs(sf_dir, ["doc_id", "text"])
@@ -818,76 +757,37 @@ def q_simhash_neardup(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    # broadcast signatures for the verify step (8 bytes per doc)
-    sig_tbl = collect_table(_regroup(docs.map_batches(
-        lambda b: simhash_stage(b).group_by("doc_id").aggregate(
-            [("sig", "min")]).rename_columns(["doc_id", "sig"]),
-        batch_format="pyarrow")))
-    # broadcast as SORTED numpy arrays (id, sig): searchsorted lookup
-    # per batch — no python dict, no per-row dict.get
-    _sid = sig_tbl.column("doc_id").to_numpy(zero_copy_only=False)
-    _ssig = sig_tbl.column("sig").to_numpy(zero_copy_only=False)
-    _o = np.argsort(_sid)
-    sig_ref = ray.put((_sid[_o], _ssig[_o]))
+    pids = dedup_pairs_ds(cands).materialize()
 
-    def verify(batch: pa.Table) -> pa.Table:
-        if "id_a" not in batch.column_names or batch.num_rows == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int64())})
-        sid, ssig = ray.get(sig_ref)
-        a = batch.column("id_a").to_numpy(zero_copy_only=False)
-        b = batch.column("id_b").to_numpy(zero_copy_only=False)
-        pa_ = np.searchsorted(sid, a)
-        pb_ = np.searchsorted(sid, b)
-        # fail loud on ids missing from the signature table (the old
-        # dict lookup raised KeyError; searchsorted would silently pick
-        # a neighbor)
-        if (pa_ >= len(sid)).any() or (pb_ >= len(sid)).any() \
-                or (sid[pa_] != a).any() or (sid[pb_] != b).any():
-            raise KeyError("candidate pair id missing from signature table")
-        sa = ssig[pa_].astype(np.uint64)
-        sb = ssig[pb_].astype(np.uint64)
+    def sig_fn(kept: pa.Table) -> pa.Array:
+        # recompute signatures ONLY for candidate docs (the id filter
+        # runs before this hook) — cheaper than shipping a second
+        # full-corpus signature pass through the shuffle
+        sigs = batch_simhash64(kept.column("text").to_pylist())
+        return pa.array(sigs.astype(np.int64), pa.int64())
+
+    paired = attach_pair_values(pids, docs, "sig", pa.int64(),
+                                value_fn=sig_fn)
+    vbucket = _mod_bucket("pid", "vb", empty={
+        "pid": pa.int64(), "side": pa.int64(), "sig": pa.int64()})
+
+    def score(group: pa.Table) -> pa.Table:
+        pu, sa, sb = paired_values(group, "sig")
+        sa = sa.to_numpy(zero_copy_only=False).astype(np.uint64)
+        sb = sb.to_numpy(zero_copy_only=False).astype(np.uint64)
         d = hamming64(sa, sb)
         keep = d <= 3
-        # dedup pairs found via multiple chunks
-        aa, bb, dd = a[keep], b[keep], d[keep]
-        order = np.lexsort((bb, aa))
-        aa, bb, dd = aa[order], bb[order], dd[order]
-        u = np.ones(len(aa), dtype=bool)
-        u[1:] = (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])
-        return pa.table({"id_a": pa.array(aa[u], pa.int64()),
-                         "id_b": pa.array(bb[u], pa.int64()),
-                         "hamming": pa.array(dd[u], pa.int64())})
+        ia, ib = unpack_pids(pu[keep])
+        return pa.table({"id_a": pa.array(ia, pa.int64()),
+                         "id_b": pa.array(ib, pa.int64()),
+                         "hamming": pa.array(d[keep], pa.int64())})
 
-    # NOTE: batch-local pair dedup above can leave cross-batch dups; a
-    # final bucketed uniq pass settles it
-    def final_uniq(group: pa.Table) -> pa.Table:
-        a = group.column("id_a").to_numpy(zero_copy_only=False)
-        b = group.column("id_b").to_numpy(zero_copy_only=False)
-        h = group.column("hamming").to_numpy(zero_copy_only=False)
-        order = np.lexsort((b, a))
-        a, b, h = a[order], b[order], h[order]
-        keep = np.ones(len(a), dtype=bool)
-        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
-                         "id_b": pa.array(b[keep], pa.int64()),
-                         "hamming": pa.array(h[keep], pa.int64())})
-
-    def pbucket(batch: pa.Table) -> pa.Table:
-        if "id_a" not in batch.column_names or batch.num_rows == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int64()),
-                             "pb": pa.array([], pa.int64())})
-        b = (batch.column("id_a").to_numpy() * 31
-             + batch.column("id_b").to_numpy()) % 64
-        return batch.append_column("pb", pa.array(b.astype(np.int64)))
-
-    return (cands.map_batches(verify, batch_format="pyarrow")
-            .map_batches(pbucket, batch_format="pyarrow")
-            .groupby("pb")
-            .map_groups(final_uniq, batch_format="pyarrow"))
+    out = (_regroup(paired.map_batches(vbucket, batch_format="pyarrow"),
+                    0.125)
+           .groupby("vb")
+           .map_groups(score, batch_format="pyarrow"))
+    return _schema_finalize(out, {"id_a": pa.int64(), "id_b": pa.int64(),
+                                  "hamming": pa.int64()})
 
 
 def q_ann_cosine(sf_dir: str):

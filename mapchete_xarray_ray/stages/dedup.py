@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 
 from mapchete_xarray_ray.functions.geocode import stable_hash64
 
@@ -261,3 +262,354 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         cnt += (x & np.uint64(1)).astype(np.int64)
         x >>= np.uint64(1)
     return cnt
+
+
+# --- Distributed pair-set machinery --------------------------------------
+#
+# Shared by the MinHash and SimHash near-dup paths. At corpus scale the
+# LSH candidate-pair set is itself corpus-scale, so every step below
+# stays a Dataset: pairs are packed into one int64 pid, deduped with a
+# bucketed shuffle (a pair matching in several bands/chunks arrives
+# once per band), and each side's verify payload (text, signature) is
+# attached by a doc-bucket co-group. Only the candidate-ID SET (8 B/id)
+# is ever broadcast; the pair table and the payloads never land on the
+# driver.
+
+_PID_MASK = np.int64((1 << 31) - 1)
+
+
+def pack_pids_stage(batch: pa.Table) -> pa.Table:
+    """(id_a, id_b) -> packed pid with the id-domain guard applied
+    BEFORE packing (an out-of-domain id would otherwise pack/unpack to
+    a silently different pair)."""
+    if "id_a" not in batch.column_names or batch.num_rows == 0:
+        return pa.table({"pid": pa.array([], pa.int64()),
+                         "pb": pa.array([], pa.int64())})
+    a = batch.column("id_a").to_numpy(zero_copy_only=False)
+    b = batch.column("id_b").to_numpy(zero_copy_only=False)
+    if min(a.min(), b.min()) < 0 or max(a.max(), b.max()) >= 2**31:
+        raise ValueError(
+            "pair packing requires 0 <= doc_id < 2**31 (the engine's "
+            "documented id domain, functions/geocode.py)")
+    pid = (a << np.int64(31)) | b
+    return pa.table({"pid": pa.array(pid, pa.int64()),
+                     "pb": pa.array((pid % 64).astype(np.int64))})
+
+
+def _uniq_pids(group: pa.Table) -> pa.Table:
+    pid = group.column("pid").to_numpy(zero_copy_only=False)
+    return pa.table({"pid": pa.array(np.unique(pid), pa.int64())})
+
+
+def dedup_pairs_ds(cands: "ray.data.Dataset",
+                   nblocks: int | None = None) -> "ray.data.Dataset":
+    """Candidate (id_a, id_b) Dataset -> unique packed-pid Dataset via
+    one bucketed shuffle (never collected to the driver)."""
+    from mapchete_xarray_ray.scale import nblocks_for_cluster
+
+    nblocks = nblocks or nblocks_for_cluster(0.125)
+    return (cands.map_batches(pack_pids_stage, batch_format="pyarrow")
+            .repartition(nblocks)
+            .groupby("pb")
+            .map_groups(_uniq_pids, batch_format="pyarrow"))
+
+
+def candidate_id_set(pids: "ray.data.Dataset") -> np.ndarray:
+    """Unique doc ids referenced by a pid Dataset (per-batch unique ->
+    one driver-side union; candidate-ID-set-sized, the one broadcast
+    this machinery keeps)."""
+    parts = []
+    for b in pids.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if "pid" not in b.column_names or b.num_rows == 0:
+            continue
+        pid = b.column("pid").to_numpy(zero_copy_only=False)
+        parts.append(np.unique(np.concatenate([pid >> np.int64(31),
+                                               pid & _PID_MASK])))
+    return (np.unique(np.concatenate(parts)) if parts
+            else np.empty(0, dtype=np.int64))
+
+
+def attach_pair_values(pids: "ray.data.Dataset", values: "ray.data.Dataset",
+                       value_col: str, value_type: "pa.DataType",
+                       value_fn=None,
+                       nblocks: int | None = None) -> "ray.data.Dataset":
+    """Attach each pair side's payload by doc-bucket co-group.
+
+    ``pids``: unique packed pids (MATERIALIZED by the caller — it is
+    consumed twice: once for the id set, once for the ref rows).
+    ``values``: (doc_id, <value_col>) over the full corpus; rows are
+    filtered to candidate ids per batch (np.isin against the broadcast
+    id set) BEFORE ``value_fn`` runs, so an expensive payload transform
+    (e.g. recomputing signatures) touches only candidates.
+
+    Returns (pid, side, <value_col>) — group by a pid bucket downstream
+    and score. Shuffled bytes are O(candidate pairs), not O(corpus).
+    """
+    from mapchete_xarray_ray.scale import nblocks_for_cluster
+
+    nblocks = nblocks or nblocks_for_cluster(0.125)
+    ids_ref = ray.put(candidate_id_set(pids))
+    null_value = pa.nulls(0, value_type)
+
+    def pair_ref_rows(batch: pa.Table) -> pa.Table:
+        if "pid" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"pid": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int64()),
+                             value_col: null_value})
+        pid = batch.column("pid").to_numpy(zero_copy_only=False)
+        n = len(pid)
+        return pa.table({
+            "pid": pa.array(np.concatenate([pid, pid]), pa.int64()),
+            "doc_id": pa.array(np.concatenate([pid >> np.int64(31),
+                                               pid & _PID_MASK]), pa.int64()),
+            "side": pa.array(np.repeat([0, 1], n).astype(np.int64)),
+            value_col: pa.nulls(2 * n, value_type),
+        })
+
+    def cand_value_rows(batch: pa.Table) -> pa.Table:
+        m = np.isin(batch.column("doc_id").to_numpy(zero_copy_only=False),
+                    ray.get(ids_ref))
+        kept = batch.filter(pa.array(m))
+        n = kept.num_rows
+        vals = (value_fn(kept) if value_fn is not None
+                else kept.column(value_col).cast(value_type))
+        return pa.table({
+            "pid": pa.array(np.full(n, -1), pa.int64()),
+            "doc_id": kept.column("doc_id").cast(pa.int64()),
+            "side": pa.array(np.full(n, -1), pa.int64()),
+            value_col: vals,
+        })
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        if "doc_id" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"pid": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int64()),
+                             value_col: null_value,
+                             "db": pa.array([], pa.int64())})
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False) % 64
+        return batch.append_column("db", pa.array(d.astype(np.int64)))
+
+    def attach(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        val = group.column(value_col)
+        is_val = side == -1
+        v_doc = doc[is_val]
+        o = np.argsort(v_doc, kind="stable")
+        v_doc = v_doc[o]
+        v_val = val.filter(pa.array(is_val)).take(pa.array(o))
+        p = ~is_val
+        pos = np.searchsorted(v_doc, doc[p])
+        if len(pos) and ((pos >= len(v_doc)).any()
+                         or (v_doc[np.minimum(pos, len(v_doc) - 1)]
+                             != doc[p]).any()):
+            raise KeyError("candidate pair id missing from value table")
+        return pa.table({
+            "pid": pa.array(group.column("pid").to_numpy(
+                zero_copy_only=False)[p], pa.int64()),
+            "side": pa.array(side[p], pa.int64()),
+            value_col: v_val.take(pa.array(pos)),
+        })
+
+    refs = pids.map_batches(pair_ref_rows, batch_format="pyarrow")
+    vals = values.map_batches(cand_value_rows, batch_format="pyarrow")
+    return (refs.union(vals)
+            .map_batches(add_doc_bucket, batch_format="pyarrow")
+            .repartition(nblocks)
+            .groupby("db")
+            .map_groups(attach, batch_format="pyarrow"))
+
+
+def paired_values(group: pa.Table, value_col: str):
+    """(pid, side, value) bucket -> (pids, side0 values, side1 values)
+    aligned per unique pid (rows arrive as one side-0 and one side-1
+    row per pid after the attach step)."""
+    pid = group.column("pid").to_numpy(zero_copy_only=False)
+    side = group.column("side").to_numpy(zero_copy_only=False)
+    o = np.lexsort((side, pid))
+    val = group.column(value_col).take(pa.array(o))
+    pid = pid[o]
+    return pid[0::2], val.take(pa.array(np.arange(0, len(pid), 2))), \
+        val.take(pa.array(np.arange(1, len(pid), 2)))
+
+
+def unpack_pids(pid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return (pid >> np.int64(31)).astype(np.int64), \
+        (pid & _PID_MASK).astype(np.int64)
+
+
+def connected_components_ds(pairs: "ray.data.Dataset", max_rounds: int = 50,
+                            nblocks: int | None = None) -> "ray.data.Dataset":
+    """Distributed min-label propagation: (id_a, id_b) pairs Dataset ->
+    (doc_id, cluster_id) Dataset, cluster_id = the component's smallest
+    doc_id.
+
+    Each round is two bucketed exchanges over Datasets — (1) a node-
+    bucket co-group of edges with current labels that emits each edge
+    target's candidate label, (2) a node-bucket min-reduce producing the
+    new labels plus a per-node ``changed`` flag. The driver loop sees
+    ONLY the summed changed count per round (one tiny aggregate); the
+    edge and label tables never leave the object store. Converges in
+    O(component diameter) rounds — near-dup components are shallow
+    (the in-memory :func:`connected_components` with pointer doubling
+    remains the small-subgraph fast path and the test oracle).
+    """
+    from mapchete_xarray_ray.scale import nblocks_for_cluster
+
+    nblocks = nblocks or nblocks_for_cluster(0.125)
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        if "id_a" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int64())})
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": pa.array(np.concatenate([a, b]), pa.int64()),
+            "val": pa.array(np.concatenate([b, a]), pa.int64()),
+            "kind": pa.array(np.ones(2 * len(a), dtype=np.int64)),
+        })
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        if "key" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int64())})
+        k = batch.column("key").to_numpy(zero_copy_only=False)
+        return pa.table({"key": pa.array(k, pa.int64()),
+                         "val": pa.array(k, pa.int64()),
+                         "kind": pa.array(np.zeros(len(k), dtype=np.int64))})
+
+    def add_kb(batch: pa.Table) -> pa.Table:
+        if "key" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int64()),
+                             "kb": pa.array([], pa.int64())})
+        k = batch.column("key").to_numpy(zero_copy_only=False) % 64
+        return batch.append_column("kb", pa.array(k.astype(np.int64)))
+
+    def propagate(group: pa.Table) -> pa.Table:
+        """label rows (kind=0: key=node, val=label) + edge rows (kind=1:
+        key=src, val=dst) -> messages {key=dst, val=label[src], kind=0}
+        UNION the bucket's own label rows (so labels survive to the
+        min-reduce)."""
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        val = group.column("val").to_numpy(zero_copy_only=False)
+        is_lab = kind == 0
+        l_key, l_val = key[is_lab], val[is_lab]
+        o = np.argsort(l_key, kind="stable")
+        l_key, l_val = l_key[o], l_val[o]
+        e_src, e_dst = key[~is_lab], val[~is_lab]
+        pos = np.searchsorted(l_key, e_src)
+        if len(pos) and ((pos >= len(l_key)).any()
+                         or (l_key[np.minimum(pos, len(l_key) - 1)]
+                             != e_src).any()):
+            raise KeyError("edge endpoint missing from label table")
+        msg_label = l_val[pos] if len(pos) else np.empty(0, np.int64)
+        return pa.table({
+            "key": pa.array(np.concatenate([e_dst, l_key]), pa.int64()),
+            "val": pa.array(np.concatenate([msg_label, l_val]), pa.int64()),
+            # old-label rows keep kind=0; messages get kind=2 so the
+            # min step can compute the changed flag against the old
+            "kind": pa.array(np.concatenate(
+                [np.full(len(e_dst), 2, dtype=np.int64),
+                 np.zeros(len(l_key), dtype=np.int64)])),
+        })
+
+    def min_reduce(group: pa.Table) -> pa.Table:
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        val = group.column("val").to_numpy(zero_copy_only=False)
+        o = np.lexsort((val, key))
+        key, val, kind = key[o], val[o], kind[o]
+        new_run = np.ones(len(key), dtype=bool)
+        new_run[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(key))
+        del ends
+        node = key[starts]
+        new_lab = val[starts]  # min per node (val-sorted within key)
+        # old label = the kind==0 row's value; rows are (key, val)-sorted
+        # so extracting kind==0 rows keeps them key-sorted with ties by
+        # val ascending — searchsorted-left picks the min per node
+        # (duplicate identical node->node rows occur only in round 1)
+        is_old = kind == 0
+        ok_key, ok_val = key[is_old], val[is_old]
+        pos = np.searchsorted(ok_key, node)
+        has_old = (pos < len(ok_key))
+        np.minimum(pos, max(len(ok_key) - 1, 0), out=pos)
+        has_old &= (ok_key[pos] == node) if len(ok_key) else False
+        old_lab = np.where(has_old, ok_val[pos] if len(ok_key) else 0,
+                           new_lab)
+        return pa.table({
+            "key": pa.array(node, pa.int64()),
+            "val": pa.array(new_lab, pa.int64()),
+            "kind": pa.array(np.zeros(len(node), dtype=np.int64)),
+            "changed": pa.array((new_lab != old_lab).astype(np.int64)),
+        })
+
+    edges = (pairs.map_batches(edge_rows, batch_format="pyarrow")
+             .materialize())
+    # initial labels are node->node rows WITH duplicates (one per edge
+    # endpoint occurrence) — the first round's propagate/min_reduce
+    # handles them, saving a dedicated dedup shuffle
+    labels = edges.map_batches(init_labels, batch_format="pyarrow")
+    def label_edges(batch: pa.Table) -> pa.Table:
+        """Pointer-doubling edges (v <-> label(v)) derived from the
+        current labels: propagating along them moves label(label(v))
+        to v in one round, giving O(log diameter) convergence on long
+        chains instead of O(diameter)."""
+        if "key" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int64())})
+        k = batch.column("key").to_numpy(zero_copy_only=False)
+        v = batch.column("val").to_numpy(zero_copy_only=False)
+        m = k != v
+        return pa.table({
+            "key": pa.array(np.concatenate([k[m], v[m]]), pa.int64()),
+            "val": pa.array(np.concatenate([v[m], k[m]]), pa.int64()),
+            "kind": pa.array(np.ones(2 * int(m.sum()), dtype=np.int64)),
+        })
+
+    for _ in range(max_rounds):
+        dbl = labels.map_batches(label_edges, batch_format="pyarrow")
+        stepped = (edges.union(labels).union(dbl)
+                   .map_batches(add_kb, batch_format="pyarrow")
+                   .repartition(nblocks)
+                   .groupby("kb")
+                   .map_groups(propagate, batch_format="pyarrow")
+                   .map_batches(add_kb, batch_format="pyarrow")
+                   .repartition(nblocks)
+                   .groupby("kb")
+                   .map_groups(min_reduce, batch_format="pyarrow")
+                   .materialize())
+        changed = sum(
+            int(b.column("changed").to_numpy().sum())
+            for b in stepped.iter_batches(batch_size=65536,
+                                          batch_format="pyarrow")
+            if "changed" in b.column_names)
+        labels = stepped.map_batches(
+            lambda b: (b.drop_columns(["changed"])
+                       if "changed" in b.column_names else b),
+            batch_format="pyarrow").materialize()
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_ds did not converge in {max_rounds} "
+            "rounds — raise max_rounds")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if "key" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64())})
+        return pa.table({"doc_id": batch.column("key"),
+                         "cluster_id": batch.column("val")})
+
+    return labels.map_batches(finalize, batch_format="pyarrow")
