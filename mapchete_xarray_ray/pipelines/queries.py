@@ -1874,9 +1874,9 @@ def q_lineitem_median(sf_dir: str):
     Two streaming passes: (1) per-batch partial histograms over coarse
     65536-cent buckets (vectorized, pre-combined per batch) locate each
     key's median bucket and the rank within it; (2) a filtered rescan
-    collects ONLY that bucket's values (~n / n_buckets rows) for the
-    exact pick. Driver holds histograms + one bucket per key, never the
-    data."""
+    keeps ONLY that bucket's values (~n / n_buckets rows) and a small
+    per-key groupby emits the k-th element distributively. Driver holds
+    histograms + one (bucket, rank) per key, never the data."""
     COLS = ["l_returnflag", "l_linestatus", "l_extendedprice"]
     SHIFT = 16  # 65k-cent histogram buckets: ~170 buckets over the price
     # range keeps the per-batch partials small (pre-aggregation works),
@@ -1930,20 +1930,29 @@ def q_lineitem_median(sf_dir: str):
             "cents": pa.array(cents[keep], pa.int64()),
         })
 
-    narrowed = collect_table(
-        _read(f"{sf_dir}/lineitem.parquet", columns=COLS)
-        .map_batches(keep_bucket, batch_format="pyarrow"))
-    ndf = narrowed.to_pandas()
-    rows = []
-    for key, (kb, rank_in) in sorted(targets.items()):
-        vals = np.sort(ndf[(ndf["l_returnflag"] == key[0])
-                           & (ndf["l_linestatus"] == key[1])]["cents"].to_numpy())
-        rows.append((key[0], key[1], int(vals[rank_in - 1])))
-    return pa.table({
-        "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
-        "l_linestatus": pa.array([r[1] for r in rows], pa.string()),
-        "median_cents": pa.array([r[2] for r in rows], pa.int64()),
-    })
+    def pick_kth(group: pa.Table) -> pa.Table:
+        # one group per (key); the k-th element comes from a partition
+        # select over the ~n/170 in-bucket values — the rescan never
+        # lands on the driver (only these 6 result rows do)
+        tg = ray.get(t_ref)
+        rf = group.column("l_returnflag").to_numpy(zero_copy_only=False)
+        ls = group.column("l_linestatus").to_numpy(zero_copy_only=False)
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        _kb, rank_in = tg[(rf[0], ls[0])]
+        kth = int(np.partition(cents, rank_in - 1)[rank_in - 1])
+        return pa.table({
+            "l_returnflag": pa.array([rf[0]], pa.string()),
+            "l_linestatus": pa.array([ls[0]], pa.string()),
+            "median_cents": pa.array([kth], pa.int64()),
+        })
+
+    out = (_regroup(_read(f"{sf_dir}/lineitem.parquet", columns=COLS)
+                    .map_batches(keep_bucket, batch_format="pyarrow"), 0.125)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .map_groups(pick_kth, batch_format="pyarrow"))
+    return _schema_finalize(out, {"l_returnflag": pa.string(),
+                                  "l_linestatus": pa.string(),
+                                  "median_cents": pa.int64()})
 
 
 SQL_LINEITEM_MEDIAN = """

@@ -26,9 +26,11 @@ multi-way spatial joins on map-reduce", EDBT 2013):
 
 Scale notes: the shuffle key is the flat cell index (one int64);
 queries/candidates carry only (id, x, y) — the wide payload never
-enters the join. Unresolved-id broadcast is an 8-byte-per-id numpy
-array via ``ray.put`` (at 10^12-doc scale this would stay a Dataset
-and the filter becomes a hash semi-join; same structure).
+enters the join. The unresolved-query filter is adaptive: below
+``broadcast_limit`` unresolved rows the unique ids (8 B/id) are
+broadcast via ``ray.put`` and filtered with one np.isin per batch;
+above it the filter becomes a bucketed hash co-group semi-join
+(:func:`_semi_join_ids`) with nothing broadcast.
 """
 
 from __future__ import annotations
@@ -167,9 +169,66 @@ def _merge_topk(k: int, guaranteed_d2: float, need: int):
     return fn
 
 
+KNN_BROADCAST_LIMIT = 2_000_000
+
+
+def _semi_join_ids(pts: ray.data.Dataset,
+                   id_rows: ray.data.Dataset) -> ray.data.Dataset:
+    """pts (id, x, y, crow, ccol) SEMI-JOIN id_rows (any schema with an
+    ``id`` column) by id-hash bucket co-group — the no-broadcast path
+    for corpus-scale unresolved sets. Keys and points meet inside their
+    bucket; the membership test is a bucket-local np.isin."""
+    SCHEMA = {"id": pa.int64(), "x": pa.float64(), "y": pa.float64(),
+              "crow": pa.int64(), "ccol": pa.int64(),
+              "is_key": pa.bool_(), "jb": pa.int64()}
+
+    def _empty():
+        return pa.table({n: pa.array([], t) for n, t in SCHEMA.items()})
+
+    def tag_pts(batch: pa.Table) -> pa.Table:
+        if "id" not in batch.column_names or batch.num_rows == 0:
+            return _empty()
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id": batch.column("id").cast(pa.int64()),
+            "x": batch.column("x"), "y": batch.column("y"),
+            "crow": batch.column("crow"), "ccol": batch.column("ccol"),
+            "is_key": pa.array(np.zeros(len(ids), dtype=bool)),
+            "jb": pa.array((ids % 64).astype(np.int64)),
+        })
+
+    def tag_keys(batch: pa.Table) -> pa.Table:
+        if "id" not in batch.column_names or batch.num_rows == 0:
+            return _empty()
+        ids = np.unique(batch.column("id").to_numpy(zero_copy_only=False))
+        z = np.zeros(len(ids))
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "x": pa.array(z), "y": pa.array(z),
+            "crow": pa.array(np.zeros(len(ids), dtype=np.int64)),
+            "ccol": pa.array(np.zeros(len(ids), dtype=np.int64)),
+            "is_key": pa.array(np.ones(len(ids), dtype=bool)),
+            "jb": pa.array((ids % 64).astype(np.int64)),
+        })
+
+    def semi(group: pa.Table) -> pa.Table:
+        isk = group.column("is_key").to_numpy(zero_copy_only=False)
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        keys = np.unique(ids[isk])
+        keep = ~isk & np.isin(ids, keys)
+        return group.filter(pa.array(keep)).drop_columns(["is_key", "jb"])
+
+    return (pts.map_batches(tag_pts, batch_format="pyarrow")
+            .union(id_rows.map_batches(tag_keys, batch_format="pyarrow"))
+            .repartition(nblocks_for_cluster())
+            .groupby("jb")
+            .map_groups(semi, batch_format="pyarrow"))
+
+
 def knn_pipeline(points: ray.data.Dataset, k: int, cell_span: float,
                  ncols: int, nrows: int, origin_x: float = 0.0,
-                 origin_y: float = 0.0, max_rounds: int = 16) -> ray.data.Dataset:
+                 origin_y: float = 0.0, max_rounds: int = 16,
+                 broadcast_limit: int = KNN_BROADCAST_LIMIT) -> ray.data.Dataset:
     """Exact kNN over a Dataset with columns (id:int64, x, y:float64).
 
     Returns a Dataset (id, neighbor_id, rank, dist2). The cell grid is
@@ -246,33 +305,37 @@ def knn_pipeline(points: ray.data.Dataset, k: int, cell_span: float,
         )
         if done_all:
             break
-        # ids still unresolved (driver gets only the id column — small)
-        unres_tabs = [
-            ray.get(r) for r in merged.map_batches(
-                lambda b: b.filter(pc.invert(b.column("resolved"))).select(["id"]),
-                batch_format="pyarrow",
-            ).to_arrow_refs()
-        ]
-        unres_tabs = [t for t in unres_tabs if t.num_columns > 0]
-        if not unres_tabs:
-            break
-        unres_tbl = pa.concat_tables(unres_tabs)
-        unres_ids = np.unique(unres_tbl.column("id").to_numpy())
-        if len(unres_ids) == 0:
-            break
-        ref = ray.put(unres_ids)
-
-        def keep_unres(batch: pa.Table, _ref=ref) -> pa.Table:
-            arr = ray.get(_ref)
-            return batch.filter(pa.array(np.isin(batch.column("id").to_numpy(), arr)))
-
-        unresolved = pts.map_batches(keep_unres, batch_format="pyarrow")
+        # partial top-k rows for next round's merge: the resolved flag
+        # is per-id, so a plain flag filter needs no id set at all
         partial = merged.map_batches(
-            lambda b, _ref=ref: b.filter(pa.array(np.isin(
-                b.column("id").to_numpy(), ray.get(_ref)))).select(
+            lambda b: b.filter(pc.invert(b.column("resolved"))).select(
                 ["id", "neighbor_id", "dist2"]),
             batch_format="pyarrow",
         ).materialize()
+        n_unres_rows = partial.count()
+        if n_unres_rows == 0:
+            break
+        if n_unres_rows <= broadcast_limit:
+            # small unresolved set: collect the UNIQUE ids (8 B/id) and
+            # broadcast — one np.isin per batch, no shuffle
+            parts = [
+                np.unique(b.column("id").to_numpy(zero_copy_only=False))
+                for b in partial.iter_batches(batch_size=65536,
+                                              batch_format="pyarrow")
+                if "id" in b.column_names and b.num_rows
+            ]
+            ref = ray.put(np.unique(np.concatenate(parts)))
+
+            def keep_unres(batch: pa.Table, _ref=ref) -> pa.Table:
+                arr = ray.get(_ref)
+                return batch.filter(
+                    pa.array(np.isin(batch.column("id").to_numpy(), arr)))
+
+            unresolved = pts.map_batches(keep_unres, batch_format="pyarrow")
+        else:
+            # corpus-scale unresolved set: hash co-group semi-join of
+            # pts with the unresolved-id rows — nothing broadcast
+            unresolved = _semi_join_ids(pts, partial)
         prev_r, radius = radius, radius * 2
 
     out = finals[0]

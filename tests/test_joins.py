@@ -103,3 +103,38 @@ def test_knn_pages_matches_oracle():
     )
     assert len(got_rows) == len(want_rows)
     assert got_rows == want_rows
+
+
+def test_knn_semi_join_path_matches_broadcast_path(monkeypatch):
+    """broadcast_limit=0 forces every refinement round through the
+    bucketed hash co-group semi-join (_semi_join_ids); the result must
+    be row-identical to the broadcast fast path."""
+    import mapchete_xarray_ray.stages.knn as K
+
+    calls = []
+    orig = K._semi_join_ids
+    monkeypatch.setattr(
+        K, "_semi_join_ids",
+        lambda *a, **kw: (calls.append(1), orig(*a, **kw))[1])
+    rng = np.random.default_rng(42)
+    n = 120
+    # sparse uniform layout over a fine 16x16 grid: most queries can't
+    # certify k=8 within radius 1, so the loop refines several rounds
+    pts = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "x": pa.array(rng.uniform(0, 16, n)),
+        "y": pa.array(rng.uniform(0, 16, n)),
+    })
+    kw = dict(k=8, cell_span=1.0, ncols=16, nrows=16)
+    fast = _collect(knn_pipeline(ray.data.from_arrow(pts), **kw))
+    assert not calls  # default limit: broadcast path only
+    semi = _collect(knn_pipeline(ray.data.from_arrow(pts),
+                                 broadcast_limit=0, **kw))
+    assert calls  # every refinement round went through the co-group
+
+    def rows(t):
+        return sorted(zip(t.column("id").to_pylist(),
+                          t.column("neighbor_id").to_pylist(),
+                          t.column("rank").to_pylist()))
+
+    assert rows(fast) and rows(fast) == rows(semi)
