@@ -33,14 +33,22 @@ import ray
 
 
 def _partition_dir(out_dir: str, col: str, value) -> str:
-    return os.path.join(out_dir, f"{col}={value}")
+    """Directory for one partition value, hive-style percent-encoded:
+    a value containing '/', '=', '%' or other path-unsafe characters
+    must not escape the partition directory or break the
+    completed-partition matching on resume."""
+    from urllib.parse import quote
+
+    return os.path.join(out_dir, f"{col}={quote(str(value), safe='')}")
 
 
 def completed_partitions(out_dir: str, col: str) -> set:
-    """Partition values that are COMPLETE: _SUCCESS marker AND at least
-    one data file (a marker whose data file was lost must be redone,
-    not silently skipped). One listdir of the root + one per candidate
-    directory."""
+    """Partition values (DECODED, i.e. the raw column values) that are
+    COMPLETE: _SUCCESS marker AND at least one data file (a marker
+    whose data file was lost must be redone, not silently skipped).
+    One listdir of the root + one per candidate directory."""
+    from urllib.parse import unquote
+
     out = set()
     if not os.path.isdir(out_dir):
         return out
@@ -51,7 +59,7 @@ def completed_partitions(out_dir: str, col: str) -> set:
         pdir = os.path.join(out_dir, name)
         if os.path.exists(os.path.join(pdir, "_SUCCESS")) and any(
                 f.endswith(".parquet") for f in os.listdir(pdir)):
-            out.add(name[len(prefix):])
+            out.add(unquote(name[len(prefix):]))
     return out
 
 

@@ -71,11 +71,19 @@ class ImageDecodeStage:
         col = batch.column(self.payload_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if not (pa.types.is_binary(col.type)
+                or pa.types.is_large_binary(col.type)):
+            raise TypeError(
+                f"payload column {self.payload_col!r} must be binary/"
+                f"large_binary, got {col.type}")
         n = len(col)
         # zero-copy: offsets + values straight from the Arrow binary
         # buffers; nulls read as empty payloads
         off0 = col.offset
-        offsets = np.frombuffer(col.buffers()[1], dtype=np.int32,
+        # large_binary (Arrow auto-promotes past 2 GiB) carries int64
+        # offsets; reading them as int32 would silently misdecode
+        odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+        offsets = np.frombuffer(col.buffers()[1], dtype=odt,
                                 count=off0 + n + 1)[off0:].astype(np.int64)
         data_buf = col.buffers()[2]
         raw = (np.frombuffer(data_buf, dtype=np.uint8)

@@ -126,11 +126,16 @@ def fingerprint_stage(batch: pa.Table, col: str = "text",
         arr = arr.combine_chunks()
     # concatenated utf-8 bytes + per-doc lengths straight from the
     # Arrow string buffers (no per-row python strings)
-    flat = arr.cast(pa.binary())
+    large = (pa.types.is_large_string(arr.type)
+             or pa.types.is_large_binary(arr.type))
+    flat = arr.cast(pa.large_binary() if large else pa.binary())
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
     off0 = flat.offset  # sliced arrays: offsets buffer starts earlier
-    offsets = np.frombuffer(flat.buffers()[1], dtype=np.int32,
+    # large_* columns (Arrow auto-promotes past 2 GiB) carry int64
+    # offsets; reading them as int32 would silently misdecode
+    odt = np.int64 if large else np.int32
+    offsets = np.frombuffer(flat.buffers()[1], dtype=odt,
                             count=off0 + len(flat) + 1)[off0:].astype(np.int64)
     data_buf = flat.buffers()[2]
     all_bytes = (np.frombuffer(data_buf, dtype=np.uint8)

@@ -86,3 +86,22 @@ def test_vectorized_decode_matches_scalar_reference():
     got = np.asarray(out.column("feature").combine_chunks()
                      .values.to_numpy()).reshape(len(payloads), -1)
     npt.assert_array_equal(got, np.stack(fs))
+
+
+def test_image_decode_large_binary_offsets():
+    """large_binary payloads (int64 offsets) must decode identically to
+    binary ones; non-binary payload columns fail loud."""
+    import pytest
+
+    payloads = [b"abc", b"", bytes(range(256)), b"z" * 999]
+    ids = pa.array(range(len(payloads)), pa.int64())
+    small = ImageDecodeStage(backend="fake")(pa.table({
+        "id": ids, "payload": pa.array(payloads, pa.binary())}))
+    big = ImageDecodeStage(backend="fake")(pa.table({
+        "id": ids, "payload": pa.array(payloads, pa.large_binary())}))
+    assert small.column("width").to_pylist() == big.column("width").to_pylist()
+    assert (small.column("feature").to_pylist()
+            == big.column("feature").to_pylist())
+    with pytest.raises(TypeError, match="binary"):
+        ImageDecodeStage(backend="fake")(pa.table({
+            "id": ids, "payload": pa.array(["a", "b", "c", "d"])}))

@@ -119,3 +119,38 @@ def test_export_keeps_text(tmp_path, sf_dir):
         ray.get(r) for r in read_partitioned(out).to_arrow_refs()])
     assert "text" in back.column_names and back.num_rows > 0
     assert min(len(t) for t in back.column("text").to_pylist()) >= 100
+
+
+def test_partition_values_are_path_escaped(tmp_path):
+    """A partition value containing '/', '..' or '=' must stay inside
+    its own hive directory (percent-encoded) and still resume
+    correctly."""
+    import os
+
+    from mapchete_xarray_ray.sinks.parquet import (
+        completed_partitions,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    evil = ["../escape", "a/b", "k=v", "ok"]
+    tbl = pa.table({
+        "val": pa.array(list(range(8)), pa.int64()),
+        "part": pa.array(evil * 2, pa.string()),
+    })
+    out = str(tmp_path / "sink")
+    summary = write_partitioned(ray.data.from_arrow(tbl), out, "part",
+                                mode="overwrite")
+    assert sorted(summary.column("partition").to_pylist()) == sorted(evil)
+    # nothing escaped the sink root; every dir is a direct child
+    assert not (tmp_path / "escape").exists()
+    for name in os.listdir(out):
+        assert name.startswith("part=") and "/" not in name
+    # resume sees the DECODED values and skips everything
+    assert completed_partitions(out, "part") == set(evil)
+    again = write_partitioned(ray.data.from_arrow(tbl), out, "part",
+                              mode="continue")
+    assert again.num_rows == 0
+    back = pa.concat_tables([
+        ray.get(r) for r in read_partitioned(out).to_arrow_refs()])
+    assert sorted(back.column("val").to_pylist()) == list(range(8))

@@ -63,3 +63,17 @@ def test_fingerprint_deterministic_across_batches():
     t2 = fingerprint_stage(_batch(["def"]))
     assert t1.column("fingerprint").to_pylist()[1] == \
         t2.column("fingerprint").to_pylist()[0]
+
+
+def test_fingerprint_large_string_offsets():
+    """large_string columns carry int64 offsets; the zero-copy reader
+    must branch on the type instead of assuming int32 (silent
+    misdecode otherwise)."""
+    texts = ["hello world", "", "abc", "x" * 1000]
+    small = fingerprint_stage(_batch(texts))
+    big = fingerprint_stage(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.large_string()),
+    }))
+    assert (small.column("fingerprint").to_pylist()
+            == big.column("fingerprint").to_pylist())
