@@ -1032,11 +1032,15 @@ def q_ann_lsh(sf_dir: str):
 
 
 def q_image_features(sf_dir: str):
-    """Multimodal plumbing as a first-class pipeline: documents' text
-    bytes stand in for opaque image payloads (the real decode backend
-    is stubbed — see stages/multimodal.py); the actor-pool decode stage,
-    small-batch sizing and typed output schema are the real thing.
-    Rows-only check (the fake decode is deterministic)."""
+    """Multimodal plumbing as a first-class pipeline under the driver's
+    EXACT hash: documents' text bytes stand in for opaque image
+    payloads (the real decode backend is stubbed — see
+    stages/multimodal.py); the actor-pool decode stage, small-batch
+    sizing and typed output schema are the real thing. The fake decode
+    is plain byte arithmetic (length/byte-class-count dims + byte
+    histogram), so the SQL twin reproduces width, height and the
+    lowercase-class feature exactly — any drift in the decode plumbing
+    flips the hash."""
     from mapchete_xarray_ray.stages.multimodal import ImageDecodeStage
 
     def to_payload(batch: pa.Table) -> pa.Table:
@@ -1060,15 +1064,33 @@ def q_image_features(sf_dir: str):
 
     def flatten(batch: pa.Table) -> pa.Table:
         feats = np.asarray(batch.column("feature").to_pylist(), dtype=np.float64)
+        # bucket 3 = bytes 0x60-0x7f (lowercase ascii) — the densest,
+        # most content-sensitive histogram class for text payloads
         return pa.table({
             "doc_id": batch.column("id"),
             "width": batch.column("width"),
             "height": batch.column("height"),
-            "feat0_milli": pa.array(np.floor(feats[:, 0] * 1000).astype(np.int64))
+            "feat3_milli": pa.array(np.floor(feats[:, 3] * 1000).astype(np.int64))
             if len(feats) else pa.array([], pa.int64()),
         })
 
     return ds.map_batches(flatten, batch_format="pyarrow")
+
+
+SQL_IMAGE_FEATURES = r"""
+WITH b AS (
+  SELECT doc_id,
+         strlen(text)::BIGINT AS len,
+         length(regexp_replace(text, '[^\x20-\x3f]', '', 'g'))::BIGINT AS h1,
+         length(regexp_replace(text, '[^\x60-\x7f]', '', 'g'))::BIGINT AS h3
+  FROM documents)
+SELECT doc_id,
+       16 + (len % 256) AS width,
+       CASE WHEN len = 0 THEN 16 ELSE 16 + (h1 % 256) END AS height,
+       CASE WHEN len = 0 THEN 0
+            ELSE floor((h3::DOUBLE / len) * 1000)::BIGINT END AS feat3_milli
+FROM b
+"""
 
 
 def q_orders_by_nation(sf_dir: str):
@@ -2158,7 +2180,7 @@ def curation_pipeline(docs: ray.data.Dataset,
     )
 
 
-def _curation_sql() -> str:
+def _curation_sql(with_text: bool = False) -> str:
     from mapchete_xarray_ray.stages.text import langid_sql_parts
 
     hits, case = langid_sql_parts("text")
@@ -2172,13 +2194,42 @@ l AS (SELECT doc_id, text, {case} AS lang_pred,
       FROM h),
 f AS (SELECT * FROM l
       WHERE lang_pred <> 'unknown' AND n_tokens >= 20 AND n_chars >= 100),
-d AS (SELECT min(doc_id)::BIGINT AS doc_id,
+d AS (SELECT text, min(doc_id)::BIGINT AS doc_id,
              min(lang_pred) AS lang_pred,
              min(n_tokens)::BIGINT AS n_tokens
       FROM f GROUP BY text)
-SELECT doc_id, lang_pred, n_tokens FROM d
+SELECT doc_id, lang_pred, n_tokens{", text" if with_text else ""} FROM d
 WHERE (doc_id * 2654435761) % 100 < 50
 """
+
+
+def q_export_roundtrip(sf_dir: str):
+    """Resumable partitioned-parquet sink (S10) under the driver's
+    EXACT hash: the curation chain with ``keep_text`` -> hive-
+    partitioned write by lang_pred (sinks/parquet.py) -> read-back of
+    the completed partitions -> projection. Any breakage in the sink's
+    bucketing, atomic write, marker protocol or read-back (including
+    text byte fidelity through the parquet roundtrip) flips the hash.
+    The SQL twin is the curation twin extended by the text column."""
+    import hashlib
+    import os
+
+    from mapchete_xarray_ray.sinks.parquet import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    out_dir = os.path.join(
+        "/tmp", "mxr_export_roundtrip_"
+        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+    write_partitioned(
+        curation_pipeline(_docs(sf_dir, ["doc_id", "text"]), keep_text=True),
+        out_dir, "lang_pred", mode="overwrite")
+    out = read_partitioned(out_dir)
+    return _schema_finalize(out, {"doc_id": pa.int64(),
+                                  "lang_pred": pa.string(),
+                                  "n_tokens": pa.int64(),
+                                  "text": pa.string()})
 
 
 def q_top_users_per_type(sf_dir: str):
@@ -2327,7 +2378,7 @@ REGISTRY: dict[str, tuple] = {
     "sample": (q_sample, SQL_SAMPLE),
     "ann_ivf": (q_ann_ivf, None),
     "ann_lsh": (q_ann_lsh, None),
-    "image_features": (q_image_features, None),
+    "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "orders_by_nation": (q_orders_by_nation, SQL_ORDERS_BY_NATION),
     "top_users": (q_top_users, SQL_TOP_USERS),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
@@ -2342,6 +2393,7 @@ REGISTRY: dict[str, tuple] = {
     "store_roundtrip_time": (q_store_roundtrip_time, SQL_STORE_ROUNDTRIP_TIME),
     "emb_neardup_lsh": (q_emb_neardup_lsh, None),
     "corpus_curation": (q_corpus_curation, _curation_sql()),
+    "export_roundtrip": (q_export_roundtrip, _curation_sql(with_text=True)),
     "top_users_per_type": (q_top_users_per_type, SQL_TOP_USERS_PER_TYPE),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "pip_antijoin": (q_pip_antijoin, SQL_PIP_ANTIJOIN),

@@ -18,8 +18,6 @@ schema) is what downstream stages compile against and is fully tested.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 
@@ -48,26 +46,24 @@ class ImageDecodeStage:
         # once per actor — not per batch.
 
     def _decode_fake(self, buf: bytes):
-        """Deterministic pseudo-decode: crc-seeded dims + byte-histogram
-        features. Pure function of the payload bytes. (Scalar reference
-        for the vectorized batch path below.)"""
-        crc = zlib.crc32(buf)
-        width = 16 + (crc & 0xFF)
-        height = 16 + ((crc >> 8) & 0xFF)
+        """Deterministic pseudo-decode: byte-class-count dims +
+        byte-histogram features. Pure function of the payload bytes,
+        chosen from plain byte arithmetic so an oracle can reproduce it
+        (the driver's SQL twin for image_features does). (Scalar
+        reference for the vectorized batch path below.)"""
         arr = np.frombuffer(buf, dtype=np.uint8)
+        width = 16 + (len(arr) % 256)
         if len(arr) == 0:
-            feat = np.zeros(IMAGE_FEATURE_DIM)
-        else:
-            hist = np.bincount(arr >> 5, minlength=IMAGE_FEATURE_DIM)[:IMAGE_FEATURE_DIM]
-            feat = hist / len(arr)
-        return width, height, feat
+            return width, 16, np.zeros(IMAGE_FEATURE_DIM)
+        hist = np.bincount(arr >> 5, minlength=IMAGE_FEATURE_DIM)[:IMAGE_FEATURE_DIM]
+        height = 16 + (int(hist[1]) % 256)
+        return width, height, hist / len(arr)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # vectorized over the batch: crc per row stays (one C call per
-        # payload — a real codec is per-item anyway), but the histogram
-        # features come from ONE concatenated-bytes pass with a segment
-        # bincount (np.add.at on (row, bucket)), not a python loop body
-        # per image
+        # vectorized over the batch: dims and histogram features come
+        # from ONE concatenated-bytes pass with a segment bincount
+        # (np.add.at on (row, bucket)), not a python loop body per
+        # image
         col = batch.column(self.payload_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -89,19 +85,16 @@ class ImageDecodeStage:
         raw = (np.frombuffer(data_buf, dtype=np.uint8)
                if data_buf is not None else np.empty(0, np.uint8))
         lens = np.diff(offsets)
-        mv = memoryview(raw)
-        crcs = np.fromiter(
-            (zlib.crc32(mv[s:e]) for s, e in zip(offsets[:-1], offsets[1:])),
-            dtype=np.uint64, count=n)
-        widths = (16 + (crcs & 0xFF)).astype(np.int64)
-        heights = (16 + ((crcs >> np.uint64(8)) & 0xFF)).astype(np.int64)
-        all_bytes = raw[offsets[0]:offsets[-1]]
-        feats = np.zeros((n, IMAGE_FEATURE_DIM), dtype=np.float64)
+        widths = (16 + (lens % 256)).astype(np.int64)
+        all_bytes = raw[offsets[0]:offsets[-1]] if n else raw[:0]
+        counts = np.zeros((n, IMAGE_FEATURE_DIM), dtype=np.int64)
         if all_bytes.size:
             row = np.repeat(np.arange(n), lens)
-            np.add.at(feats, (row, all_bytes >> 5), 1.0)
-            nz = lens > 0
-            feats[nz] /= lens[nz, None]
+            np.add.at(counts, (row, all_bytes >> 5), 1)
+        heights = (16 + (counts[:, 1] % 256)).astype(np.int64)
+        feats = counts.astype(np.float64)
+        nz = lens > 0
+        feats[nz] /= lens[nz, None]
         feat_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.reshape(-1)), IMAGE_FEATURE_DIM)
         return pa.table({
