@@ -87,11 +87,12 @@ def _regroup(ds, per_cpu: float = 0.25):
 def _store_compressor() -> int:
     """zlib level for archives created by the roundtrip queries.
 
-    ``GRAFT_STORE_COMPRESSOR=0`` (set by bench.py) writes raw chunks so
-    the roundtrip bench numbers measure the store/pipeline machinery,
-    not zlib. Values are identical either way (the driver hash doesn't
-    see bytes on disk); readers decode by the archive's own ``.zarray``
-    metadata, so the knob only matters at initialize time."""
+    ``GRAFT_STORE_COMPRESSOR=0`` writes raw chunks. Values are identical
+    either way (the driver hash doesn't see bytes on disk); readers
+    decode by the archive's own ``.zarray`` metadata, so the knob only
+    matters at initialize time. bench.py documents why it does NOT set
+    it (mostly-zero chunks compress ~100x at zlib-1, so raw archives
+    move more bytes and measure no faster)."""
     import os
 
     return int(os.environ.get("GRAFT_STORE_COMPRESSOR", "1"))
@@ -439,7 +440,7 @@ def q_customers_with_orders(sf_dir: str):
                  ).map_batches(c_rows, batch_format="pyarrow")
     return (_regroup(orders.union(cust)
                      .map_batches(_mod_bucket("custkey", "jb"),
-                                  batch_format="pyarrow"), 8)
+                                  batch_format="pyarrow"), 0.25)
             .groupby("jb")
             .map_groups(semi, batch_format="pyarrow"))
 
@@ -1517,7 +1518,7 @@ def q_orders_lineitem_join(sf_dir: str):
                    columns=["o_orderkey", "o_orderpriority"]
                    ).map_batches(o_rows, batch_format="pyarrow")
     return (_regroup(lpart.union(orders)
-                     .map_batches(jbucket, batch_format="pyarrow"), 8)
+                     .map_batches(jbucket, batch_format="pyarrow"), 0.25)
             .groupby("jb")
             .map_groups(join_group, batch_format="pyarrow"))
 
@@ -2287,7 +2288,7 @@ def q_top_users_per_type(sf_dir: str):
                            columns=["event_type", "user_id"])
                      .map_batches(partial, batch_format="pyarrow")
                      .map_batches(_mod_bucket("user_id", "ub"),
-                                  batch_format="pyarrow"), 8)
+                                  batch_format="pyarrow"), 0.25)
             .groupby("ub")
             .map_groups(bucket_topk, batch_format="pyarrow")
             .repartition(1)
@@ -2337,7 +2338,7 @@ def q_distinct_users(sf_dir: str):
                          columns=["event_type", "user_id"])
                    .map_batches(local_distinct, batch_format="pyarrow")
                    .map_batches(_mod_bucket("user_id", "ub"),
-                                batch_format="pyarrow"), 8)
+                                batch_format="pyarrow"), 0.25)
           .groupby("ub")
           .map_groups(bucket_partial_count, batch_format="pyarrow")
           .groupby("event_type")

@@ -315,17 +315,37 @@ def dedup_pairs_ds(cands: "ray.data.Dataset",
 
 
 def candidate_id_set(pids: "ray.data.Dataset") -> np.ndarray:
-    """Unique doc ids referenced by a pid Dataset (per-batch unique ->
-    one driver-side union; candidate-ID-set-sized, the one broadcast
-    this machinery keeps)."""
-    parts = []
-    for b in pids.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        if "pid" not in b.column_names or b.num_rows == 0:
-            continue
-        pid = b.column("pid").to_numpy(zero_copy_only=False)
-        parts.append(np.unique(np.concatenate([pid >> np.int64(31),
-                                               pid & _PID_MASK])))
-    return (np.unique(np.concatenate(parts)) if parts
+    """Unique doc ids referenced by a pid Dataset — deduped with one
+    bucketed shuffle BEFORE anything reaches the driver, so driver
+    memory is O(candidate ids), never O(pairs) (pairs grow
+    quadratically inside near-dup clusters). The returned id set is the
+    one broadcast this machinery keeps."""
+    from mapchete_xarray_ray.scale import nblocks_for_cluster
+
+    def id_rows(batch: pa.Table) -> pa.Table:
+        if "pid" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "db": pa.array([], pa.int64())})
+        pid = batch.column("pid").to_numpy(zero_copy_only=False)
+        ids = np.unique(np.concatenate([pid >> np.int64(31),
+                                        pid & _PID_MASK]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "db": pa.array((ids % 64).astype(np.int64))})
+
+    def uniq(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column("doc_id").to_numpy(
+            zero_copy_only=False))
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    deduped = (pids.map_batches(id_rows, batch_format="pyarrow")
+               .repartition(nblocks_for_cluster(0.125))
+               .groupby("db")
+               .map_groups(uniq, batch_format="pyarrow"))
+    parts = [b.column("doc_id").to_numpy(zero_copy_only=False)
+             for b in deduped.iter_batches(batch_size=65536,
+                                           batch_format="pyarrow")
+             if "doc_id" in b.column_names and b.num_rows]
+    return (np.sort(np.concatenate(parts)) if parts
             else np.empty(0, dtype=np.int64))
 
 
@@ -589,11 +609,14 @@ def connected_components_ds(pairs: "ray.data.Dataset", max_rounds: int = 50,
                    .groupby("kb")
                    .map_groups(min_reduce, batch_format="pyarrow")
                    .materialize())
-        changed = sum(
-            int(b.column("changed").to_numpy().sum())
-            for b in stepped.iter_batches(batch_size=65536,
-                                          batch_format="pyarrow")
-            if "changed" in b.column_names)
+        # distributed scalar aggregate: only the summed count crosses
+        # to the driver (streaming the label table itself through the
+        # driver would make it the bandwidth bottleneck at scale)
+        changed = stepped.map_batches(
+            lambda b: pa.table({"changed": (
+                b.column("changed") if "changed" in b.column_names
+                else pa.array([], pa.int64()))}),
+            batch_format="pyarrow").sum("changed") or 0
         labels = stepped.map_batches(
             lambda b: (b.drop_columns(["changed"])
                        if "changed" in b.column_names else b),
