@@ -2204,6 +2204,32 @@ WHERE (doc_id * 2654435761) % 100 < 50
 """
 
 
+def q_token_stats(sf_dir: str):
+    """BPE-ish pre-tokenization counts per document (letter runs |
+    digit runs | single non-alnum chars — the GPT-2-style split shape)
+    under the driver's EXACT hash: the byte-level vectorized kernel
+    (stages/text.py bpe_token_stage) vs DuckDB evaluating the same
+    regex via regexp_extract_all."""
+    from mapchete_xarray_ray.stages.text import bpe_token_stage
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(bpe_token_stage, batch_format="pyarrow"))
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+  len(regexp_extract_all(text,
+      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 	
+]'))::BIGINT AS n_tokens_bpe,
+  len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS n_words,
+  len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_numbers,
+  len(regexp_extract_all(text,
+      '[^A-Za-z0-9 	
+]'))::BIGINT AS n_punct
+FROM documents
+"""
+
+
 def q_export_roundtrip(sf_dir: str):
     """Resumable partitioned-parquet sink (S10) under the driver's
     EXACT hash: the curation chain with ``keep_text`` -> hive-
@@ -2395,6 +2421,7 @@ REGISTRY: dict[str, tuple] = {
     "emb_neardup_lsh": (q_emb_neardup_lsh, None),
     "corpus_curation": (q_corpus_curation, _curation_sql()),
     "export_roundtrip": (q_export_roundtrip, _curation_sql(with_text=True)),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "top_users_per_type": (q_top_users_per_type, SQL_TOP_USERS_PER_TYPE),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "pip_antijoin": (q_pip_antijoin, SQL_PIP_ANTIJOIN),

@@ -171,10 +171,14 @@ def _decode_chunk(buf: bytes, shape, dtype, compressor: int) -> np.ndarray:
 class ZarrTileStore:
     """Open/create a zarr-layout tile archive for a :class:`JobSpec`."""
 
-    def __init__(self, spec: JobSpec, compressor: int = 1):
+    def __init__(self, spec: JobSpec, compressor: int | None = None):
         self.spec = spec
         self.path = str(spec.path)
-        self.compressor = compressor
+        # write-time encoding for NEW archives: explicit arg > the
+        # spec's compression field; an EXISTING archive's on-disk
+        # .zarray always wins (synced before any read/write)
+        self.compressor = (compressor if compressor is not None
+                           else getattr(spec, "compression", 1))
         b = spec.snapped_bounds
         self.height, self.width = spec.shape
         self.chunk_px = spec.chunk_px

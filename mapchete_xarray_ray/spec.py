@@ -117,6 +117,12 @@ class JobSpec:
     time_axis_name: str = "time"
     area_or_point: str = "Area"
     cell_zoom: int | None = None  # fine zoom for the Morton cell index
+    # chunk compression: 0 = raw, 1-9 = zlib level (the reference sweeps
+    # blosc codecs, tests/compression_tests.py:27-56; blosc isn't
+    # available here, so the configurable surface is zlib breadth +
+    # raw). A storage detail: recorded per-band in .zarray, NOT in the
+    # job metadata compat check — readers decode by archive metadata.
+    compression: int = 1
 
     # derived (filled in __post_init__)
     pyramid: TilePyramid = field(init=False, repr=False)
@@ -127,6 +133,11 @@ class JobSpec:
     def __post_init__(self):
         if self.pixelbuffer > 0:
             raise JobSpecError("a pixelbuffer larger than 0 is not allowed with zarr")
+        if not (isinstance(self.compression, int)
+                and 0 <= self.compression <= 9):
+            raise JobSpecError(
+                f"compression must be 0 (raw) or a zlib level 1-9, "
+                f"got {self.compression!r}")
         if not str(self.path).endswith(".zarr"):
             raise JobSpecError("output path must end with .zarr")
         if isinstance(self.zoom, (list, tuple)):

@@ -160,3 +160,81 @@ def fingerprint_stage(batch: pa.Table, col: str = "text",
     else:
         fps = np.zeros(len(lens), dtype=np.uint64)
     return batch.append_column("fingerprint", pa.array(fps.astype(np.int64)))
+
+
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"
+
+
+def bpe_token_stage(batch: pa.Table, col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """BPE-ish pre-tokenization counts (GPT-2-style split shape: letter
+    runs | digit runs | single non-alnum-non-space chars), vectorized
+    as ONE pass over the batch's concatenated utf-8 bytes — run starts
+    come from shifted class masks, per-doc sums from ``reduceat``.
+    Unicode semantics: a non-ASCII char counts as one punct-class token
+    (its UTF-8 lead byte >= 0xC0; continuation bytes are ignored),
+    exactly what :data:`BPE_TOKEN_PATTERN` yields over str — the
+    equivalence vs ``re.findall`` is the pytest oracle, and the DuckDB
+    twin evaluates the same pattern via ``regexp_extract_all``.
+
+    Output: id passthrough + ``n_tokens_bpe, n_words, n_numbers,
+    n_punct`` (tokens = words + numbers + punct).
+    """
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    large = (pa.types.is_large_string(arr.type)
+             or pa.types.is_large_binary(arr.type))
+    flat = arr.cast(pa.large_binary() if large else pa.binary())
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    off0 = flat.offset
+    odt = np.int64 if large else np.int32
+    offsets = np.frombuffer(flat.buffers()[1], dtype=odt,
+                            count=off0 + len(flat) + 1)[off0:].astype(np.int64)
+    data_buf = flat.buffers()[2]
+    raw = (np.frombuffer(data_buf, dtype=np.uint8)
+           if data_buf is not None else np.empty(0, np.uint8))
+    lens = np.diff(offsets)
+    starts = offsets[:-1] - offsets[0]
+    total = int(lens.sum())
+    b = raw[offsets[0]:offsets[0] + total]
+
+    n = len(lens)
+    out = {id_col: batch.column(id_col)}
+    if total == 0:
+        z = pa.array(np.zeros(n, dtype=np.int64))
+        for c in ("n_tokens_bpe", "n_words", "n_numbers", "n_punct"):
+            out[c] = z
+        return pa.table(out)
+
+    letter = ((b >= 65) & (b <= 90)) | ((b >= 97) & (b <= 122))
+    digit = (b >= 48) & (b <= 57)
+    ws = (b == 32) | ((b >= 9) & (b <= 13))
+    lead_hi = b >= 0xC0          # first byte of a non-ASCII char
+    ascii_punct = (b < 0x80) & ~letter & ~digit & ~ws
+    doc_start = np.zeros(total, dtype=bool)
+    doc_start[starts[lens > 0]] = True
+    prev_letter = np.zeros(total, dtype=bool)
+    prev_letter[1:] = letter[:-1]
+    prev_digit = np.zeros(total, dtype=bool)
+    prev_digit[1:] = digit[:-1]
+    word_start = letter & (~prev_letter | doc_start)
+    num_start = digit & (~prev_digit | doc_start)
+    punct = ascii_punct | lead_hi
+
+    def per_doc(flags: np.ndarray) -> np.ndarray:
+        res = np.zeros(n, dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            res[nonempty] = np.add.reduceat(flags.astype(np.int64),
+                                            starts[nonempty])
+        return res
+
+    words, numbers, puncts = per_doc(word_start), per_doc(num_start), \
+        per_doc(punct)
+    out["n_tokens_bpe"] = pa.array(words + numbers + puncts)
+    out["n_words"] = pa.array(words)
+    out["n_numbers"] = pa.array(numbers)
+    out["n_punct"] = pa.array(puncts)
+    return pa.table(out)

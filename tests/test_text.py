@@ -77,3 +77,31 @@ def test_fingerprint_large_string_offsets():
     }))
     assert (small.column("fingerprint").to_pylist()
             == big.column("fingerprint").to_pylist())
+
+
+def test_bpe_token_stage_matches_re_findall():
+    """Byte-level run/lead-byte arithmetic == re.findall over str for
+    the shared pattern, including unicode chars (one punct token per
+    non-ASCII char) and empty/whitespace-only docs."""
+    import re
+
+    from mapchete_xarray_ray.stages.text import (
+        BPE_TOKEN_PATTERN,
+        bpe_token_stage,
+    )
+
+    texts = [
+        "Hello, world! 42 times 3.14", "", "   \t\n", "abc123def",
+        "café naïve — résumés",  # multibyte chars
+        "a-b_c+d=e", "1234567890", "...!!!", "x",
+    ]
+    out = bpe_token_stage(_batch(texts))
+    pat = re.compile(BPE_TOKEN_PATTERN)
+    for i, t in enumerate(texts):
+        toks = pat.findall(t)
+        words = sum(1 for x in toks if x[0].isascii() and x[0].isalpha())
+        nums = sum(1 for x in toks if x[0].isascii() and x[0].isdigit())
+        assert out.column("n_tokens_bpe")[i].as_py() == len(toks), t
+        assert out.column("n_words")[i].as_py() == words, t
+        assert out.column("n_numbers")[i].as_py() == nums, t
+        assert out.column("n_punct")[i].as_py() == len(toks) - words - nums, t

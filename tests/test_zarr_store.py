@@ -300,3 +300,37 @@ def test_legacy_time_chunk_layout_decodes(tmp_path):
                                      dtype="uint16"))
     got = legacy.read_tile(1, 1)
     np.testing.assert_array_equal(got, data)
+
+
+def test_compression_configurable_and_decoded_from_metadata(tmp_path):
+    """Compression breadth (reference tests/compression_tests.py:27-56
+    sweeps blosc codecs; here the surface is zlib 0-9): the spec's
+    ``compression`` field drives the per-band .zarray, raw (0) chunks
+    are stored uncompressed, and a READER with a different spec setting
+    still decodes correctly because the on-disk metadata wins."""
+    data = (np.arange(3 * 256 * 256, dtype=np.uint8)
+            .reshape(3, 256, 256) % 251)
+    for level, codec in ((0, None), (9, {"id": "zlib", "level": 9})):
+        spec = make_spec(tmp_path / f"c{level}", compression=level)
+        os.makedirs(tmp_path / f"c{level}")
+        store = ZarrTileStore(spec)
+        assert store.compressor == level
+        store.initialize()
+        za = json.load(open(os.path.join(spec.path, "Band1", ".zarray")))
+        assert za["compressor"] == codec
+        store.write_tile(0, 0, data)
+        raw = open(os.path.join(spec.path, "Band1", "0.0"), "rb").read()
+        if level == 0:
+            assert raw == data[0].tobytes()
+        else:
+            assert zlib.decompress(raw) == data[0].tobytes()
+        # reader configured the OTHER way decodes by archive metadata
+        other = make_spec(tmp_path / f"c{level}", compression=9 - level)
+        back = ZarrTileStore(other).read_tile(0, 0)
+        np.testing.assert_array_equal(back, data)
+
+
+def test_compression_validation():
+    with pytest.raises(JobSpecError, match="compression"):
+        JobSpec(path="/tmp/x.zarr", zoom=5, bounds=(-180.0, -90.0, 180.0, 90.0),
+                bands=1, compression=10)
