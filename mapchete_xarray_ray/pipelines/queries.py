@@ -1350,6 +1350,94 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def q_emb_dedup_clusters(sf_dir: str):
+    """Embedding near-dup CLUSTERS under the driver's EXACT hash: the
+    exact cosine pair set (q_emb_neardup, itself SQL-twinned) fed
+    through the DISTRIBUTED connected-components operator
+    (stages/dedup.py connected_components_ds). The SQL twin closes the
+    same components with a recursive transitive-closure CTE, so the
+    label-propagation machinery — not just a pytest oracle — sits under
+    the driver hash."""
+    from mapchete_xarray_ray.stages.dedup import connected_components_ds
+
+    out = connected_components_ds(q_emb_neardup(sf_dir))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        if "doc_id" not in batch.column_names:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64())})
+        return pa.table({"vec_id": batch.column("doc_id"),
+                         "cluster_id": batch.column("cluster_id")})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_EMB_DEDUP_CLUSTERS = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.35
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
+KMV_K = 16
+
+
+def q_distinct_users_sketch(sf_dir: str):
+    """KMV (k-minimum-values) approximate distinct count — the
+    mergeable-sketch shape a 100 TB pipeline uses where exact distinct
+    (q_distinct_users) would shuffle every key: each batch contributes
+    its k smallest distinct user hashes (a constant-size partial), the
+    driver merges sketches (k values each), and the estimator is
+    (k-1) * 2^32 / kth_min. The hash is the SQL-expressible
+    multiplicative mix (user_id * 2654435761) % 2^32, so the DuckDB
+    twin reproduces the sketch — and its estimate — EXACTLY."""
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("user_id").to_numpy(zero_copy_only=False))
+        h = np.unique((u * 2654435761) % (1 << 32))
+        return pa.table({"hv": pa.array(h[:KMV_K], pa.int64())})
+
+    sketches = collect_table(
+        ev.map_batches(partial, batch_format="pyarrow"))
+    merged = np.unique(sketches.column("hv").to_numpy(zero_copy_only=False))
+    k = min(KMV_K, len(merged))
+    if k < 2 or merged[k - 1] == 0:
+        est = k
+    else:
+        est = int((k - 1) * (1 << 32) // int(merged[k - 1]))
+    return pa.table({"k": pa.array([k], pa.int64()),
+                     "kth_hash": pa.array([int(merged[k - 1])]
+                                          if k else [0], pa.int64()),
+                     "est_users": pa.array([est], pa.int64())})
+
+
+SQL_DISTINCT_USERS_SKETCH = f"""
+WITH h AS (SELECT DISTINCT
+             (user_id::HUGEINT * 2654435761) % 4294967296 AS hv
+           FROM events),
+k AS (SELECT hv::BIGINT AS hv FROM h ORDER BY hv LIMIT {KMV_K}),
+agg AS (SELECT count(*)::BIGINT AS k, max(hv)::BIGINT AS kth_hash FROM k)
+SELECT k, kth_hash,
+       CASE WHEN k < 2 OR kth_hash = 0 THEN k
+            ELSE ((k - 1)::HUGEINT * 4294967296 // kth_hash)::BIGINT
+       END AS est_users
+FROM agg
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Distributed range/interval join (SURVEY §2 custom-op list):
     every event with ``event_id % 997 == 0`` opens a 15-minute window;
@@ -2220,12 +2308,14 @@ SQL_TOKEN_STATS = r"""
 SELECT doc_id,
   len(regexp_extract_all(text,
       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 	
-]'))::BIGINT AS n_tokens_bpe,
+
+]'))::BIGINT AS n_tokens_bpe,
   len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS n_words,
   len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_numbers,
   len(regexp_extract_all(text,
       '[^A-Za-z0-9 	
-]'))::BIGINT AS n_punct
+
+]'))::BIGINT AS n_punct
 FROM documents
 """
 
@@ -2402,6 +2492,9 @@ REGISTRY: dict[str, tuple] = {
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
+    "emb_dedup_clusters": (q_emb_dedup_clusters, SQL_EMB_DEDUP_CLUSTERS),
+    "distinct_users_sketch": (q_distinct_users_sketch,
+                              SQL_DISTINCT_USERS_SKETCH),
     "sample": (q_sample, SQL_SAMPLE),
     "ann_ivf": (q_ann_ivf, None),
     "ann_lsh": (q_ann_lsh, None),

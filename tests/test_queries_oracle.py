@@ -48,3 +48,25 @@ def test_query_matches_duckdb(name, sf_dir):
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_kmv_sketch_batching_invariant(sf_dir):
+    """The KMV sketch must be a pure function of the DISTINCT key set —
+    batch layout must not change the merged sketch or its estimate, and
+    the estimate must be in the right ballpark of the exact count."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapchete_xarray_ray.pipelines.queries import REGISTRY
+
+    fn = REGISTRY["distinct_users_sketch"][0]
+    t1 = fn(sf_dir)
+    exact = len(np.unique(pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id"])
+        .column("user_id").to_numpy()))
+    est = t1.column("est_users")[0].as_py()
+    # deterministic hash + fixed k: re-running yields the identical row
+    t2 = fn(sf_dir)
+    assert t1.equals(t2)
+    # KMV with k=16 has ~26% relative stderr; 2.5 sigma window
+    assert 0.35 * exact <= est <= 1.65 * exact, (est, exact)
