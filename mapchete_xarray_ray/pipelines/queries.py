@@ -1978,20 +1978,21 @@ GROUP BY tile_id, t_idx, iy, ix
 """
 
 
-def q_lineitem_median(sf_dir: str):
-    """Distributed EXACT median (lower median, rank (n+1)//2) of
-    integer price cents per (returnflag, linestatus) — the distributed
-    selection shape no single-pass commutative aggregate can express.
-    Two streaming passes: (1) per-batch partial histograms over coarse
-    65536-cent buckets (vectorized, pre-combined per batch) locate each
-    key's median bucket and the rank within it; (2) a filtered rescan
-    keeps ONLY that bucket's values (~n / n_buckets rows) and a small
-    per-key groupby emits the k-th element distributively. Driver holds
+def _lineitem_exact_rank(sf_dir: str, rank_of_n, out_col: str):
+    """Distributed EXACT order statistic (the k-th smallest per key,
+    ``rank_of_n(n)`` giving the 1-based rank) of integer price cents
+    per (returnflag, linestatus) — the distributed selection shape no
+    single-pass commutative aggregate can express. Two streaming
+    passes: (1) per-batch partial histograms over coarse 65536-cent
+    buckets (vectorized, pre-combined per batch) locate each key's
+    target bucket and the rank within it; (2) a filtered rescan keeps
+    ONLY that bucket's values (~n / n_buckets rows) and a small per-key
+    groupby emits the k-th element distributively. Driver holds
     histograms + one (bucket, rank) per key, never the data."""
     COLS = ["l_returnflag", "l_linestatus", "l_extendedprice"]
     SHIFT = 16  # 65k-cent histogram buckets: ~170 buckets over the price
     # range keeps the per-batch partials small (pre-aggregation works),
-    # and the pass-2 rescan still collects only ~n/170 rows per key
+    # and the pass-2 rescan still keeps only ~n/170 rows per key
 
     def hist_partial(batch: pa.Table) -> pa.Table:
         cents = np.floor(batch.column("l_extendedprice").to_numpy(
@@ -2013,13 +2014,13 @@ def q_lineitem_median(sf_dir: str):
         .sum("n"))
     hdf = hist.to_pandas().rename(columns={"sum(n)": "n"})
 
-    # per key: median rank -> owning bucket + rank within the bucket
+    # per key: target rank -> owning bucket + rank within the bucket
     targets = {}
     for key, grp in hdf.groupby(["l_returnflag", "l_linestatus"]):
         grp = grp.sort_values("bucket")
         counts = grp["n"].to_numpy()
         cum = np.cumsum(counts)
-        rank = (int(cum[-1]) + 1) // 2  # 1-based lower median
+        rank = int(rank_of_n(int(cum[-1])))  # 1-based
         bi = int(np.searchsorted(cum, rank))
         targets[key] = (int(grp["bucket"].iloc[bi]),
                         rank - (int(cum[bi - 1]) if bi else 0))
@@ -2044,7 +2045,7 @@ def q_lineitem_median(sf_dir: str):
     def pick_kth(group: pa.Table) -> pa.Table:
         # one group per (key); the k-th element comes from a partition
         # select over the ~n/170 in-bucket values — the rescan never
-        # lands on the driver (only these 6 result rows do)
+        # lands on the driver (only the per-key result rows do)
         tg = ray.get(t_ref)
         rf = group.column("l_returnflag").to_numpy(zero_copy_only=False)
         ls = group.column("l_linestatus").to_numpy(zero_copy_only=False)
@@ -2054,7 +2055,7 @@ def q_lineitem_median(sf_dir: str):
         return pa.table({
             "l_returnflag": pa.array([rf[0]], pa.string()),
             "l_linestatus": pa.array([ls[0]], pa.string()),
-            "median_cents": pa.array([kth], pa.int64()),
+            out_col: pa.array([kth], pa.int64()),
         })
 
     out = (_regroup(_read(f"{sf_dir}/lineitem.parquet", columns=COLS)
@@ -2063,7 +2064,36 @@ def q_lineitem_median(sf_dir: str):
            .map_groups(pick_kth, batch_format="pyarrow"))
     return _schema_finalize(out, {"l_returnflag": pa.string(),
                                   "l_linestatus": pa.string(),
-                                  "median_cents": pa.int64()})
+                                  out_col: pa.int64()})
+
+
+def q_lineitem_median(sf_dir: str):
+    """Exact lower median (rank (n+1)//2) per key — see
+    :func:`_lineitem_exact_rank`."""
+    return _lineitem_exact_rank(sf_dir, lambda n: (n + 1) // 2,
+                                "median_cents")
+
+
+def q_lineitem_p95(sf_dir: str):
+    """Exact 95th percentile (rank ceil(0.95 n), integer arithmetic so
+    the SQL twin is bit-identical) per key — the same two-pass
+    histogram+rescan selection as the median, proving the operator
+    generalizes to any order statistic."""
+    return _lineitem_exact_rank(sf_dir, lambda n: (95 * n + 99) // 100,
+                                "p95_cents")
+
+
+SQL_LINEITEM_P95 = """
+SELECT l_returnflag, l_linestatus, cents AS p95_cents FROM (
+  SELECT l_returnflag, l_linestatus,
+         floor(l_extendedprice * 100)::BIGINT AS cents,
+         row_number() OVER (
+           PARTITION BY l_returnflag, l_linestatus
+           ORDER BY floor(l_extendedprice * 100)::BIGINT) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+  FROM lineitem
+) WHERE rn = (95 * n + 99) // 100
+"""
 
 
 SQL_LINEITEM_MEDIAN = """
@@ -2509,6 +2539,7 @@ REGISTRY: dict[str, tuple] = {
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "pyramid_roundtrip": (q_pyramid_roundtrip, SQL_PYRAMID_ROUNDTRIP),
     "lineitem_median": (q_lineitem_median, SQL_LINEITEM_MEDIAN),
+    "lineitem_p95": (q_lineitem_p95, SQL_LINEITEM_P95),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "store_roundtrip_time": (q_store_roundtrip_time, SQL_STORE_ROUNDTRIP_TIME),
     "emb_neardup_lsh": (q_emb_neardup_lsh, None),
