@@ -1407,6 +1407,10 @@ def q_distinct_users_sketch(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         u = np.unique(batch.column("user_id").to_numpy(zero_copy_only=False))
+        if len(u) and u[0] < 0:
+            # numpy floor-mod and SQL truncated-mod diverge on negative
+            # ids — fail loud rather than silently mis-hash
+            raise ValueError("KMV sketch requires non-negative user ids")
         h = np.unique((u * 2654435761) % (1 << 32))
         return pa.table({"hv": pa.array(h[:KMV_K], pa.int64())})
 
@@ -1429,7 +1433,8 @@ WITH h AS (SELECT DISTINCT
              (user_id::HUGEINT * 2654435761) % 4294967296 AS hv
            FROM events),
 k AS (SELECT hv::BIGINT AS hv FROM h ORDER BY hv LIMIT {KMV_K}),
-agg AS (SELECT count(*)::BIGINT AS k, max(hv)::BIGINT AS kth_hash FROM k)
+agg AS (SELECT count(*)::BIGINT AS k,
+             coalesce(max(hv), 0)::BIGINT AS kth_hash FROM k)
 SELECT k, kth_hash,
        CASE WHEN k < 2 OR kth_hash = 0 THEN k
             ELSE ((k - 1)::HUGEINT * 4294967296 // kth_hash)::BIGINT
@@ -2337,15 +2342,11 @@ def q_token_stats(sf_dir: str):
 SQL_TOKEN_STATS = r"""
 SELECT doc_id,
   len(regexp_extract_all(text,
-      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 	
-
-]'))::BIGINT AS n_tokens_bpe,
+      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]'))::BIGINT AS n_tokens_bpe,
   len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS n_words,
   len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_numbers,
   len(regexp_extract_all(text,
-      '[^A-Za-z0-9 	
-
-]'))::BIGINT AS n_punct
+      '[^A-Za-z0-9 \t\n\x0B\f\r]'))::BIGINT AS n_punct
 FROM documents
 """
 

@@ -134,6 +134,7 @@ class JobSpec:
         if self.pixelbuffer > 0:
             raise JobSpecError("a pixelbuffer larger than 0 is not allowed with zarr")
         if not (isinstance(self.compression, int)
+                and not isinstance(self.compression, bool)
                 and 0 <= self.compression <= 9):
             raise JobSpecError(
                 f"compression must be 0 (raw) or a zlib level 1-9, "
