@@ -2351,6 +2351,88 @@ FROM documents
 """
 
 
+def q_top_terms_df(sf_dir: str):
+    """Document frequency of whitespace terms, global top-20 (df desc,
+    term asc) — the tf-idf building block and a genuine
+    vocabulary-wide shuffle: per-batch (doc, term) dedup + partial df
+    counts (all Arrow kernels, no python token loop), term-hash bucket
+    groupby summing partials, per-bucket top-20, tiny driver merge of
+    64 x 20 candidates. Exact DuckDB twin via
+    unnest(regexp_split_to_array(...)) — both sides tokenize with the
+    same RE2 pattern."""
+    import pyarrow.compute as pc
+
+    from mapchete_xarray_ray.functions.geocode import stable_hash64
+
+    K = 20
+
+    EMPTY = pa.table({"term": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64()),
+                      "tb": pa.array([], pa.int64())})
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        if "text" not in batch.column_names or batch.num_rows == 0:
+            return EMPTY
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        keep = pc.not_equal(trimmed, "")
+        doc = batch.column("doc_id").filter(keep)
+        if len(doc) == 0:
+            return EMPTY
+        toks = pc.split_pattern_regex(trimmed.filter(keep), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        docs_rep = doc.take(pa.array(np.repeat(
+            np.arange(len(toks)), np.diff(offs))))
+        pairs = (pa.table({"doc_id": docs_rep, "term": flat})
+                 .group_by(["doc_id", "term"]).aggregate([]))
+        g = (pa.table({"term": pairs.column("term"),
+                       "df": pa.array(np.ones(pairs.num_rows,
+                                              dtype=np.int64))})
+             .group_by("term").aggregate([("df", "sum")])
+             .rename_columns(["term", "df"]))
+        h = stable_hash64(g.column("term").to_numpy(zero_copy_only=False)
+                          .astype(object)) % 64
+        return g.append_column("tb", pa.array(h.astype(np.int64)))
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        g = (group.group_by("term").aggregate([("df", "sum")])
+             .rename_columns(["term", "df"]))
+        df = g.column("df").to_numpy(zero_copy_only=False)
+        terms = g.column("term").to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -df))[:K]
+        return pa.table({"term": pa.array(terms[order], pa.string()),
+                         "df": pa.array(df[order], pa.int64())})
+
+    cands = collect_table(
+        _regroup(_docs(sf_dir, ["doc_id", "text"])
+                 .map_batches(partial_df, batch_format="pyarrow"), 0.125)
+        .groupby("tb")
+        .map_groups(bucket_topk, batch_format="pyarrow"))
+    if cands.num_rows == 0:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
+    df = cands.column("df").to_numpy(zero_copy_only=False)
+    terms = cands.column("term").to_numpy(zero_copy_only=False)
+    order = np.lexsort((terms, -df))[:K]
+    return pa.table({"term": pa.array(terms[order], pa.string()),
+                     "df": pa.array(df[order], pa.int64())})
+
+
+SQL_TOP_TERMS_DF = r"""
+WITH t AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT term, count(*)::BIGINT AS df
+FROM t GROUP BY term
+ORDER BY df DESC, term
+LIMIT 20
+"""
+
+
 def q_export_roundtrip(sf_dir: str):
     """Resumable partitioned-parquet sink (S10) under the driver's
     EXACT hash: the curation chain with ``keep_text`` -> hive-
@@ -2547,6 +2629,7 @@ REGISTRY: dict[str, tuple] = {
     "corpus_curation": (q_corpus_curation, _curation_sql()),
     "export_roundtrip": (q_export_roundtrip, _curation_sql(with_text=True)),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "top_terms_df": (q_top_terms_df, SQL_TOP_TERMS_DF),
     "top_users_per_type": (q_top_users_per_type, SQL_TOP_USERS_PER_TYPE),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "pip_antijoin": (q_pip_antijoin, SQL_PIP_ANTIJOIN),

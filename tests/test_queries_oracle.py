@@ -70,3 +70,21 @@ def test_kmv_sketch_batching_invariant(sf_dir):
     assert t1.equals(t2)
     # KMV with k=16 has ~26% relative stderr; 2.5 sigma window
     assert 0.35 * exact <= est <= 1.65 * exact, (est, exact)
+
+
+def test_top_terms_df_edge_cases(tmp_path):
+    """Empty and whitespace-only docs contribute no terms; per-doc
+    dedup means df counts documents, not occurrences; ties break by
+    term ascending."""
+    import pyarrow.parquet as pq
+
+    from mapchete_xarray_ray.pipelines.queries import q_top_terms_df
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b a", "", "   ", "b c"], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    t = q_top_terms_df(str(tmp_path))
+    rows = list(zip(t.column("term").to_pylist(),
+                    t.column("df").to_pylist()))
+    assert rows == [("b", 2), ("a", 1), ("c", 1)]
