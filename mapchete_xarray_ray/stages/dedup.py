@@ -617,10 +617,13 @@ def connected_components_ds(pairs: "ray.data.Dataset", max_rounds: int = 50,
                 b.column("changed") if "changed" in b.column_names
                 else pa.array([], pa.int64()))}),
             batch_format="pyarrow").sum("changed") or 0
+        # lazy column drop over the MATERIALIZED step result: consumers
+        # re-run only this trivial projection, not the round's shuffles
+        # (a second materialize here measured as pure overhead)
         labels = stepped.map_batches(
             lambda b: (b.drop_columns(["changed"])
                        if "changed" in b.column_names else b),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow")
         if changed == 0:
             break
     else:
