@@ -180,6 +180,55 @@ def kmeans_centroids(mat: np.ndarray, n_clusters: int, iters: int = 10,
     return cent
 
 
+def kmeans_refine_distributed(corpus: "ray.data.Dataset",
+                              cent: np.ndarray, iters: int = 1,
+                              emb_col: str = "embedding") -> np.ndarray:
+    """Distributed Lloyd refinement of sample-fit centroids: each
+    iteration is ONE streaming corpus pass emitting per-batch partial
+    (sum-vector, count) per cluster — a constant-size partial
+    (n_clusters x dim floats) regardless of corpus size — merged and
+    renormalized on the driver. The faiss-style recipe at scale:
+    sample-fit seeds the codebook, full-corpus passes polish it."""
+    for _ in range(max(iters, 0)):
+        ref = ray.put(cent)
+        nc, dim = cent.shape
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = normalize_rows(_embedding_matrix(batch, emb_col))
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros((len(c), c.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c))
+            return pa.table({
+                "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                "vec_sum": pa.array(list(sums), pa.list_(pa.float64())),
+                "n": pa.array(counts.astype(np.int64)),
+            })
+
+        tabs = [t for t in (ray.get(r) for r in corpus.map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs())
+            if t.num_columns > 0]
+        if not tabs:
+            return cent
+        merged = pa.concat_tables(tabs)
+        cl = merged.column("cluster").to_numpy(zero_copy_only=False)
+        n = merged.column("n").to_numpy(zero_copy_only=False)
+        vs = np.asarray(merged.column("vec_sum").to_pylist(),
+                        dtype=np.float64)
+        sums = np.zeros((nc, dim), dtype=np.float64)
+        np.add.at(sums, cl, vs)
+        counts = np.bincount(cl, weights=n, minlength=nc)
+        new = cent.copy()
+        nz = counts > 0
+        norms = np.linalg.norm(sums[nz], axis=1)
+        ok = norms > 0
+        rows = np.flatnonzero(nz)[ok]
+        new[rows] = sums[rows] / norms[ok, None]
+        cent = new
+    return cent
+
+
 def ivf_assign_stage(cent_ref, nprobe: int = 1, id_col: str = "vec_id",
                      emb_col: str = "embedding", as_query: bool = False):
     """map_batches fn: replicate each row to its ``nprobe`` nearest
@@ -286,7 +335,8 @@ def _bucket_merge_topk(k: int):
 
 def ann_ivf_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
                      n_clusters: int = 16, nprobe: int = 4,
-                     sample_limit: int = 10_000) -> ray.data.Dataset:
+                     sample_limit: int = 10_000,
+                     refine_iters: int = 0) -> ray.data.Dataset:
     """IVF ANN: spherical-k-means centroids (fit driver-side on a
     sample, broadcast), corpus sharded into inverted lists (one cluster
     per vector), queries probe their ``nprobe`` nearest lists, exact
@@ -299,7 +349,10 @@ def ann_ivf_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
         t for t in (ray.get(r) for r in corpus.limit(sample_limit).to_arrow_refs())
         if t.num_columns > 0])
     mat = _embedding_matrix(sample, "embedding")
-    cent_ref = ray.put(kmeans_centroids(mat, n_clusters))
+    cent = kmeans_centroids(mat, n_clusters)
+    if refine_iters:
+        cent = kmeans_refine_distributed(corpus, cent, refine_iters)
+    cent_ref = ray.put(cent)
 
     partial = (corpus.map_batches(ivf_assign_both_stage(cent_ref, nprobe),
                                   batch_format="pyarrow")

@@ -148,3 +148,36 @@ def test_emb_neardup_lsh_precision_recall_determinism(sf_dir):
     got2_pairs = set(zip(got2.column("id_a").to_pylist(),
                          got2.column("id_b").to_pylist()))
     assert got_pairs == got2_pairs           # deterministic
+
+
+def test_ivf_distributed_refinement_improves_constrained_sample(sf_dir):
+    """kmeans_refine_distributed is the scale path for when the
+    centroid sample is a tiny fraction of the corpus: starting from a
+    deliberately small sample fit, distributed Lloyd passes must
+    recover recall toward the full-data fit (measured on sf0.1:
+    0.516 -> 0.569 with 3 iters vs 0.582 full fit)."""
+    from mapchete_xarray_ray.pipelines.queries import _read
+    from mapchete_xarray_ray.stages.ann import (
+        _embedding_matrix,
+        ann_brute_pipeline,
+        ann_ivf_pipeline,
+    )
+
+    emb = _read(f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"])
+    tbl = _collect(emb)
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = _embedding_matrix(tbl, "embedding")
+    brute = _collect(ann_brute_pipeline(emb, ids, mat, k=5))
+    bset = set(zip(brute.column("vec_id").to_pylist(),
+                   brute.column("neighbor_id").to_pylist()))
+
+    def recall(refine):
+        ivf = _collect(ann_ivf_pipeline(emb, dim=64, k=5, sample_limit=100,
+                                        refine_iters=refine))
+        iset = set(zip(ivf.column("vec_id").to_pylist(),
+                       ivf.column("neighbor_id").to_pylist()))
+        return len(iset & bset) / len(bset)
+
+    r0, r3 = recall(0), recall(3)
+    assert r3 > r0 + 0.01, (r0, r3)
