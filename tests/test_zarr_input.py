@@ -183,3 +183,44 @@ def test_pyramid_nodata_not_aggregated(tmp_path):
         # never a blend that includes the fill value 9
         ok = (vals == 9) | (vals % 2 == 0)
         assert ok.all()
+
+
+def test_pyramid_time_axis_archive(tmp_path):
+    """E3 over a 4-D TIME archive: each time slice downsamples
+    independently; the z-1 archive keeps the full time coordinate and
+    per-slice sums are preserved."""
+    import numpy as np
+
+    from mapchete_xarray_ray.spec import JobSpec
+    from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+
+    TIME = {"start": "2022-06-01", "end": "2022-06-03",
+            "steps": ["2022-06-01", "2022-06-02", "2022-06-03"]}
+    spec = JobSpec(path=str(tmp_path / "t5.zarr"), zoom=5,
+                   bounds=(-180.0, 45.0, -135.0, 90.0), bands=1,
+                   dtype="uint16", time=TIME)
+    store = ZarrTileStore(spec)
+    store.prepare()
+    rng = np.random.default_rng(11)
+    ts = np.array(TIME["steps"], dtype="datetime64[us]")
+    tiles = [(0, 0), (0, 1), (1, 0), (1, 1), (2, 2)]
+    written = {}
+    for r, c in tiles:
+        data = rng.integers(0, 200, (1, 3, 256, 256), dtype=np.uint16)
+        store.write_tile(r, c, data, timestamps=ts)
+        written[(r, c)] = data
+    out = _collect(run_pyramid_step(spec.path, str(tmp_path / "t4.zarr"),
+                                    how="sum"))
+    assert out.num_rows >= 2
+    from mapchete_xarray_ray.sources.zarr_input import spec_from_archive
+
+    z4 = ZarrTileStore(spec_from_archive(str(tmp_path / "t4.zarr")))
+    assert z4.has_time and z4.n_time == 3
+    # parent (0,0) covers children (0,0),(0,1),(1,0),(1,1): per-slice
+    # totals must match the children's totals exactly (uint32 widening)
+    parent = z4.read_tile(0, 0)
+    assert parent.shape == (1, 3, 256, 256)
+    for t in range(3):
+        want = sum(int(written[rc][0, t].sum())
+                   for rc in [(0, 0), (0, 1), (1, 0), (1, 1)])
+        assert int(parent[0, t].astype(np.int64).sum()) == want, t
