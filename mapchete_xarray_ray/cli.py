@@ -50,7 +50,10 @@ def main(argv=None):
 
     import ray
 
-    if not ray.is_initialized():
+    # own the session only if we created it: a host process (pytest,
+    # a notebook) that already initialized Ray keeps its session
+    own_ray = not ray.is_initialized()
+    if own_ray:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
     try:
@@ -110,7 +113,8 @@ def main(argv=None):
                 src = dst
             print(json.dumps({"levels": results}))
     finally:
-        ray.shutdown()
+        if own_ray:
+            ray.shutdown()
 
 
 if __name__ == "__main__":

@@ -116,38 +116,84 @@ class _StateShard:
     """One shard of cross-pass keyed state (plain object; wrapped by
     ``ray.remote`` in :func:`state_actor_pool`). Holds a
     :class:`KeyedRunningState` plus a seen-key set for
-    dedup-across-passes."""
+    dedup-across-passes.
 
-    def __init__(self):
+    ``horizon_us`` bounds the seen-set: a key re-arriving more than the
+    horizon after its last arrival counts as fresh again, and entries
+    older than (watermark - horizon) are evicted — so shard memory is
+    O(keys active within one horizon), not O(all keys ever), the
+    100 TB continuous-ingest requirement. Without a horizon the set is
+    exact and unbounded (the original semantics)."""
+
+    def __init__(self, horizon_us: int | None = None):
         self.state = KeyedRunningState()
+        self.horizon_us = horizon_us
         self._seen = np.empty(0, dtype=np.int64)
+        self._seen_ts = np.empty(0, dtype=np.int64)
+        self._watermark = np.int64(-(2**62))
 
     def update(self, keys, ts_us, values):
         self.state.update(keys, ts_us, values)
 
-    def filter_unseen(self, keys):
-        """Return the boolean keep-mask of keys NOT seen in any prior
-        call (then mark them seen) — continuous-ingest dedup where the
-        horizon spans Dataset passes."""
+    def filter_unseen(self, keys, ts_us=None):
+        """Return the boolean keep-mask of keys NOT seen within the
+        horizon in any prior call (then mark them seen) —
+        continuous-ingest dedup where the horizon spans Dataset
+        passes. Within one call only the first occurrence of a key is
+        fresh; callers feed batches in arrival order."""
         keys = np.asarray(keys, dtype=np.int64)
+        if self.horizon_us is not None and ts_us is None:
+            raise ValueError(
+                "a horizon-bounded shard needs per-row timestamps")
         pos = np.searchsorted(self._seen, keys)
         hit = pos < len(self._seen)
         hit[hit] = self._seen[pos[hit]] == keys[hit]
+        if self.horizon_us is None:
+            unseen = ~hit
+        else:
+            ts = np.asarray(ts_us, dtype=np.int64)
+            safe = np.minimum(pos, max(len(self._seen) - 1, 0))
+            last = np.where(hit, self._seen_ts[safe]
+                            if len(self._seen) else np.int64(0),
+                            np.int64(-(2**62)))
+            # re-emerged after the horizon -> fresh again
+            unseen = ~hit | (last < ts - self.horizon_us)
         # within-call duplicates: only the FIRST occurrence is fresh
         _u, first_idx = np.unique(keys, return_index=True)
         first = np.zeros(len(keys), dtype=bool)
         first[first_idx] = True
-        keep = ~hit & first
-        fresh = keys[keep]
-        if len(fresh):
-            self._seen = np.unique(np.concatenate([self._seen, fresh]))
+        keep = unseen & first
+        if self.horizon_us is None:
+            fresh = keys[keep]
+            if len(fresh):
+                self._seen = np.unique(np.concatenate([self._seen, fresh]))
+            return keep
+        # record the max arrival ts per key (every arrival refreshes
+        # the suppression window), then evict entries past the horizon
+        uk, inv = np.unique(keys, return_inverse=True)
+        mx = np.full(len(uk), -(2**62), dtype=np.int64)
+        np.maximum.at(mx, inv, ts)
+        allk = np.concatenate([self._seen, uk])
+        allt = np.concatenate([self._seen_ts, mx])
+        o = np.lexsort((allt, allk))
+        allk, allt = allk[o], allt[o]
+        last_per_key = np.ones(len(allk), dtype=bool)
+        last_per_key[:-1] = allk[1:] != allk[:-1]
+        self._seen, self._seen_ts = allk[last_per_key], allt[last_per_key]
+        if len(ts):
+            self._watermark = max(self._watermark, np.int64(ts.max()))
+        live = self._seen_ts >= self._watermark - self.horizon_us
+        self._seen, self._seen_ts = self._seen[live], self._seen_ts[live]
         return keep
+
+    def seen_size(self) -> int:
+        return int(len(self._seen))
 
     def snapshot(self):
         return self.state.snapshot()
 
 
-def state_actor_pool(n_shards: int = 8):
+def state_actor_pool(n_shards: int = 8, horizon_us: int | None = None):
     """Cross-pass keyed state as a FIXED pool of Ray actors, one per
     key-hash shard (``key % n_shards`` routes every batch of a key to
     its owning actor). This is the variant the per-pass map_groups
@@ -158,11 +204,14 @@ def state_actor_pool(n_shards: int = 8):
     import ray as _ray
 
     Shard = _ray.remote(_StateShard)
-    return [Shard.options(num_cpus=0.25).remote() for _ in range(n_shards)]
+    return [Shard.options(num_cpus=0.25).remote(horizon_us=horizon_us)
+            for _ in range(n_shards)]
 
 
-def dedup_across_passes(ds, actors, id_col: str = "event_id"):
-    """Filter a Dataset to rows whose ``id_col`` was never seen by the
+def dedup_across_passes(ds, actors, id_col: str = "event_id",
+                        ts_col: str | None = None):
+    """Filter a Dataset to rows whose ``id_col`` was not seen (within
+    the pool's horizon, if one is configured — pass ``ts_col``) by the
     actor pool — including in PREVIOUS calls with other Datasets (the
     dedup-within-horizon op extended across pipeline runs). Each batch
     routes its ids to the owning shards and keeps only fresh rows."""
@@ -174,12 +223,17 @@ def dedup_across_passes(ds, actors, id_col: str = "event_id"):
         if id_col not in batch.column_names or batch.num_rows == 0:
             return batch
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ts = (batch.column(ts_col).cast(pa.int64())
+              .to_numpy(zero_copy_only=False) if ts_col else None)
         shard = ids % n
         keep = np.zeros(len(ids), dtype=bool)
         # one RPC per shard present in the batch, not per row
         present = np.unique(shard)
-        masks = _ray.get([actors[s].filter_unseen.remote(ids[shard == s])
-                          for s in present])
+        masks = _ray.get([
+            actors[s].filter_unseen.remote(
+                ids[shard == s],
+                ts[shard == s] if ts is not None else None)
+            for s in present])
         for s, m in zip(present, masks):
             keep[shard == s] = m
         return batch.filter(pa.array(keep))

@@ -1,0 +1,74 @@
+"""CLI surface (§2.10): execute (fresh + resume), pyramid, overviews,
+export (fresh + resume) — driven in-process via cli.main, which leaves
+the session's Ray alone (ownership semantics)."""
+
+import json
+import os
+
+import pytest
+import ray
+
+from mapchete_xarray_ray import cli
+from mapchete_xarray_ray.fixtures import write_pages
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_pages")
+    write_pages(str(d / "pages"), n=200)
+    return str(d / "pages")
+
+
+def _run(capsys, argv):
+    cli.main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_cli_execute_resume_pyramid_overviews(tmp_path, capsys, pages_dir):
+    spec = {"path": str(tmp_path / "out.zarr"), "zoom": 5,
+            "bounds": [-180.0, 45.0, -135.0, 90.0],
+            "band_names": ["count", "count_en", "count_long"],
+            "dtype": "uint16", "input": {"path": pages_dir}}
+    spec_path = str(tmp_path / "job.json")
+    json.dump(spec, open(spec_path, "w"))
+
+    first = _run(capsys, ["execute", spec_path])
+    assert first["tiles_written"] > 0
+    # continue mode: nothing to redo
+    again = _run(capsys, ["execute", spec_path])
+    assert again["tiles_written"] == 0
+    # the CLI must not have torn down the session's Ray
+    assert ray.is_initialized()
+
+    pyr = _run(capsys, ["pyramid", spec["path"], str(tmp_path / "z4.zarr")])
+    assert pyr["tiles_written"] > 0
+
+    ov = _run(capsys, ["overviews", spec["path"], "--min-zoom", "3"])
+    zooms = [lvl["zoom"] for lvl in ov["levels"]]
+    assert zooms == [4, 3]
+    assert all(os.path.isdir(lvl["path"]) for lvl in ov["levels"])
+
+
+def test_cli_execute_incompatible_archive_fails_loud(tmp_path, capsys,
+                                                    pages_dir):
+    spec = {"path": str(tmp_path / "o.zarr"), "zoom": 5,
+            "bounds": [-180.0, 45.0, -135.0, 90.0],
+            "band_names": ["count", "count_en", "count_long"],
+            "dtype": "uint16", "input": {"path": pages_dir}}
+    spec_path = str(tmp_path / "job.json")
+    json.dump(spec, open(spec_path, "w"))
+    _run(capsys, ["execute", spec_path])
+    spec["dtype"] = "uint8"
+    json.dump(spec, open(spec_path, "w"))
+    with pytest.raises(ValueError, match="incompatible"):
+        cli.main(["execute", spec_path])
+
+
+def test_cli_export_resume(tmp_path, capsys):
+    src = "/root/testdata/sf0.001/documents.parquet"
+    dst = str(tmp_path / "corpus")
+    first = _run(capsys, ["export", src, dst])
+    assert first["rows"] > 0 and first["partitions_written"]
+    again = _run(capsys, ["export", src, dst])
+    assert again["rows"] == 0 and again["partitions_written"] == []
