@@ -571,7 +571,7 @@ def q_text_quality(sf_dir: str):
 SQL_TEXT_QUALITY = r"""
 SELECT doc_id,
        length(text)::BIGINT AS n_chars,
-       array_length(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+       array_length(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+'))::BIGINT AS n_tokens,
        len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS n_punct,
        len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits
 FROM documents
@@ -2312,7 +2312,7 @@ def _curation_sql(with_text: bool = False) -> str:
     return rf"""
 WITH h AS (SELECT doc_id, text, {inner} FROM documents),
 l AS (SELECT doc_id, text, {case} AS lang_pred,
-             array_length(regexp_split_to_array(trim(text), '\s+'))::BIGINT
+             array_length(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+'))::BIGINT
                AS n_tokens,
              length(text)::BIGINT AS n_chars
       FROM h),
@@ -2373,7 +2373,9 @@ def q_top_terms_df(sf_dir: str):
     def partial_df(batch: pa.Table) -> pa.Table:
         if "text" not in batch.column_names or batch.num_rows == 0:
             return EMPTY
-        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        from mapchete_xarray_ray.stages.text import trim_ws
+
+        trimmed = trim_ws(batch.column("text"))
         keep = pc.not_equal(trimmed, "")
         doc = batch.column("doc_id").filter(keep)
         if len(doc) == 0:
@@ -2413,18 +2415,17 @@ def q_top_terms_df(sf_dir: str):
     if cands.num_rows == 0:
         return pa.table({"term": pa.array([], pa.string()),
                          "df": pa.array([], pa.int64())})
-    df = cands.column("df").to_numpy(zero_copy_only=False)
-    terms = cands.column("term").to_numpy(zero_copy_only=False)
-    order = np.lexsort((terms, -df))[:K]
-    return pa.table({"term": pa.array(terms[order], pa.string()),
-                     "df": pa.array(df[order], pa.int64())})
+    # same selection as per-bucket: the re-sum is a no-op on disjoint
+    # bucket outputs, and one shared code path keeps the tie-break rule
+    # in lockstep
+    return bucket_topk(cands)
 
 
 SQL_TOP_TERMS_DF = r"""
 WITH t AS (
   SELECT DISTINCT doc_id,
-         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-  FROM documents WHERE trim(text) <> ''
+         unnest(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+')) AS term
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
 )
 SELECT term, count(*)::BIGINT AS df
 FROM t GROUP BY term

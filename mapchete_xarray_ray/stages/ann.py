@@ -195,6 +195,12 @@ def kmeans_refine_distributed(corpus: "ray.data.Dataset",
 
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(ref)
+            if emb_col not in batch.column_names or batch.num_rows == 0:
+                return pa.table({
+                    "cluster": pa.array([], pa.int64()),
+                    "vec_sum": pa.array([], pa.list_(pa.float64())),
+                    "n": pa.array([], pa.int64()),
+                })
             m = normalize_rows(_embedding_matrix(batch, emb_col))
             assign = np.argmax(m @ c.T, axis=1)
             sums = np.zeros((len(c), c.shape[1]), dtype=np.float64)
@@ -214,8 +220,10 @@ def kmeans_refine_distributed(corpus: "ray.data.Dataset",
         merged = pa.concat_tables(tabs)
         cl = merged.column("cluster").to_numpy(zero_copy_only=False)
         n = merged.column("n").to_numpy(zero_copy_only=False)
-        vs = np.asarray(merged.column("vec_sum").to_pylist(),
-                        dtype=np.float64)
+        vcol = merged.column("vec_sum")
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        vs = vcol.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
         sums = np.zeros((nc, dim), dtype=np.float64)
         np.add.at(sums, cl, vs)
         counts = np.bincount(cl, weights=n, minlength=nc)

@@ -120,14 +120,23 @@ class _StateShard:
 
     ``horizon_us`` bounds the seen-set: a key re-arriving more than the
     horizon after its last arrival counts as fresh again, and entries
-    older than (watermark - horizon) are evicted — so shard memory is
-    O(keys active within one horizon), not O(all keys ever), the
-    100 TB continuous-ingest requirement. Without a horizon the set is
-    exact and unbounded (the original semantics)."""
+    older than (watermark - horizon - late_bound) are evicted — so
+    shard memory is O(keys active within one horizon + lateness
+    window), not O(all keys ever), the 100 TB continuous-ingest
+    requirement. ``late_bound_us`` is the allowed out-of-orderness
+    (default: one horizon): dedup stays EXACT for rows arriving at
+    most that far behind the watermark; later stragglers may be
+    re-admitted (the standard watermark/allowed-lateness contract —
+    eviction at watermark - horizon alone would re-admit in-horizon
+    duplicates as soon as arrivals interleave across keys). Without a
+    horizon the set is exact and unbounded (the original semantics)."""
 
-    def __init__(self, horizon_us: int | None = None):
+    def __init__(self, horizon_us: int | None = None,
+                 late_bound_us: int | None = None):
         self.state = KeyedRunningState()
         self.horizon_us = horizon_us
+        self.late_bound_us = (late_bound_us if late_bound_us is not None
+                              else (horizon_us or 0))
         self._seen = np.empty(0, dtype=np.int64)
         self._seen_ts = np.empty(0, dtype=np.int64)
         self._watermark = np.int64(-(2**62))
@@ -182,7 +191,8 @@ class _StateShard:
         self._seen, self._seen_ts = allk[last_per_key], allt[last_per_key]
         if len(ts):
             self._watermark = max(self._watermark, np.int64(ts.max()))
-        live = self._seen_ts >= self._watermark - self.horizon_us
+        live = (self._seen_ts
+                >= self._watermark - self.horizon_us - self.late_bound_us)
         self._seen, self._seen_ts = self._seen[live], self._seen_ts[live]
         return keep
 
@@ -193,7 +203,8 @@ class _StateShard:
         return self.state.snapshot()
 
 
-def state_actor_pool(n_shards: int = 8, horizon_us: int | None = None):
+def state_actor_pool(n_shards: int = 8, horizon_us: int | None = None,
+                     late_bound_us: int | None = None):
     """Cross-pass keyed state as a FIXED pool of Ray actors, one per
     key-hash shard (``key % n_shards`` routes every batch of a key to
     its owning actor). This is the variant the per-pass map_groups
@@ -204,8 +215,9 @@ def state_actor_pool(n_shards: int = 8, horizon_us: int | None = None):
     import ray as _ray
 
     Shard = _ray.remote(_StateShard)
-    return [Shard.options(num_cpus=0.25).remote(horizon_us=horizon_us)
-            for _ in range(n_shards)]
+    return [Shard.options(num_cpus=0.25).remote(
+        horizon_us=horizon_us, late_bound_us=late_bound_us)
+        for _ in range(n_shards)]
 
 
 def dedup_across_passes(ds, actors, id_col: str = "event_id",

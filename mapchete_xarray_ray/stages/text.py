@@ -36,10 +36,23 @@ def lang_filter_fn(langs: set[str]):
     return fn
 
 
+# RE2's \s character set (what split_pattern_regex('\s+') splits on).
+# Trimming exactly this set on BOTH engines keeps the token twins exact
+# for tab/newline-edged texts: DuckDB's bare trim() removes only spaces
+# and Arrow's utf8_trim_whitespace removes all Unicode whitespace —
+# either asymmetry emits phantom empty edge tokens on one side.
+TRIM_WS = " \t\n\f\r"
+SQL_TRIM = "trim({col}, ' ' || chr(9) || chr(10) || chr(12) || chr(13))"
+
+
+def trim_ws(col):
+    return pc.utf8_trim(col, TRIM_WS)
+
+
 def token_count_stage(batch: pa.Table, col: str = "text") -> pa.Table:
     """Whitespace token count, matching DuckDB
-    ``array_length(regexp_split_to_array(trim(text), '\\s+'))``."""
-    trimmed = pc.utf8_trim_whitespace(batch.column(col))
+    ``array_length(regexp_split_to_array(<SQL_TRIM>, '\\s+'))``."""
+    trimmed = trim_ws(batch.column(col))
     toks = pc.split_pattern_regex(trimmed, r"\s+")
     return batch.append_column("n_tokens", pc.list_value_length(toks).cast(pa.int64()))
 
@@ -50,7 +63,7 @@ def quality_stage(batch: pa.Table, col: str = "text") -> pa.Table:
     """Quality metrics per doc, all integers so the DuckDB twin matches
     exactly: n_chars (codepoints), n_tokens, n_punct, n_digits."""
     text = batch.column(col)
-    trimmed = pc.utf8_trim_whitespace(text)
+    trimmed = trim_ws(text)
     toks = pc.split_pattern_regex(trimmed, r"\s+")
     return (
         batch

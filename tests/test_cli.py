@@ -65,8 +65,8 @@ def test_cli_execute_incompatible_archive_fails_loud(tmp_path, capsys,
         cli.main(["execute", spec_path])
 
 
-def test_cli_export_resume(tmp_path, capsys):
-    src = "/root/testdata/sf0.001/documents.parquet"
+def test_cli_export_resume(tmp_path, capsys, sf_dir):
+    src = f"{sf_dir}/documents.parquet"
     dst = str(tmp_path / "corpus")
     first = _run(capsys, ["export", src, dst])
     assert first["rows"] > 0 and first["partitions_written"]

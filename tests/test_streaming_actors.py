@@ -89,6 +89,16 @@ def test_horizon_bounded_shard_evicts_and_readmits():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="timestamps"):
         sh2.filter_unseen(np.array([5]))
+    # out-of-order arrivals within the allowed lateness stay EXACT:
+    # key 7 at t=70, watermark pushed to 180 by another key, then a
+    # straggler 7 at t=150 (gap 80 <= horizon 100) must be suppressed —
+    # eviction at watermark - horizon alone would have dropped the
+    # entry and re-admitted the duplicate
+    sh3 = _StateShard(horizon_us=100)
+    assert sh3.filter_unseen(np.array([7, 9]),
+                             np.array([70, 180])).tolist() == [True, True]
+    assert sh3.filter_unseen(np.array([7]),
+                             np.array([150])).tolist() == [False]
 
 
 def test_horizon_dedup_across_passes_dataset():
