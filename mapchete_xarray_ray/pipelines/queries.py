@@ -1616,6 +1616,70 @@ def q_orders_lineitem_join(sf_dir: str):
             .map_groups(join_group, batch_format="pyarrow"))
 
 
+def q_orders_lineitem_join_native(sf_dir: str):
+    """The SAME big-x-big equi-join expressed with Ray Data's native
+    hash-shuffle ``Dataset.join`` (2.49+) instead of the hand-built
+    union + co-group — demonstrating interop with the idiomatic
+    operator. The scale levers stay identical: lineitem pre-aggregates
+    per orderkey inside map_batches BEFORE the join (the combiner is
+    what matters at 100 TB, whichever join executor runs), the orders
+    side is filtered at the read, and a final per-key groupby folds
+    partials that crossed batch boundaries. Bench note: comparable
+    wall time to the co-group plan at sf0.1 (3-5 s, order varies with
+    host noise); the co-group version remains the reference plan
+    because it joins AND aggregates in ONE exchange."""
+    from mapchete_xarray_ray.scale import nblocks_for_cluster
+
+    def l_partial(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        keep = (k % 31) == 0
+        b = batch.filter(pa.array(keep))
+        k = k[keep]
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        t = pa.table({
+            "l_orderkey": pa.array(k, pa.int64()),
+            "n_lines": pa.array(np.ones(len(k), dtype=np.int64)),
+            "revenue_cents": pa.array(cents),
+        })
+        g = t.group_by("l_orderkey").aggregate(
+            [("n_lines", "sum"), ("revenue_cents", "sum")])
+        return g.rename_columns(["l_orderkey", "n_lines", "revenue_cents"])
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((k % 31) == 0))
+
+    orders = (_read(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_orderpriority"])
+              .map_batches(o_filter, batch_format="pyarrow"))
+    li = (_read(f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_extendedprice", "l_discount"])
+          .map_batches(l_partial, batch_format="pyarrow"))
+    joined = orders.join(li, "inner",
+                         num_partitions=nblocks_for_cluster(0.25),
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def final(group: pa.Table) -> pa.Table:
+        g = (group.group_by(["o_orderkey", "o_orderpriority"]).aggregate(
+            [("n_lines", "sum"), ("revenue_cents", "sum")]))
+        return g.rename_columns(["o_orderkey", "o_orderpriority",
+                                 "n_lines", "revenue_cents"])
+
+    out = (joined.map_batches(
+        _mod_bucket("o_orderkey", "jb", empty={
+            "o_orderkey": pa.int64(), "o_orderpriority": pa.string(),
+            "n_lines": pa.int64(), "revenue_cents": pa.int64()}),
+        batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(final, batch_format="pyarrow"))
+    return _schema_finalize(out, {"o_orderkey": pa.int64(),
+                                  "o_orderpriority": pa.string(),
+                                  "n_lines": pa.int64(),
+                                  "revenue_cents": pa.int64()})
+
+
 SQL_ORDERS_LINEITEM_JOIN = """
 SELECT o_orderkey, o_orderpriority,
        count(*)::BIGINT AS n_lines,
@@ -2620,6 +2684,8 @@ REGISTRY: dict[str, tuple] = {
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "store_roundtrip": (q_store_roundtrip, SQL_RASTERIZE_ROUNDTRIP),
     "orders_lineitem_join": (q_orders_lineitem_join, SQL_ORDERS_LINEITEM_JOIN),
+    "orders_lineitem_join_native": (q_orders_lineitem_join_native,
+                                    SQL_ORDERS_LINEITEM_JOIN),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "pyramid_roundtrip": (q_pyramid_roundtrip, SQL_PYRAMID_ROUNDTRIP),
     "lineitem_median": (q_lineitem_median, SQL_LINEITEM_MEDIAN),
