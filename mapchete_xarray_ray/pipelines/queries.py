@@ -1680,6 +1680,112 @@ def q_orders_lineitem_join_native(sf_dir: str):
                                   "revenue_cents": pa.int64()})
 
 
+def q_urgent_revenue_bloom(sf_dir: str):
+    """Bloom-pruned semi-join aggregate (stages/bloom.py): revenue of
+    lineitems belonging to URGENT orders. The urgent orderkey set
+    (~20% of orders) is folded into a Bloom filter in one cheap pass
+    and broadcast; lineitem rows are pruned BEFORE the exchange (~80%
+    of rows never enter the shuffle, the 100 TB byte-saver), false
+    positives are removed by the exact key co-group, and the final
+    per-linestatus aggregate folds verified partials. Output identical
+    with or without the filter — the SQL twin pins it."""
+    from mapchete_xarray_ray.stages.bloom import (
+        bloom_from_dataset,
+        bloom_prune_stage,
+    )
+
+    def o_urgent(batch: pa.Table) -> pa.Table:
+        keep = pa.compute.equal(batch.column("o_orderpriority"), "1-URGENT")
+        k = batch.filter(keep).column("o_orderkey").cast(pa.int64())
+        return pa.table({"key": k})
+
+    urgent = (_read(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_orderpriority"])
+              .map_batches(o_urgent, batch_format="pyarrow"))
+    # ~10 bits/key at sf0.1 scale; fixed so results are deterministic
+    M_BITS = 1 << 21
+    words_ref = ray.put(bloom_from_dataset(urgent, "key", M_BITS))
+
+    def l_partial(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        t = pa.table({
+            "key": batch.column("l_orderkey").cast(pa.int64()),
+            "l_linestatus": batch.column("l_linestatus"),
+            "n_lines": pa.array(np.ones(len(cents), dtype=np.int64)),
+            "revenue_cents": pa.array(cents),
+            "is_order": pa.array(np.zeros(len(cents), dtype=bool)),
+        })
+        g = t.group_by(["key", "l_linestatus", "is_order"]).aggregate(
+            [("n_lines", "sum"), ("revenue_cents", "sum")])
+        return g.rename_columns(["key", "l_linestatus", "is_order",
+                                 "n_lines", "revenue_cents"])
+
+    def o_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch.column("key").cast(pa.int64()),
+            "l_linestatus": pa.array([""] * n, pa.string()),
+            "is_order": pa.array(np.ones(n, dtype=bool)),
+            "n_lines": pa.array(np.zeros(n, dtype=np.int64)),
+            "revenue_cents": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+
+    li = (_read(f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_linestatus", "l_extendedprice",
+                         "l_discount"])
+          .map_batches(bloom_prune_stage(words_ref, M_BITS, "l_orderkey"),
+                       batch_format="pyarrow")
+          .map_batches(l_partial, batch_format="pyarrow"))
+    okeys = urgent.map_batches(o_rows, batch_format="pyarrow")
+
+    def verify_agg(group: pa.Table) -> pa.Table:
+        iso = group.column("is_order").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        ok = np.unique(key[iso])
+        m = ~iso
+        pos = np.searchsorted(ok, key[m])
+        hit = pos < len(ok)
+        hit[hit] = ok[pos[hit]] == key[m][hit]
+        kept = group.filter(pa.array(m)).filter(pa.array(hit))
+        g = kept.group_by("l_linestatus").aggregate(
+            [("n_lines", "sum"), ("revenue_cents", "sum")])
+        return g.rename_columns(["l_linestatus", "n_lines", "revenue_cents"])
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by("l_linestatus").aggregate(
+            [("n_lines", "sum"), ("revenue_cents", "sum")])
+        return g.rename_columns(["l_linestatus", "n_lines",
+                                 "revenue_cents"])
+
+    bucketed = (_regroup(li.union(okeys)
+                         .map_batches(_mod_bucket("key", "jb", empty={
+                             "key": pa.int64(), "l_linestatus": pa.string(),
+                             "is_order": pa.bool_(), "n_lines": pa.int64(),
+                             "revenue_cents": pa.int64()}),
+                             batch_format="pyarrow"), 0.25)
+                .groupby("jb")
+                .map_groups(verify_agg, batch_format="pyarrow"))
+    out = (_regroup(bucketed, 0.125)
+           .groupby("l_linestatus")
+           .map_groups(final, batch_format="pyarrow"))
+    return _schema_finalize(out, {"l_linestatus": pa.string(),
+                                  "n_lines": pa.int64(),
+                                  "revenue_cents": pa.int64()})
+
+
+SQL_URGENT_REVENUE_BLOOM = """
+SELECT l_linestatus,
+       count(*)::BIGINT AS n_lines,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+         AS revenue_cents
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_linestatus
+"""
+
+
 SQL_ORDERS_LINEITEM_JOIN = """
 SELECT o_orderkey, o_orderpriority,
        count(*)::BIGINT AS n_lines,
@@ -2686,6 +2792,8 @@ REGISTRY: dict[str, tuple] = {
     "orders_lineitem_join": (q_orders_lineitem_join, SQL_ORDERS_LINEITEM_JOIN),
     "orders_lineitem_join_native": (q_orders_lineitem_join_native,
                                     SQL_ORDERS_LINEITEM_JOIN),
+    "urgent_revenue_bloom": (q_urgent_revenue_bloom,
+                             SQL_URGENT_REVENUE_BLOOM),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "pyramid_roundtrip": (q_pyramid_roundtrip, SQL_PYRAMID_ROUNDTRIP),
     "lineitem_median": (q_lineitem_median, SQL_LINEITEM_MEDIAN),
