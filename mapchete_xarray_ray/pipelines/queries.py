@@ -791,6 +791,52 @@ def q_simhash_neardup(sf_dir: str):
                                   "hamming": pa.int64()})
 
 
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sample: exactly k=10 docs PER LANGUAGE,
+    chosen by hash order (ties by doc_id) — per-batch partial top-k per
+    stratum (only k rows per stratum per batch enter the shuffle), one
+    small per-stratum groupby for the final pick. The equal-allocation
+    sampling a curation pipeline uses to balance languages."""
+    K = 10
+
+    def topk_per_lang(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        h = (d * 2654435761) % (1 << 31)
+        order = np.lexsort((d, h, lang))
+        lang_s, d_s = lang[order], d[order]
+        new = np.ones(len(d_s), dtype=bool)
+        new[1:] = lang_s[1:] != lang_s[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(d_s)) - np.repeat(starts, np.diff(
+            np.append(starts, len(d_s))))
+        keep = rank < K
+        return pa.table({"doc_id": pa.array(d_s[keep], pa.int64()),
+                         "lang": pa.array(lang_s[keep], pa.string())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if "doc_id" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string())})
+        return topk_per_lang(batch)
+
+    out = (_regroup(_docs(sf_dir, ["doc_id", "lang"])
+                    .map_batches(partial, batch_format="pyarrow"), 0.125)
+           .groupby("lang")
+           .map_groups(topk_per_lang, batch_format="pyarrow"))
+    return _schema_finalize(out, {"doc_id": pa.int64(),
+                                  "lang": pa.string()})
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY (doc_id * 2654435761) % 2147483648, doc_id) AS rn
+  FROM documents) WHERE rn <= 10
+"""
+
+
 def q_ann_cosine(sf_dir: str):
     """Exact cosine top-5 per embedding vs the whole corpus (brute
     force, broadcast query matrix). Output keeps only (vec_id,
@@ -2780,6 +2826,7 @@ REGISTRY: dict[str, tuple] = {
     "distinct_users_sketch": (q_distinct_users_sketch,
                               SQL_DISTINCT_USERS_SKETCH),
     "sample": (q_sample, SQL_SAMPLE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "ann_ivf": (q_ann_ivf, None),
     "ann_lsh": (q_ann_lsh, None),
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
