@@ -43,6 +43,16 @@ def main():
         f"bit-exact DuckDB\n  SQL twins, {n_rows_only} approximate/rows-only",
         rd)
     open("/root/repo/README.md", "w").write(rd)
+
+    sk = "/root/repo/.claude/skills/verify/SKILL.md"
+    t = open(sk).read()
+    t = re.sub(
+        r"As of round \d+: \d+ queries, \d+ with SQL twins, \d+ rows-only; "
+        r"full pytest\nsuite is \d+ tests",
+        f"As of round 3: {n_q} queries, {n_sql} with SQL twins, "
+        f"{n_rows_only} rows-only; full pytest\nsuite is {n_tests} tests",
+        t)
+    open(sk, "w").write(t)
     print(f"queries={n_q} sql_twins={n_sql} rows_only={n_rows_only} "
           f"tests={n_tests}")
 
