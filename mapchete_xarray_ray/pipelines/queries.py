@@ -604,8 +604,14 @@ FROM h
 
 
 def q_fingerprint(sf_dir: str):
-    """Rolling-hash document fingerprint (not SQL-expressible —
-    rows-only check; exactness covered by tests/test_text.py oracle)."""
+    """Polynomial rolling-hash document fingerprint (mod 2^64).
+
+    SQL-exact: the DuckDB twin folds the same Horner recurrence
+    ``h = h*257 + byte`` in HUGEINT arithmetic (``SQL_FINGERPRINT``).
+    Parity domain is ASCII text (SQL reads codepoints, the engine reads
+    utf-8 bytes; they coincide for ASCII — the synthetic corpus is
+    all-ASCII, asserted cheap in the twin via octet_length=length docs
+    in tests)."""
     from mapchete_xarray_ray.stages.text import fingerprint_stage
 
     return (
@@ -613,6 +619,26 @@ def q_fingerprint(sf_dir: str):
         .map_batches(fingerprint_stage, batch_format="pyarrow")
         .select_columns(["doc_id", "fingerprint"])
     )
+
+
+# DuckDB twin of fingerprint_stage: same Horner fold h = h*257 + byte
+# (mod 2^64) in HUGEINT (product < 2^72, far inside the 128-bit range),
+# then a two's-complement cast back to the engine's int64 view.
+# NOTE raw string: the regex/char classes must reach DuckDB as literal
+# backslash escapes (single-quoted SQL literals do not interpret them;
+# RE2 does).
+SQL_FINGERPRINT = r"""
+SELECT doc_id,
+       CASE WHEN fp >= 9223372036854775808::HUGEINT
+            THEN (fp - 18446744073709551616::HUGEINT)::BIGINT
+            ELSE fp::BIGINT END AS fingerprint
+FROM (SELECT doc_id,
+             list_reduce(list_prepend(0::HUGEINT,
+                 list_transform(range(1, length(text) + 1),
+                                i -> ascii(substr(text, i, 1))::HUGEINT)),
+                 (h, c) -> (h * 257 + c) % 18446744073709551616::HUGEINT) AS fp
+      FROM documents)
+"""
 
 
 _MINHASH_PAIR_CACHE: dict[str, "ray.data.MaterializedDataset"] = {}
@@ -711,8 +737,65 @@ def q_dedup_clusters(sf_dir: str):
                              "cluster_id": pa.int64()})
 
 
+# Shared CTE chain computing the per-doc SimHash signature in DuckDB:
+# whitespace tokenization (same class as python str.split over ASCII),
+# FNV-1a token hash in HUGEINT (bit-identical to stages/dedup.fnv1a64),
+# per-bit majority vote, and a two's-complement cast to the engine's
+# int64 signature. Tokenless docs get signature 0 via the LEFT JOIN.
+_SIMHASH_SIG_CTES = r"""toks AS (
+    SELECT doc_id, tok
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+')) AS tok
+          FROM documents)
+    WHERE tok <> ''
+), th AS (
+    SELECT doc_id,
+           list_reduce(list_prepend(14695981039346656037::HUGEINT,
+               list_transform(range(1, length(tok) + 1),
+                              i -> ascii(substr(tok, i, 1))::HUGEINT)),
+               (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+                         % 18446744073709551616::HUGEINT) AS h
+    FROM toks
+), bitvotes AS (
+    SELECT doc_id, bits.bit AS bit,
+           sum(((h >> bits.bit) & 1::HUGEINT)::BIGINT) AS ones,
+           count(*) AS n
+    FROM th, (SELECT unnest(range(0, 64)) AS bit) bits
+    GROUP BY doc_id, bits.bit
+), sigsum AS (
+    SELECT doc_id,
+           sum(CASE WHEN ones * 2 > n THEN (1::HUGEINT << bit)
+                    ELSE 0::HUGEINT END) AS s
+    FROM bitvotes GROUP BY doc_id
+), sig AS (
+    SELECT d.doc_id,
+           CASE WHEN s IS NULL THEN 0::BIGINT
+                WHEN s >= 9223372036854775808::HUGEINT
+                THEN (s - 18446744073709551616::HUGEINT)::BIGINT
+                ELSE s::BIGINT END AS simhash
+    FROM documents d LEFT JOIN sigsum ON d.doc_id = sigsum.doc_id
+)"""
+
+SQL_SIMHASH = f"WITH {_SIMHASH_SIG_CTES}\nSELECT doc_id, simhash FROM sig"
+
+# Brute-force O(N^2) self-join oracle for the blocked near-dup path —
+# a true oracle because 4x16-bit chunk blocking is pigeonhole-COMPLETE
+# for Hamming <= 3 (proven in tests/test_dedup.py), so the engine's
+# candidate generation misses nothing the brute force finds.
+SQL_SIMHASH_NEARDUP = f"""WITH {_SIMHASH_SIG_CTES}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def q_simhash(sf_dir: str):
-    """64-bit SimHash signature per doc (rows-only; oracle in tests)."""
+    """64-bit SimHash signature per doc.
+
+    SQL-exact since the token hash moved to FNV-1a (stages/dedup.py
+    ``fnv1a64`` — reproducible in DuckDB HUGEINT lambdas; ASCII parity
+    domain, see ``fnv1a64`` docstring)."""
     from mapchete_xarray_ray.stages.dedup import simhash_stage
 
     def sig_only(batch: pa.Table) -> pa.Table:
@@ -731,8 +814,10 @@ def q_simhash_neardup(sf_dir: str):
     (pigeonhole-complete for <=3) -> bucketed pair dedup -> exact
     Hamming verify with signatures attached by doc-bucket co-group
     (the same distributed machinery as the MinHash path — no
-    corpus-sized signature broadcast). Rows-only driver check; the
-    blocking-vs-brute-force equivalence is proven in tests/test_dedup.py.
+    corpus-sized signature broadcast). SQL-exact: blocking is
+    pigeonhole-complete for Hamming <= 3 (proven in
+    tests/test_dedup.py), so the brute-force self-join twin
+    ``SQL_SIMHASH_NEARDUP`` sees identical pairs.
     """
     from mapchete_xarray_ray.stages.dedup import (
         attach_pair_values,
@@ -2812,11 +2897,11 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, _langid_sql()),
-    "fingerprint": (q_fingerprint, None),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "minhash_neardup": (q_minhash_neardup, None),
     "dedup_clusters": (q_dedup_clusters, None),
-    "simhash": (q_simhash, None),
-    "simhash_neardup": (q_simhash_neardup, None),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),

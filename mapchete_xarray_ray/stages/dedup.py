@@ -152,12 +152,49 @@ def candidate_pairs_bucketed(group: pa.Table, key_cols: tuple[str, str],
 
 # --- SimHash -------------------------------------------------------------
 
+FNV_BASIS = np.uint64(0xCBF29CE484222325)
+FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a64(tokens) -> np.ndarray:
+    """FNV-1a (64-bit) over each token's utf-8 bytes, vectorized by
+    byte position over a padded matrix — one masked numpy op per byte
+    position, no per-token python hashing.
+
+    Chosen for the SimHash token hash because it is reproducible in
+    ANSI SQL (DuckDB HUGEINT ``list_reduce`` over codepoints — see
+    ``SQL_SIMHASH`` in pipelines/queries.py), which puts the SimHash
+    family under the driver's exact hash check. Parity domain: the SQL
+    twin reads codepoints via ``ascii(substr(...))``, which equals the
+    utf-8 byte sequence for ASCII text (the synthetic corpus is
+    all-ASCII; non-ASCII text still hashes deterministically here, only
+    the SQL twin would diverge)."""
+    n = len(tokens)
+    out = np.full(n, FNV_BASIS, dtype=np.uint64)
+    if n == 0:
+        return out
+    bs = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    maxlen = int(lens.max())
+    if maxlen == 0:
+        return out
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    mask = np.arange(maxlen)[None, :] < lens[:, None]
+    buf[mask] = flat  # row-major True order == concatenation order
+    for p in range(maxlen):
+        m = lens > p
+        out[m] = (out[m] ^ buf[m, p].astype(np.uint64)) * FNV_PRIME
+    return out
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (unweighted)."""
+    """64-bit SimHash over whitespace tokens (unweighted), token hash
+    = :func:`fnv1a64` (SQL-reproducible; see SQL_SIMHASH)."""
     toks = text.split()
     if not toks:
         return 0
-    h = stable_hash64(np.array(toks, dtype=object))
+    h = fnv1a64(toks)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
     # votes must be SIGNED: uint64 arithmetic would wrap for score < 0
     score = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)  # (+1 / -1 votes)
@@ -181,7 +218,7 @@ def batch_simhash64(texts: list[str]) -> np.ndarray:
             n_toks[i] = len(w)
         toks.extend(w)
         offsets[i + 1] = len(toks)
-    h = stable_hash64(np.array(toks, dtype=object))
+    h = fnv1a64(toks)
     starts = offsets[:-1]
     sigs = np.zeros(len(texts), dtype=np.uint64)
     for b in range(64):
