@@ -876,6 +876,129 @@ def q_simhash_neardup(sf_dir: str):
                                   "hamming": pa.int64()})
 
 
+SQL_NGRAM_JACCARD = r"""
+WITH g AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(words) >= 3
+               THEN list_transform(range(1, len(words) - 1),
+                                   i -> array_to_string(words[i:i+2], ' '))
+               ELSE [coalesce(array_to_string(words, ' '), '')] END) AS grams
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                             w -> w <> '') AS words
+          FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       (len(list_intersect(a.grams, b.grams))::DOUBLE
+        / (len(a.grams) + len(b.grams)
+           - len(list_intersect(a.grams, b.grams)))) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE 2 * len(list_intersect(a.grams, b.grams))
+      >= len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
+"""
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs (word 3-grams, tau=0.5).
+
+    Unlike the MinHash path this finds every qualifying pair, not an
+    LSH approximation — candidate generation is AllPairs/PPJoin prefix
+    filtering in document-frequency order (stages/dedup.py): explode
+    docs to distinct (doc_id, gram_hash) rows; one gram-bucketed
+    groupby attaches each gram's df (the bucket holds all its
+    postings — no separate DF pass); one doc-bucketed groupby selects
+    each doc's first ``n - ceil(tau*n) + 1`` grams by ascending
+    (df, hash) — candidate-complete for Jaccard >= tau while indexing
+    rare grams first; one gram-bucketed groupby expands prefix posting
+    lists to candidate pairs with the PPJoin length + positional
+    filters applied at emission. Then the shared distributed machinery:
+    bucketed pair dedup -> doc-bucket co-group attach of each doc's
+    sorted distinct gram-hash array (~8 B/gram, not the text) ->
+    vectorized exact set-Jaccard verify. Shuffled bytes are O(gram
+    postings + candidate pairs); nothing corpus-scale touches the
+    driver. SQL-exact vs the brute-force O(N^2) self-join twin (integer
+    cross-compare ``2*inter >= union`` on both sides — no float
+    threshold edge; the twin intersects gram STRINGS, the engine their
+    64-bit hashes — identical up to 2^-64-odds hash collisions)."""
+    from mapchete_xarray_ray.stages.dedup import (
+        attach_pair_values,
+        dedup_pairs_ds,
+        doc_gram_stage,
+        gram_array_fn,
+        gram_df_attach,
+        ngram_prefix_select,
+        paired_values,
+        ppjoin_pairs_bucketed,
+        unpack_pids,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def grams_with_gbucket(batch: pa.Table) -> pa.Table:
+        out = doc_gram_stage(batch)
+        b = out.column("gram_hash").to_numpy() % 64
+        return out.append_column("gb", pa.array(b.astype(np.int64)))
+
+    dg = _regroup(docs.map_batches(grams_with_gbucket,
+                                   batch_format="pyarrow"))
+    with_df = dg.groupby("gb").map_groups(gram_df_attach,
+                                          batch_format="pyarrow")
+    dbucket = _mod_bucket("doc_id", "db", empty={
+        "doc_id": pa.int64(), "gram_hash": pa.int64(), "df": pa.int64()})
+    prefix = (_regroup(with_df.map_batches(dbucket, batch_format="pyarrow"))
+              .groupby("db")
+              .map_groups(ngram_prefix_select, batch_format="pyarrow"))
+    gbucket2 = _mod_bucket("gram_hash", "gb", empty={
+        "doc_id": pa.int64(), "gram_hash": pa.int64(),
+        "n": pa.int64(), "rank": pa.int64()})
+    cands = (_regroup(prefix.map_batches(gbucket2, batch_format="pyarrow"))
+             .groupby("gb")
+             .map_groups(ppjoin_pairs_bucketed, batch_format="pyarrow"))
+
+    pids = dedup_pairs_ds(cands).materialize()
+    grams_t = pa.list_(pa.int64())
+    paired = attach_pair_values(pids, docs, "grams", grams_t,
+                                value_fn=gram_array_fn)
+    vbucket = _mod_bucket("pid", "vb", empty={
+        "pid": pa.int64(), "side": pa.int64(), "grams": grams_t})
+
+    def score(group: pa.Table) -> pa.Table:
+        pu, va, vb = paired_values(group, "grams")
+        if isinstance(va, pa.ChunkedArray):
+            va = va.combine_chunks()
+        if isinstance(vb, pa.ChunkedArray):
+            vb = vb.combine_chunks()
+        fa, fb = va.flatten().to_numpy(), vb.flatten().to_numpy()
+        oa = np.asarray(va.offsets) - (np.asarray(va.offsets)[0])
+        ob = np.asarray(vb.offsets) - (np.asarray(vb.offsets)[0])
+        n = len(pu)
+        inter = np.empty(n, dtype=np.int64)
+        union = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            A = fa[oa[i]:oa[i + 1]]
+            B = fb[ob[i]:ob[i + 1]]
+            # both sorted unique: count A members present in B
+            pos = np.searchsorted(B, A)
+            valid = pos < len(B)
+            gi = int((B[pos[valid]] == A[valid]).sum())
+            inter[i] = gi
+            union[i] = len(A) + len(B) - gi
+        keep = 2 * inter >= union
+        ia, ib = unpack_pids(pu[keep])
+        return pa.table({
+            "id_a": pa.array(ia, pa.int64()),
+            "id_b": pa.array(ib, pa.int64()),
+            "jaccard": pa.array(inter[keep] / union[keep], pa.float64()),
+        })
+
+    out = (_regroup(paired.map_batches(vbucket, batch_format="pyarrow"),
+                    0.5)
+           .groupby("vb")
+           .map_groups(score, batch_format="pyarrow"))
+    return _schema_finalize(out, {"id_a": pa.int64(), "id_b": pa.int64(),
+                                  "jaccard": pa.float64()})
+
+
 def q_stratified_sample(sf_dir: str):
     """Stratified deterministic sample: exactly k=10 docs PER LANGUAGE,
     chosen by hash order (ties by doc_id) — per-batch partial top-k per
@@ -2902,6 +3025,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_clusters": (q_dedup_clusters, None),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),

@@ -233,3 +233,110 @@ def test_connected_components_long_chain_converges():
     out = connected_components(pa.table({"id_a": pa.array(a), "id_b": pa.array(b)}))
     assert set(out.column("cluster_id").to_pylist()) == {0}
     assert out.num_rows == n
+
+
+# --- n-gram Jaccard (PPJoin) ---------------------------------------------
+
+
+def _ngram_oracle(tbl, tau=0.5):
+    """Brute-force exact word-3-gram Jaccard over gram STRINGS."""
+    from mapchete_xarray_ray.stages.dedup import ngram_grams
+
+    ids = tbl.column("doc_id").to_pylist()
+    sets = [ngram_grams(t) for t in tbl.column("text").to_pylist()]
+    out = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i]) + len(sets[j]) - inter
+            if 2 * inter >= union:
+                out[(min(ids[i], ids[j]), max(ids[i], ids[j]))] = inter / union
+    return out
+
+
+def _ngram_corpus():
+    """Planted near-dups plus short/empty edge docs."""
+    tbl = _neardup_corpus()
+    extra = pa.table({
+        "doc_id": pa.array([300, 301, 302, 303], pa.int64()),
+        "text": pa.array(["one two", "one two", "", "solo"], pa.string()),
+    })
+    return pa.concat_tables([tbl, extra])
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(tmp_path):
+    """The full distributed PPJoin pipeline finds EVERY pair with
+    J >= 0.5 and the exact Jaccard value — including <3-word docs
+    (whole text as one gram) and the empty doc."""
+    import pyarrow.parquet as pq
+
+    from mapchete_xarray_ray.pipelines.queries import REGISTRY
+
+    tbl = _ngram_corpus()
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = REGISTRY["ngram_jaccard"][0](str(tmp_path))
+    want = _ngram_oracle(tbl)
+    found = {
+        (a, b): j
+        for a, b, j in zip(got.column("id_a").to_pylist(),
+                           got.column("id_b").to_pylist(),
+                           got.column("jaccard").to_pylist())
+    }
+    assert set(found) == set(want)
+    for k, v in want.items():
+        assert abs(found[k] - v) < 1e-12
+    # the planted near-dups and both short-doc pairs are in there
+    for pair in [(0, 100), (5, 101), (10, 102), (15, 103), (3, 200),
+                 (300, 301)]:
+        assert pair in found
+    assert found[(3, 200)] == 1.0 and found[(300, 301)] == 1.0
+
+
+def test_ngram_prefix_completeness():
+    """Property: after df-ordered prefix selection, every qualifying
+    pair (J >= tau) still shares at least one gram in BOTH prefixes —
+    the AllPairs/PPJoin candidate-completeness invariant."""
+    from mapchete_xarray_ray.stages.dedup import (
+        doc_gram_stage,
+        gram_df_attach,
+        ngram_prefix_select,
+    )
+
+    tbl = _ngram_corpus()
+    exploded = doc_gram_stage(tbl)
+    with_df = gram_df_attach(exploded)  # single bucket: all postings
+    for tau in (0.5, 0.8):
+        prefix = ngram_prefix_select(with_df, tau=tau)
+        pref = {}
+        for d, g in zip(prefix.column("doc_id").to_pylist(),
+                        prefix.column("gram_hash").to_pylist()):
+            pref.setdefault(d, set()).add(g)
+        from mapchete_xarray_ray.stages.dedup import ngram_grams
+
+        ids = tbl.column("doc_id").to_pylist()
+        sets = [ngram_grams(t) for t in tbl.column("text").to_pylist()]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i]) + len(sets[j]) - inter
+                if union and inter / union >= tau:
+                    assert pref[ids[i]] & pref[ids[j]], (ids[i], ids[j])
+
+
+def test_ppjoin_filters_never_drop_qualifying_pairs():
+    """The length + positional filters in ppjoin_pairs_bucketed keep
+    every qualifying pair (they only prune impossible ones)."""
+    from mapchete_xarray_ray.stages.dedup import (
+        doc_gram_stage,
+        gram_df_attach,
+        ngram_prefix_select,
+        ppjoin_pairs_bucketed,
+    )
+
+    tbl = _ngram_corpus()
+    prefix = ngram_prefix_select(gram_df_attach(doc_gram_stage(tbl)),
+                                 tau=0.5)
+    cands = ppjoin_pairs_bucketed(prefix, tau=0.5)
+    got = set(zip(cands.column("id_a").to_pylist(),
+                  cands.column("id_b").to_pylist()))
+    assert set(_ngram_oracle(tbl, 0.5)) <= got
