@@ -101,7 +101,21 @@ def output_cleaned(data, spec: JobSpec) -> np.ndarray:
     ``_CRS``, ``attrs``) are stripped exactly like the reference strips
     Dataset/DataArray attrs (_output.py:467-481); the remaining keys
     must equal the archive's band names and are stacked band-first.
+
+    True xarray returns are accepted by DUCK TYPE (xarray isn't in
+    this stack, so there is no import to gate on): any object with a
+    ``.data_vars`` mapping (``xr.Dataset``) routes through the dict
+    path with per-variable ``.values`` extracted, and any non-ndarray
+    with ``.dims`` + ``.values`` (``xr.DataArray``) routes through the
+    ndarray path — so a process written against the reference driver
+    (_output.py:455-492) returns its Dataset/DataArray unchanged.
     """
+    if hasattr(data, "data_vars"):  # xr.Dataset (or any lookalike)
+        data = {str(k): np.asarray(getattr(v, "values", v))
+                for k, v in dict(data.data_vars).items()}
+    elif (not isinstance(data, (np.ndarray, dict))
+          and hasattr(data, "dims") and hasattr(data, "values")):
+        data = np.asarray(data.values)  # xr.DataArray
     if isinstance(data, dict):
         bands = {k: v for k, v in data.items() if k not in _RESERVED_ATTRS}
         if set(bands) != set(spec.band_names):

@@ -84,8 +84,10 @@ def _regroup(ds, per_cpu: float = 0.25):
     return ds.repartition(nblocks_for_cluster(per_cpu))
 
 
-def _store_compressor() -> int:
-    """zlib level for archives created by the roundtrip queries.
+def _store_compressor() -> str:
+    """Compression spec for archives created by the roundtrip queries
+    (any :func:`mapchete_xarray_ray.spec.parse_compression` form, e.g.
+    ``0`` raw, ``6`` zlib-6, ``bz2:9``, ``lzma``).
 
     ``GRAFT_STORE_COMPRESSOR=0`` writes raw chunks. Values are identical
     either way (the driver hash doesn't see bytes on disk); readers
@@ -95,7 +97,7 @@ def _store_compressor() -> int:
     move more bytes and measure no faster)."""
     import os
 
-    return int(os.environ.get("GRAFT_STORE_COMPRESSOR", "1"))
+    return os.environ.get("GRAFT_STORE_COMPRESSOR", "1")
 
 
 def collect_table(res):

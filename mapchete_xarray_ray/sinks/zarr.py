@@ -34,7 +34,9 @@ tests the same contract against S3, tests/conftest.py:11-20).
 
 from __future__ import annotations
 
+import bz2
 import json
+import lzma
 import math
 import os
 import tempfile
@@ -42,7 +44,7 @@ import zlib
 
 import numpy as np
 
-from mapchete_xarray_ray.spec import JobSpec
+from mapchete_xarray_ray.spec import JobSpec, parse_compression
 
 WKT_4326 = (
     'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,'
@@ -143,6 +145,38 @@ def _put_json(path: str, obj) -> None:
     _put_bytes(path, json.dumps(obj, indent=1, sort_keys=True).encode())
 
 
+def _compressor_config(compressor: tuple[str, int] | None):
+    """Normalized (codec, level) -> the numcodecs config stored in
+    ``.zarray`` — the exact field layout numcodecs itself writes, so
+    any standard zarr v2 reader decodes these archives."""
+    if compressor is None:
+        return None
+    codec, level = compressor
+    if codec == "lzma":
+        return {"id": "lzma", "format": lzma.FORMAT_XZ, "check": -1,
+                "preset": level, "filters": None}
+    return {"id": codec, "level": level}
+
+
+def _parse_stored_compressor(cfg) -> tuple[str, int] | None:
+    """The inverse: an archive's ``.zarray`` compressor config -> the
+    normalized (codec, level). Unknown codecs (e.g. a blosc-written
+    archive) fail loud rather than mis-decode."""
+    if cfg is None:
+        return None
+    cid = cfg.get("id")
+    if cid in ("zlib", "bz2"):
+        return (cid, int(cfg.get("level", 1)))
+    if cid == "lzma":
+        if cfg.get("format", lzma.FORMAT_XZ) != lzma.FORMAT_XZ or cfg.get("filters"):
+            raise ValueError(
+                f"unsupported lzma chunk-compressor config: {cfg!r}")
+        return ("lzma", int(cfg.get("preset") or 1))
+    raise ValueError(
+        f"archive uses unsupported chunk compressor {cid!r} "
+        f"(supported: zlib/bz2/lzma/raw)")
+
+
 def _zarray_meta(shape, chunks, dtype, fill_value, compressor):
     dt = np.dtype(dtype)
     return {
@@ -153,32 +187,49 @@ def _zarray_meta(shape, chunks, dtype, fill_value, compressor):
         "fill_value": fill_value,
         "order": "C",
         "filters": None,
-        "compressor": ({"id": "zlib", "level": compressor} if compressor else None),
+        "compressor": _compressor_config(compressor),
     }
 
 
-def _encode_chunk(arr: np.ndarray, compressor: int) -> bytes:
+def _encode_chunk(arr: np.ndarray, compressor: tuple[str, int] | None) -> bytes:
     raw = np.ascontiguousarray(arr).tobytes()
-    return zlib.compress(raw, compressor) if compressor else raw
+    if compressor is None:
+        return raw
+    codec, level = compressor
+    if codec == "zlib":
+        return zlib.compress(raw, level)
+    if codec == "bz2":
+        return bz2.compress(raw, level)
+    return lzma.compress(raw, format=lzma.FORMAT_XZ, preset=level)
 
 
-def _decode_chunk(buf: bytes, shape, dtype, compressor: int) -> np.ndarray:
-    if compressor:
-        buf = zlib.decompress(buf)
+def _decode_chunk(buf: bytes, shape, dtype,
+                  compressor: tuple[str, int] | None) -> np.ndarray:
+    if compressor is not None:
+        codec = compressor[0]
+        if codec == "zlib":
+            buf = zlib.decompress(buf)
+        elif codec == "bz2":
+            buf = bz2.decompress(buf)
+        else:
+            buf = lzma.decompress(buf, format=lzma.FORMAT_XZ)
     return np.frombuffer(buf, dtype=dtype).reshape(shape)
 
 
 class ZarrTileStore:
     """Open/create a zarr-layout tile archive for a :class:`JobSpec`."""
 
-    def __init__(self, spec: JobSpec, compressor: int | None = None):
+    def __init__(self, spec: JobSpec,
+                 compressor: int | str | None = None):
         self.spec = spec
         self.path = str(spec.path)
         # write-time encoding for NEW archives: explicit arg > the
         # spec's compression field; an EXISTING archive's on-disk
-        # .zarray always wins (synced before any read/write)
-        self.compressor = (compressor if compressor is not None
-                           else getattr(spec, "compression", 1))
+        # .zarray always wins (synced before any read/write). Held
+        # normalized as (codec, level) | None — see parse_compression.
+        self.compressor = parse_compression(
+            compressor if compressor is not None
+            else getattr(spec, "compression", 1))
         b = spec.snapped_bounds
         self.height, self.width = spec.shape
         self.chunk_px = spec.chunk_px
@@ -213,8 +264,8 @@ class ZarrTileStore:
             if (self.has_time and chunks and len(chunks) == 3
                     and int(chunks[0]) > 0):
                 self.time_chunk = int(chunks[0])
-            comp = meta.get("compressor")
-            self.compressor = int(comp.get("level", 1)) if comp else 0
+            self.compressor = _parse_stored_compressor(
+                meta.get("compressor"))
 
     # --- S1: initialize --------------------------------------------------
     def initialize(self) -> None:

@@ -31,6 +31,53 @@ class JobSpecError(ValueError):
     """Equivalent of MapcheteConfigError for spec validation failures."""
 
 
+_COMPRESSION_CODECS = ("zlib", "bz2", "lzma")
+
+
+def parse_compression(value) -> tuple[str, int] | None:
+    """Normalize a chunk-compression spec to ``(codec, level)`` or
+    ``None`` (raw).
+
+    Accepts an int 0-9 (0 = raw, 1-9 = zlib level — the historical
+    surface) or a string ``"raw"`` / ``"<codec>[:level]"`` with codec
+    one of zlib / bz2 / lzma (the stdlib codecs every numcodecs-based
+    zarr reader decodes; the reference instead sweeps blosc variants in
+    tests/compression_tests.py:27-56 — blosc isn't available here).
+    Level defaults to 1 (speed-leaning, matching the zlib default);
+    raises :class:`JobSpecError` on anything else so a typo'd codec
+    fails loud at spec time, not at first chunk write."""
+    if isinstance(value, bool):
+        raise JobSpecError(f"invalid compression spec: {value!r}")
+    if isinstance(value, str):
+        v = value.strip().lower()
+        if v.lstrip("-").isdigit():
+            value = int(v)
+        elif v in ("raw", "none", ""):
+            return None
+        else:
+            codec, _, lvl = v.partition(":")
+            if codec not in _COMPRESSION_CODECS:
+                raise JobSpecError(
+                    f"compression codec must be one of "
+                    f"{'/'.join(_COMPRESSION_CODECS)} or 'raw', got {value!r}")
+            try:
+                level = int(lvl) if lvl else 1
+            except ValueError:
+                raise JobSpecError(
+                    f"invalid compression level in {value!r}") from None
+            if not 1 <= level <= 9:
+                raise JobSpecError(
+                    f"compression level must be 1-9, got {value!r}")
+            return (codec, level)
+    if isinstance(value, int):
+        if not 0 <= value <= 9:
+            raise JobSpecError(
+                f"compression must be 0 (raw) or a zlib level 1-9, "
+                f"got {value!r}")
+        return ("zlib", value) if value else None
+    raise JobSpecError(f"invalid compression spec: {value!r}")
+
+
 def _parse_cron_field(field: str, lo: int, hi: int, pattern: str) -> set[int]:
     """One cron field -> the set of matching values. Supports ``*``,
     ints, ranges ``a-b``, lists ``a,b,c`` and steps ``*/n`` / ``a-b/n``
@@ -117,12 +164,14 @@ class JobSpec:
     time_axis_name: str = "time"
     area_or_point: str = "Area"
     cell_zoom: int | None = None  # fine zoom for the Morton cell index
-    # chunk compression: 0 = raw, 1-9 = zlib level (the reference sweeps
-    # blosc codecs, tests/compression_tests.py:27-56; blosc isn't
-    # available here, so the configurable surface is zlib breadth +
-    # raw). A storage detail: recorded per-band in .zarray, NOT in the
-    # job metadata compat check — readers decode by archive metadata.
-    compression: int = 1
+    # chunk compression: 0/"raw", int 1-9 (zlib level), or
+    # "<codec>[:level]" with codec zlib/bz2/lzma — see
+    # :func:`parse_compression` (the reference sweeps blosc codecs,
+    # tests/compression_tests.py:27-56; blosc isn't available here, so
+    # the breadth is the stdlib codecs every numcodecs reader decodes).
+    # A storage detail: recorded per-band in .zarray, NOT in the job
+    # metadata compat check — readers decode by archive metadata.
+    compression: int | str = 1
 
     # derived (filled in __post_init__)
     pyramid: TilePyramid = field(init=False, repr=False)
@@ -133,12 +182,7 @@ class JobSpec:
     def __post_init__(self):
         if self.pixelbuffer > 0:
             raise JobSpecError("a pixelbuffer larger than 0 is not allowed with zarr")
-        if not (isinstance(self.compression, int)
-                and not isinstance(self.compression, bool)
-                and 0 <= self.compression <= 9):
-            raise JobSpecError(
-                f"compression must be 0 (raw) or a zlib level 1-9, "
-                f"got {self.compression!r}")
+        parse_compression(self.compression)  # fail loud on a bad spec
         if not str(self.path).endswith(".zarr"):
             raise JobSpecError("output path must end with .zarr")
         if isinstance(self.zoom, (list, tuple)):

@@ -150,3 +150,53 @@ def test_dict_of_bands_pipeline_and_index_hook(tmp_path):
     assert sa.existing_tiles() == sb.existing_tiles()
     for r, c in sa.existing_tiles():
         np.testing.assert_array_equal(sa.read_tile(r, c), sb.read_tile(r, c))
+
+
+class _FakeDataArray:
+    """Duck-typed stand-in for xr.DataArray (xarray isn't installed;
+    real DataArrays expose the same .dims/.values surface)."""
+
+    def __init__(self, values, dims):
+        self.values = np.asarray(values)
+        self.dims = dims
+        self.attrs = {"some": "metadata"}
+
+
+class _FakeDataset:
+    """Duck-typed stand-in for xr.Dataset: .data_vars mapping."""
+
+    def __init__(self, data_vars):
+        self.data_vars = data_vars
+        self.attrs = {"mapchete": "stale", "_FillValue": 0}
+
+
+def test_xarray_dataset_return_duck_typed(tmp_path):
+    """A process returning an xr.Dataset lookalike (reference
+    _output.py:455-492) normalizes exactly like the equivalent
+    dict-of-bands return; stale attrs are ignored."""
+    spec = default_spec(str(tmp_path / "x.zarr"),
+                        band_names=["count", "count_en"])
+    a = np.arange(spec.chunk_px * spec.chunk_px, dtype=np.uint16).reshape(
+        spec.chunk_px, spec.chunk_px) % 7
+    b = (a * 3) % 11
+    ds = _FakeDataset({"count": _FakeDataArray(a, ("Y", "X")),
+                       "count_en": _FakeDataArray(b, ("Y", "X"))})
+    got = output_cleaned(ds, spec)
+    want = output_cleaned({"count": a, "count_en": b}, spec)
+    np.testing.assert_array_equal(got, want)
+    # band-name mismatch still fails loud through the dict path
+    bad = _FakeDataset({"wrong": _FakeDataArray(a, ("Y", "X"))})
+    with pytest.raises(ValueError, match="do not match archive"):
+        output_cleaned(bad, spec)
+
+
+def test_xarray_dataarray_return_duck_typed(tmp_path):
+    """An xr.DataArray lookalike routes through the ndarray path:
+    (h, w) promotes to one band, (bands, h, w) passes through."""
+    spec = default_spec(str(tmp_path / "y.zarr"), band_names=["density"])
+    a = (np.arange(spec.chunk_px * spec.chunk_px, dtype=np.uint16)
+         .reshape(spec.chunk_px, spec.chunk_px) % 13)
+    got = output_cleaned(_FakeDataArray(a, ("Y", "X")), spec)
+    np.testing.assert_array_equal(got, output_cleaned(a, spec))
+    got3 = output_cleaned(_FakeDataArray(a[None], ("band", "Y", "X")), spec)
+    np.testing.assert_array_equal(got3, output_cleaned(a[None], spec))

@@ -304,33 +304,67 @@ def test_legacy_time_chunk_layout_decodes(tmp_path):
 
 def test_compression_configurable_and_decoded_from_metadata(tmp_path):
     """Compression breadth (reference tests/compression_tests.py:27-56
-    sweeps blosc codecs; here the surface is zlib 0-9): the spec's
-    ``compression`` field drives the per-band .zarray, raw (0) chunks
-    are stored uncompressed, and a READER with a different spec setting
-    still decodes correctly because the on-disk metadata wins."""
+    sweeps blosc codecs; here the surface is the stdlib codecs every
+    numcodecs reader decodes — raw / zlib / bz2 / lzma): the spec's
+    ``compression`` field drives the per-band .zarray with the exact
+    numcodecs config layout, chunk bytes decode with the stdlib
+    counterpart, and a READER with a different spec setting still
+    decodes correctly because the on-disk metadata wins."""
+    import bz2 as _bz2
+    import lzma as _lzma
+
     data = (np.arange(3 * 256 * 256, dtype=np.uint8)
             .reshape(3, 256, 256) % 251)
-    for level, codec in ((0, None), (9, {"id": "zlib", "level": 9})):
-        spec = make_spec(tmp_path / f"c{level}", compression=level)
-        os.makedirs(tmp_path / f"c{level}")
+    cases = (
+        (0, None, None, None),
+        (9, ("zlib", 9), {"id": "zlib", "level": 9},
+         zlib.decompress),
+        ("bz2:5", ("bz2", 5), {"id": "bz2", "level": 5},
+         _bz2.decompress),
+        ("lzma", ("lzma", 1),
+         {"id": "lzma", "format": _lzma.FORMAT_XZ, "check": -1,
+          "preset": 1, "filters": None},
+         _lzma.decompress),
+    )
+    for i, (setting, norm, codec, decomp) in enumerate(cases):
+        spec = make_spec(tmp_path / f"c{i}", compression=setting)
+        os.makedirs(tmp_path / f"c{i}")
         store = ZarrTileStore(spec)
-        assert store.compressor == level
+        assert store.compressor == norm
         store.initialize()
         za = json.load(open(os.path.join(spec.path, "Band1", ".zarray")))
         assert za["compressor"] == codec
         store.write_tile(0, 0, data)
         raw = open(os.path.join(spec.path, "Band1", "0.0"), "rb").read()
-        if level == 0:
+        if decomp is None:
             assert raw == data[0].tobytes()
         else:
-            assert zlib.decompress(raw) == data[0].tobytes()
+            assert decomp(raw) == data[0].tobytes()
         # reader configured the OTHER way decodes by archive metadata
-        other = make_spec(tmp_path / f"c{level}", compression=9 - level)
+        other = make_spec(tmp_path / f"c{i}",
+                          compression="bz2:1" if norm else 0)
         back = ZarrTileStore(other).read_tile(0, 0)
         np.testing.assert_array_equal(back, data)
 
 
 def test_compression_validation():
-    with pytest.raises(JobSpecError, match="compression"):
-        JobSpec(path="/tmp/x.zarr", zoom=5, bounds=(-180.0, -90.0, 180.0, 90.0),
-                bands=1, compression=10)
+    for bad in (10, -1, "snappy", "zlib:17", "bz2:x", True):
+        with pytest.raises(JobSpecError, match="compression|invalid"):
+            JobSpec(path="/tmp/x.zarr", zoom=5,
+                    bounds=(-180.0, -90.0, 180.0, 90.0),
+                    bands=1, compression=bad)
+
+
+def test_unknown_stored_compressor_fails_loud(tmp_path):
+    """An archive written with a codec this engine can't decode (e.g.
+    blosc from a reference-written store) raises at metadata sync
+    instead of mis-decoding chunk bytes."""
+    spec = make_spec(tmp_path, compression=1)
+    store = ZarrTileStore(spec)
+    store.initialize()
+    zp = os.path.join(spec.path, "Band1", ".zarray")
+    za = json.load(open(zp))
+    za["compressor"] = {"id": "blosc", "cname": "zstd", "clevel": 3}
+    json.dump(za, open(zp, "w"))
+    with pytest.raises(ValueError, match="unsupported chunk compressor"):
+        ZarrTileStore(make_spec(tmp_path)).read_tile(0, 0)
