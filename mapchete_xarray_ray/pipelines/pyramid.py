@@ -104,7 +104,7 @@ class PyramidReducer:
 
 def run_pyramid_step(in_path: str, out_path: str, how: str = "sum",
                      mode: str = "continue", concurrency: int | None = None,
-                     compressor: int = 1) -> ray.data.Dataset:
+                     compressor: int | str | None = 1) -> ray.data.Dataset:
     in_spec = spec_from_archive(in_path)
     out_spec = JobSpec(
         path=out_path,

@@ -747,7 +747,7 @@ def q_dedup_clusters(sf_dir: str):
 _SIMHASH_SIG_CTES = r"""toks AS (
     SELECT doc_id, tok
     FROM (SELECT doc_id,
-                 unnest(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+')) AS tok
+                 unnest(regexp_split_to_array(text, '[ \t\n\x0b\f\r\x1c-\x1f]+')) AS tok
           FROM documents)
     WHERE tok <> ''
 ), th AS (
@@ -886,7 +886,7 @@ WITH g AS (
                                    i -> array_to_string(words[i:i+2], ' '))
                ELSE [coalesce(array_to_string(words, ' '), '')] END) AS grams
     FROM (SELECT doc_id,
-                 list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                 list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r\x1c-\x1f]+'),
                              w -> w <> '') AS words
           FROM documents)
 )
@@ -1955,9 +1955,13 @@ def q_urgent_revenue_bloom(sf_dir: str):
         k = batch.filter(keep).column("o_orderkey").cast(pa.int64())
         return pa.table({"key": k})
 
+    # materialized: consumed twice (bloom build drains it at graph-build
+    # time, o_rows re-reads it in the union) — without this the orders
+    # scan + priority filter would execute twice
     urgent = (_read(f"{sf_dir}/orders.parquet",
                     columns=["o_orderkey", "o_orderpriority"])
-              .map_batches(o_urgent, batch_format="pyarrow"))
+              .map_batches(o_urgent, batch_format="pyarrow")
+              .materialize())
     # ~10 bits/key at sf0.1 scale; fixed so results are deterministic
     M_BITS = 1 << 21
     words_ref = ray.put(bloom_from_dataset(urgent, "key", M_BITS))

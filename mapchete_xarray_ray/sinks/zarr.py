@@ -171,7 +171,8 @@ def _parse_stored_compressor(cfg) -> tuple[str, int] | None:
         if cfg.get("format", lzma.FORMAT_XZ) != lzma.FORMAT_XZ or cfg.get("filters"):
             raise ValueError(
                 f"unsupported lzma chunk-compressor config: {cfg!r}")
-        return ("lzma", int(cfg.get("preset") or 1))
+        preset = cfg.get("preset")
+        return ("lzma", 1 if preset is None else int(preset))
     raise ValueError(
         f"archive uses unsupported chunk compressor {cid!r} "
         f"(supported: zlib/bz2/lzma/raw)")

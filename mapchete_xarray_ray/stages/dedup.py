@@ -334,10 +334,28 @@ FNV_BASIS = np.uint64(0xCBF29CE484222325)
 FNV_PRIME = np.uint64(0x100000001B3)
 
 
+def _fnv1a64_scalar(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for b in data:
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+# tokens longer than this hash via the per-token scalar loop: the
+# vectorized path's python-level loop runs once per byte POSITION, so
+# a single pathological whitespace-free token (minified JS, base64
+# blob) must not set the trip count for the whole batch
+_FNV_LONG_TOKEN = 1024
+
+
 def fnv1a64(tokens) -> np.ndarray:
     """FNV-1a (64-bit) over each token's utf-8 bytes, vectorized by
-    byte position over a padded matrix — one masked numpy op per byte
-    position, no per-token python hashing.
+    byte position over the FLAT concatenated bytes: tokens are ordered
+    longest-first so the active set at byte position p is a prefix —
+    one gather + one fused xor-mul per position, O(total bytes) memory
+    (no padded matrix), O(total bytes) work. Tokens longer than
+    ``_FNV_LONG_TOKEN`` hash individually so one huge token can't
+    dominate the position loop.
 
     Chosen for the SimHash token hash because it is reproducible in
     ANSI SQL (DuckDB HUGEINT ``list_reduce`` over codepoints — see
@@ -356,13 +374,27 @@ def fnv1a64(tokens) -> np.ndarray:
     maxlen = int(lens.max())
     if maxlen == 0:
         return out
-    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    vlens = lens
+    if maxlen > _FNV_LONG_TOKEN:
+        vlens = lens.copy()
+        for i in np.flatnonzero(lens > _FNV_LONG_TOKEN):
+            out[i] = _fnv1a64_scalar(bs[i])
+            vlens[i] = 0  # done — exclude from the vectorized path
+        maxlen = int(vlens.max())
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(lens[:-1], out=starts[1:])
+    order = np.argsort(-vlens, kind="stable")
+    l_s, s_s, h_s = vlens[order], starts[order], out[order]
     flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
-    mask = np.arange(maxlen)[None, :] < lens[:, None]
-    buf[mask] = flat  # row-major True order == concatenation order
+    # k_p = how many tokens still have a byte at position p (prefix
+    # length in the descending-length order)
+    k_p = np.searchsorted(-l_s, -np.arange(1, maxlen + 1), side="right")
     for p in range(maxlen):
-        m = lens > p
-        out[m] = (out[m] ^ buf[m, p].astype(np.uint64)) * FNV_PRIME
+        k = k_p[p]
+        byte = flat[s_s[:k] + p].astype(np.uint64)
+        h_s[:k] = (h_s[:k] ^ byte) * FNV_PRIME
+    out[order] = h_s
     return out
 
 

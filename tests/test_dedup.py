@@ -340,3 +340,48 @@ def test_ppjoin_filters_never_drop_qualifying_pairs():
     got = set(zip(cands.column("id_a").to_pylist(),
                   cands.column("id_b").to_pylist()))
     assert set(_ngram_oracle(tbl, 0.5)) <= got
+
+
+def test_fnv1a64_matches_scalar_including_long_tokens():
+    """The flat-bytes vectorized FNV-1a equals the byte-sequential
+    definition for every token, including tokens past the long-token
+    cutoff (which take the per-token scalar path) — and a pathological
+    whitespace-free token must not blow up memory (no padded matrix)."""
+    import random
+
+    from mapchete_xarray_ray.stages.dedup import (
+        _FNV_LONG_TOKEN,
+        _fnv1a64_scalar,
+        fnv1a64,
+    )
+
+    random.seed(11)
+    toks = ["", "a", "hello world"[:5], "Z" * (_FNV_LONG_TOKEN + 7)]
+    toks += ["".join(chr(random.randint(32, 126))
+                     for _ in range(random.choice([0, 1, 4, 30, 200, 1500])))
+             for _ in range(300)]
+    got = fnv1a64(toks)
+    want = np.array([np.uint64(_fnv1a64_scalar(t.encode())) for t in toks])
+    assert (got == want).all()
+
+
+def test_sql_whitespace_class_matches_str_split():
+    """The SQL twins' whitespace class must split exactly like Python
+    ``str.split()`` on every ASCII input — including \\x1c-\\x1f, which
+    Python treats as whitespace (the parity domain the SimHash /
+    fingerprint / n-gram twins document)."""
+    import random
+
+    import duckdb
+
+    con = duckdb.connect()
+    random.seed(5)
+    cases = ["a\x1cb c", "\x1d\x1e\x1f", " lead\ttrail ", ""]
+    cases += ["".join(chr(random.randint(1, 127))
+                      for _ in range(random.randint(0, 40)))
+              for _ in range(200)]
+    for s in cases:
+        got = con.execute(
+            "SELECT list_filter(regexp_split_to_array(?, "
+            "'[ \t\n\x0b\f\r\x1c-\x1f]+'), w -> w <> '')", [s]).fetchone()[0]
+        assert got == s.split(), repr(s)

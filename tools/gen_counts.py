@@ -47,10 +47,11 @@ def main():
     sk = "/root/repo/.claude/skills/verify/SKILL.md"
     t = open(sk).read()
     t = re.sub(
-        r"As of round \d+: \d+ queries, \d+ with SQL twins, \d+ rows-only; "
+        r"As of round (\d+): \d+ queries, \d+ with SQL twins, \d+ rows-only; "
         r"full pytest\nsuite is \d+ tests",
-        f"As of round 3: {n_q} queries, {n_sql} with SQL twins, "
-        f"{n_rows_only} rows-only; full pytest\nsuite is {n_tests} tests",
+        lambda m: (f"As of round {m.group(1)}: {n_q} queries, {n_sql} with "
+                   f"SQL twins, {n_rows_only} rows-only; full pytest\n"
+                   f"suite is {n_tests} tests"),
         t)
     open(sk, "w").write(t)
     print(f"queries={n_q} sql_twins={n_sql} rows_only={n_rows_only} "
