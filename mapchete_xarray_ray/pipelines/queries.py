@@ -1099,6 +1099,58 @@ WHERE (doc_id * 2654435761) % 100 < 10
 """
 
 
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         ln(((doc_id * 2654435761) % 2147483647 + 1) / 2147483648.0)
+           / (n_chars + 1) AS k
+  FROM documents
+) ORDER BY k DESC, doc_id LIMIT 50
+"""
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample without replacement (the
+    Efraimidis-Spirakis A-ES scheme): k=50 docs with inclusion odds
+    proportional to weight = n_chars + 1 — the "sample long documents
+    more" knob a curation pipeline wants. Each doc gets an exact
+    hash-derived uniform u = ((id*2654435761) % (2^31-1) + 1) / 2^31
+    (integer arithmetic + a power-of-two division, bit-identical in
+    SQL), key = ln(u)/w, global top-k by key. Pure map + per-batch
+    top-(k+8) partials (np.argpartition on the fast numpy log), tiny
+    driver merge; the FINAL selection recomputes keys with ``math.log``
+    (libm == DuckDB ``ln`` bitwise, numpy's SIMD log is ±1 ulp — the
+    8-candidate overselection absorbs any partial-stage rank flip at
+    the batch boundary, and the exact final pick pins the twin)."""
+    import math
+
+    K, PAD = 50, 8
+
+    def a_es_key(d, w, log):
+        u = ((d * 2654435761) % 2147483647 + 1) / 2147483648.0
+        return log(u) / w
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        w = batch.column("n_chars").to_numpy(zero_copy_only=False) + 1
+        key = a_es_key(d, w, np.log)
+        if len(d) > K + PAD:
+            idx = np.argpartition(-key, K + PAD)[:K + PAD]
+            batch = batch.take(pa.array(np.sort(idx)))
+        return batch
+
+    cands = collect_table(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow"))
+    d = cands.column("doc_id").to_numpy(zero_copy_only=False)
+    w = cands.column("n_chars").to_numpy(zero_copy_only=False) + 1
+    key = np.array([math.log(v) for v in
+                    ((d * 2654435761) % 2147483647 + 1) / 2147483648.0])
+    key = key / w
+    order = np.lexsort((d, -key))[:K]
+    return cands.take(pa.array(np.sort(order)))
+
+
 # --- relational / windowed aggregates (engine breadth) -------------------
 
 
@@ -2864,6 +2916,167 @@ LIMIT 20
 """
 
 
+SQL_TFIDF_TOPK = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+')) AS term
+  FROM documents
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tok)
+SELECT doc_id, term, tfidf FROM (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / df.df) AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(n.n / df.df) DESC, tf.term) AS rn
+  FROM tf JOIN df USING (term) CROSS JOIN n
+) WHERE rn <= 3
+"""
+
+
+def _per_doc_topk(ids: np.ndarray, score: np.ndarray, terms: np.ndarray,
+                  k: int) -> np.ndarray:
+    """Indices of each doc's top-``k`` rows by (score desc, term asc)
+    — the ONE selection rule both tf-idf stages share, so the local
+    per-bucket trim and the global pick can never disagree on ties."""
+    order = np.lexsort((terms, -score, ids))
+    d_s = ids[order]
+    new = np.ones(len(d_s), dtype=bool)
+    new[1:] = d_s[1:] != d_s[:-1]
+    starts = np.flatnonzero(new)
+    seg = np.diff(np.append(starts, len(d_s)))
+    rank = np.arange(len(d_s)) - np.repeat(starts, seg)
+    return order[rank < k]
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Per-document top-3 terms by tf-idf — keyword extraction over the
+    corpus in ONE pass and two bucketed shuffles (the canonical
+    distributed tf-idf shape).
+
+    Stage 1 (map): tokenize (same trim + RE2 ``\\s+`` as
+    ``top_terms_df``), per-batch COMPLETE (doc_id, term, tf) rows (a
+    doc's text is one row, so its tf never spans batches), term-hash
+    bucketed; each batch also replicates one sentinel row (doc_id=-1,
+    tf=its doc count) into EVERY term bucket, so the global N reaches
+    each bucket with the data — no second corpus scan and no
+    driver-side count. Stage 2 (term buckets): df per term is a
+    segment count over the doc-distinct tf rows; score = tf * ln(N/df)
+    with ln taken by ``math.log`` over the DISTINCT df values — libm
+    matches DuckDB's ``ln`` bitwise where numpy's SIMD log differs by
+    1 ulp, which keeps the twin hash-exact. Stage 3 (doc buckets):
+    per-doc top-3 by (tfidf desc, term asc). Shuffled bytes are
+    O(postings); the driver holds only the final top-3-per-doc rows."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from mapchete_xarray_ray.functions.geocode import stable_hash64
+    from mapchete_xarray_ray.stages.text import trim_ws
+
+    K, NB = 3, 64
+    EMPTY_TF = {"doc_id": pa.int64(), "term": pa.string(),
+                "tf": pa.int64(), "tb": pa.int64()}
+    EMPTY_SC = {"doc_id": pa.int64(), "term": pa.string(),
+                "tfidf": pa.float64(), "db": pa.int64()}
+
+    def tf_stage(batch: pa.Table) -> pa.Table:
+        empty = pa.table({n: pa.array([], t) for n, t in EMPTY_TF.items()})
+        if "text" not in batch.column_names or batch.num_rows == 0:
+            return empty
+        trimmed = trim_ws(batch.column("text"))
+        keep = pc.not_equal(trimmed, "")
+        doc = batch.column("doc_id").filter(keep)
+        if len(doc) == 0:
+            return empty
+        toks = pc.split_pattern_regex(trimmed.filter(keep), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        docs_rep = doc.take(pa.array(np.repeat(
+            np.arange(len(toks)), np.diff(offs))))
+        tf = (pa.table({"doc_id": docs_rep, "term": flat,
+                        "tf": pa.array(np.ones(len(flat), dtype=np.int64))})
+              .group_by(["doc_id", "term"]).aggregate([("tf", "sum")])
+              .rename_columns(["doc_id", "term", "tf"]))
+        h = stable_hash64(tf.column("term").to_numpy(zero_copy_only=False)
+                          .astype(object)) % NB
+        out = tf.append_column("tb", pa.array(h.astype(np.int64)))
+        sent = pa.table({
+            "doc_id": pa.array(np.full(NB, -1, dtype=np.int64)),
+            "term": pa.array([""] * NB, pa.string()),
+            "tf": pa.array(np.full(NB, len(doc), dtype=np.int64)),
+            "tb": pa.array(np.arange(NB, dtype=np.int64)),
+        })
+        return pa.concat_tables([out, sent])
+
+    def score_stage(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sent = d < 0
+        n_docs = float(group.column("tf").to_numpy(
+            zero_copy_only=False)[sent].sum())
+        g = group.filter(pa.array(~sent))
+        if g.num_rows == 0:
+            return pa.table({n: pa.array([], t)
+                             for n, t in EMPTY_SC.items()})
+        terms = g.column("term").to_numpy(zero_copy_only=False)
+        tf = g.column("tf").to_numpy(zero_copy_only=False)
+        order = np.argsort(terms, kind="stable")
+        t_s = terms[order]
+        new = np.ones(len(t_s), dtype=bool)
+        new[1:] = t_s[1:] != t_s[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.diff(np.append(starts, len(t_s)))
+        df = np.empty(len(t_s), dtype=np.int64)
+        df[order] = np.repeat(seg, seg)
+        uniq = np.unique(df)
+        lnmap = np.array([math.log(n_docs / int(v)) for v in uniq])
+        score = tf.astype(np.float64) * lnmap[np.searchsorted(uniq, df)]
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        terms2 = g.column("term").to_numpy(zero_copy_only=False)
+        # LOCAL per-doc top-K before the doc shuffle: a doc's global
+        # top-K is a subset of the union of its per-bucket top-Ks, so
+        # the second exchange carries <= K rows per (doc, bucket)
+        # instead of every scored posting — at web scale (docs with
+        # thousands of distinct terms) this is the difference between
+        # shuffling postings twice and shuffling them once
+        keep = _per_doc_topk(ids, score, terms2, K)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "term": pa.array(terms2[keep], pa.string()),
+            "tfidf": pa.array(score[keep], pa.float64()),
+            "db": pa.array((ids[keep] % NB).astype(np.int64)),
+        })
+
+    def topk_stage(group: pa.Table) -> pa.Table:
+        if "doc_id" not in group.column_names or group.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tfidf": pa.array([], pa.float64())})
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        terms = group.column("term").to_numpy(zero_copy_only=False)
+        score = group.column("tfidf").to_numpy(zero_copy_only=False)
+        keep = _per_doc_topk(d, score, terms, K)
+        return pa.table({
+            "doc_id": pa.array(d[keep], pa.int64()),
+            "term": pa.array(terms[keep], pa.string()),
+            "tfidf": pa.array(score[keep], pa.float64()),
+        })
+
+    scored = (_regroup(_docs(sf_dir, ["doc_id", "text"])
+                       .map_batches(tf_stage, batch_format="pyarrow"), 0.5)
+              .groupby("tb")
+              .map_groups(score_stage, batch_format="pyarrow"))
+    out = (_regroup(scored, 0.5)
+           .groupby("db")
+           .map_groups(topk_stage, batch_format="pyarrow"))
+    return _schema_finalize(out, {"doc_id": pa.int64(),
+                                  "term": pa.string(),
+                                  "tfidf": pa.float64()})
+
+
 def q_export_roundtrip(sf_dir: str):
     """Resumable partitioned-parquet sink (S10) under the driver's
     EXACT hash: the curation chain with ``keep_text`` -> hive-
@@ -3041,6 +3254,7 @@ REGISTRY: dict[str, tuple] = {
     "distinct_users_sketch": (q_distinct_users_sketch,
                               SQL_DISTINCT_USERS_SKETCH),
     "sample": (q_sample, SQL_SAMPLE),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "ann_ivf": (q_ann_ivf, None),
     "ann_lsh": (q_ann_lsh, None),
@@ -3067,6 +3281,7 @@ REGISTRY: dict[str, tuple] = {
     "export_roundtrip": (q_export_roundtrip, _curation_sql(with_text=True)),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "top_terms_df": (q_top_terms_df, SQL_TOP_TERMS_DF),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "top_users_per_type": (q_top_users_per_type, SQL_TOP_USERS_PER_TYPE),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "pip_antijoin": (q_pip_antijoin, SQL_PIP_ANTIJOIN),

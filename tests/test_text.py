@@ -105,3 +105,73 @@ def test_bpe_token_stage_matches_re_findall():
         assert out.column("n_words")[i].as_py() == words, t
         assert out.column("n_numbers")[i].as_py() == nums, t
         assert out.column("n_punct")[i].as_py() == len(toks) - words - nums, t
+
+
+def test_tfidf_topk_vs_bruteforce(sf_dir):
+    """The two-shuffle distributed tf-idf equals a sequential
+    tokenize/tf/df/score/top-3 computation over the same corpus,
+    including the (tfidf desc, term asc) tie rule."""
+    import math
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from mapchete_xarray_ray.pipelines.queries import REGISTRY
+
+    got = REGISTRY["tfidf_topk"][0](sf_dir)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    ws = re.compile(r"\s+")
+    tf, dfc = {}, Counter()
+    for i in range(tbl.num_rows):
+        t = tbl.column("text")[i].as_py().strip(" \t\n\f\r")
+        if not t:
+            continue
+        toks = ws.split(t)
+        c = Counter(toks)
+        tf[tbl.column("doc_id")[i].as_py()] = c
+        dfc.update(c.keys())
+    n = float(len(tf))
+    want = {}
+    for d, c in tf.items():
+        scored = sorted(((cnt * math.log(n / dfc[t]), t)
+                         for t, cnt in c.items()),
+                        key=lambda x: (-x[0], x[1]))[:3]
+        for s, t in scored:
+            want[(d, t)] = s
+    found = {
+        (d, t): s
+        for d, t, s in zip(got.column("doc_id").to_pylist(),
+                           got.column("term").to_pylist(),
+                           got.column("tfidf").to_pylist())
+    }
+    assert set(found) == set(want)
+    for k in want:
+        assert found[k] == want[k], k  # bitwise: same libm ln path
+
+
+def test_weighted_sample_aes_vs_bruteforce(sf_dir):
+    """The partial-top-k + exact-final-pick A-ES sample equals the
+    sequential top-50 by ln(u)/w, and is biased toward heavier docs."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapchete_xarray_ray.pipelines.queries import REGISTRY
+
+    got = REGISTRY["weighted_sample"][0](sf_dir)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "n_chars"])
+    keys = []
+    for i in range(tbl.num_rows):
+        d = tbl.column("doc_id")[i].as_py()
+        w = tbl.column("n_chars")[i].as_py() + 1
+        u = ((d * 2654435761) % 2147483647 + 1) / 2147483648.0
+        keys.append((-(math.log(u) / w), d))
+    want = {d for _, d in sorted(keys)[:50]}
+    assert set(got.column("doc_id").to_pylist()) == want
+    # long docs are overrepresented vs the corpus mean
+    mean_all = np.mean(tbl.column("n_chars").to_numpy(zero_copy_only=False))
+    mean_sel = np.mean(got.column("n_chars").to_numpy(zero_copy_only=False))
+    assert mean_sel > mean_all
