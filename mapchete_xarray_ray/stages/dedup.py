@@ -708,7 +708,8 @@ def unpack_pids(pid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def connected_components_ds(pairs: "ray.data.Dataset", max_rounds: int = 50,
-                            nblocks: int | None = None) -> "ray.data.Dataset":
+                            nblocks: int | None = None,
+                            small_cutoff: int = 1 << 21) -> "ray.data.Dataset":
     """Distributed min-label propagation: (id_a, id_b) pairs Dataset ->
     (doc_id, cluster_id) Dataset, cluster_id = the component's smallest
     doc_id.
@@ -719,9 +720,18 @@ def connected_components_ds(pairs: "ray.data.Dataset", max_rounds: int = 50,
     new labels plus a per-node ``changed`` flag. The driver loop sees
     ONLY the summed changed count per round (one tiny aggregate); the
     edge and label tables never leave the object store. Converges in
-    O(component diameter) rounds — near-dup components are shallow
-    (the in-memory :func:`connected_components` with pointer doubling
-    remains the small-subgraph fast path and the test oracle).
+    O(component diameter) rounds — near-dup components are shallow.
+
+    ADAPTIVE small-input path (the kNN semi-join pattern): when the
+    edge table has at most ``small_cutoff`` rows (default 2^21 ≈ 32 MB
+    of int64 pairs — bounded driver memory by construction) the rounds
+    aren't worth their per-exchange fixed cost; the pairs are collected
+    and closed with the in-memory pointer-doubling
+    :func:`connected_components` (same output, oracle-tested). Pass
+    ``small_cutoff=0`` to force the distributed rounds (the
+    forced-path pytest does). At corpus scale the LSH/threshold stages
+    upstream decide which side of the cutoff you land on; above it
+    nothing pair-shaped ever resides on the driver.
     """
     from mapchete_xarray_ray.scale import nblocks_for_cluster
 
@@ -822,6 +832,21 @@ def connected_components_ds(pairs: "ray.data.Dataset", max_rounds: int = 50,
 
     edges = (pairs.map_batches(edge_rows, batch_format="pyarrow")
              .materialize())
+    if small_cutoff and edges.count() <= small_cutoff:
+        tabs = [ray.get(r) for r in edges.to_arrow_refs()]
+        tabs = [t for t in tabs if t.num_columns > 0 and t.num_rows > 0]
+        if not tabs:
+            return ray.data.from_arrow(pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "cluster_id": pa.array([], pa.int64())}))
+        e = pa.concat_tables(tabs)
+        k = e.column("key").to_numpy(zero_copy_only=False)
+        v = e.column("val").to_numpy(zero_copy_only=False)
+        fwd = k < v  # edge_rows emits both directions; keep one
+        small = connected_components(pa.table({
+            "id_a": pa.array(k[fwd], pa.int64()),
+            "id_b": pa.array(v[fwd], pa.int64())}))
+        return ray.data.from_arrow(small)
     # initial labels are node->node rows WITH duplicates (one per edge
     # endpoint occurrence) — the first round's propagate/min_reduce
     # handles them, saving a dedicated dedup shuffle

@@ -385,3 +385,28 @@ def test_sql_whitespace_class_matches_str_split():
             "SELECT list_filter(regexp_split_to_array(?, "
             "'[ \t\n\x0b\f\r\x1c-\x1f]+'), w -> w <> '')", [s]).fetchone()[0]
         assert got == s.split(), repr(s)
+
+
+def test_connected_components_ds_forced_distributed_matches_fast_path():
+    """The distributed label-propagation rounds (small_cutoff=0) and
+    the adaptive in-memory path produce identical clusters."""
+    from mapchete_xarray_ray.stages.dedup import connected_components_ds
+
+    rng = np.random.default_rng(17)
+    # chains + stars + isolated pairs, ids sparse
+    pairs = []
+    base = 0
+    for L in (2, 3, 7, 15):
+        ids = (rng.permutation(400)[:L] + base * 1000).astype(np.int64)
+        pairs += [(min(a, b), max(a, b)) for a, b in zip(ids[:-1], ids[1:])]
+        base += 1
+    a = pa.array([p[0] for p in pairs], pa.int64())
+    b = pa.array([p[1] for p in pairs], pa.int64())
+    ds = ray.data.from_arrow(pa.table({"id_a": a, "id_b": b}))
+    dist = _collect(connected_components_ds(ds, small_cutoff=0))
+    fast = _collect(connected_components_ds(
+        ray.data.from_arrow(pa.table({"id_a": a, "id_b": b}))))
+    key = lambda t: sorted(zip(t.column("doc_id").to_pylist(),
+                               t.column("cluster_id").to_pylist()))
+    assert key(dist) == key(fast)
+    assert dist.num_rows > 0
