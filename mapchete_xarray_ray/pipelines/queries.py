@@ -453,6 +453,106 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
+SQL_CUSTOMER_ORDER_PROFILE = """
+SELECT c.c_custkey, c.c_nationkey,
+       count(o.o_orderkey)::BIGINT AS n_orders,
+       coalesce(sum(floor(o.o_totalprice * 100)::BIGINT), 0)::BIGINT
+         AS total_cents
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_nationkey
+"""
+
+
+def q_customer_order_profile(sf_dir: str):
+    """LEFT OUTER join + aggregate: every customer with order count and
+    lifetime spend, zeros for order-less customers — the join flavor
+    the inner/semi/anti family was missing. Orders pre-aggregate to one
+    partial row per (batch, custkey) before the exchange, so the
+    shuffle moves partials, not order rows; the co-group attaches sums
+    to the customer side with absent keys vectorized to 0. Money stays
+    integer cents (floor(price*100) — identical IEEE ops both sides),
+    keeping the twin bit-exact."""
+    def o_partial(batch: pa.Table) -> pa.Table:
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "custkey": batch.column("o_custkey").cast(pa.int64()),
+            "n_orders": pa.array(np.ones(len(price), dtype=np.int64)),
+            "total_cents": pa.array(np.floor(price * 100).astype(np.int64)),
+        })
+        g = (t.group_by("custkey")
+             .aggregate([("n_orders", "sum"), ("total_cents", "sum")])
+             .rename_columns(["custkey", "n_orders", "total_cents"]))
+        return pa.table({
+            "custkey": g.column("custkey"),
+            "nationkey": pa.array(np.full(g.num_rows, -1, dtype=np.int64)),
+            "n_orders": g.column("n_orders"),
+            "total_cents": g.column("total_cents"),
+            "is_cust": pa.array(np.zeros(g.num_rows, dtype=bool)),
+        })
+
+    def c_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        z = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table({
+            "custkey": batch.column("c_custkey").cast(pa.int64()),
+            "nationkey": batch.column("c_nationkey").cast(pa.int64()),
+            "n_orders": z,
+            "total_cents": z,
+            "is_cust": pa.array(np.ones(n, dtype=bool)),
+        })
+
+    def left_join(group: pa.Table) -> pa.Table:
+        isc = group.column("is_cust").to_numpy(zero_copy_only=False)
+        key = group.column("custkey").to_numpy(zero_copy_only=False)
+        cnt = group.column("n_orders").to_numpy(zero_copy_only=False)
+        cents = group.column("total_cents").to_numpy(zero_copy_only=False)
+        ok, oc, ot = key[~isc], cnt[~isc], cents[~isc]
+        order = np.argsort(ok, kind="stable")
+        ok, oc, ot = ok[order], oc[order], ot[order]
+        new = np.ones(len(ok), dtype=bool)
+        new[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(new)
+        uk = ok[starts]
+        ends = np.append(starts[1:], len(ok))
+        cum_c = np.concatenate(([0], np.cumsum(oc)))
+        cum_t = np.concatenate(([0], np.cumsum(ot)))
+        sum_c = cum_c[ends] - cum_c[starts]
+        sum_t = cum_t[ends] - cum_t[starts]
+        ck = key[isc]
+        pos = np.searchsorted(uk, ck)
+        hit = pos < len(uk)
+        np.minimum(pos, max(len(uk) - 1, 0), out=pos)
+        hit &= (uk[pos] == ck) if len(uk) else False
+        return pa.table({
+            "c_custkey": pa.array(ck, pa.int64()),
+            "c_nationkey": pa.array(
+                group.column("nationkey").to_numpy(
+                    zero_copy_only=False)[isc], pa.int64()),
+            "n_orders": pa.array(np.where(hit, sum_c[pos] if len(uk)
+                                          else 0, 0), pa.int64()),
+            "total_cents": pa.array(np.where(hit, sum_t[pos] if len(uk)
+                                             else 0, 0), pa.int64()),
+        })
+
+    bucket = _mod_bucket("custkey", "cb", empty={
+        "custkey": pa.int64(), "nationkey": pa.int64(),
+        "n_orders": pa.int64(), "total_cents": pa.int64(),
+        "is_cust": pa.bool_()})
+    orders = (_read(f"{sf_dir}/orders.parquet",
+                    columns=["o_custkey", "o_totalprice"])
+              .map_batches(o_partial, batch_format="pyarrow"))
+    custs = (_read(f"{sf_dir}/customer.parquet",
+                   columns=["c_custkey", "c_nationkey"])
+             .map_batches(c_rows, batch_format="pyarrow"))
+    out = (_regroup(orders.union(custs)
+                    .map_batches(bucket, batch_format="pyarrow"))
+           .groupby("cb")
+           .map_groups(left_join, batch_format="pyarrow"))
+    return _schema_finalize(out, {
+        "c_custkey": pa.int64(), "c_nationkey": pa.int64(),
+        "n_orders": pa.int64(), "total_cents": pa.int64()})
+
+
 def q_knn(sf_dir: str):
     """Exact kNN (J5) via k-ring gather + refinement in pixel space.
 
@@ -3287,6 +3387,8 @@ REGISTRY: dict[str, tuple] = {
     "pip_antijoin": (q_pip_antijoin, SQL_PIP_ANTIJOIN),
     "customers_with_orders": (q_customers_with_orders,
                               SQL_CUSTOMERS_WITH_ORDERS),
+    "customer_order_profile": (q_customer_order_profile,
+                               SQL_CUSTOMER_ORDER_PROFILE),
     "events_dedup_horizon": (q_events_dedup_horizon,
                              SQL_EVENTS_DEDUP_HORIZON),
     "lineitem_rollup": (q_lineitem_rollup, SQL_LINEITEM_ROLLUP),

@@ -138,3 +138,34 @@ def test_knn_semi_join_path_matches_broadcast_path(monkeypatch):
                           t.column("rank").to_pylist()))
 
     assert rows(fast) and rows(fast) == rows(semi)
+
+
+def test_customer_order_profile_left_join(sf_dir):
+    """LEFT OUTER join + aggregate vs a sequential computation: every
+    customer appears exactly once; order-less customers carry zeros."""
+    import pyarrow.parquet as pq
+
+    from mapchete_xarray_ray.pipelines.queries import REGISTRY
+
+    got = REGISTRY["customer_order_profile"][0](sf_dir)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"])
+    want_n, want_t = {}, {}
+    for i in range(orders.num_rows):
+        k = orders.column("o_custkey")[i].as_py()
+        want_n[k] = want_n.get(k, 0) + 1
+        want_t[k] = want_t.get(k, 0) + int(
+            np.floor(orders.column("o_totalprice")[i].as_py() * 100))
+    rows = {
+        got.column("c_custkey")[i].as_py():
+        (got.column("n_orders")[i].as_py(),
+         got.column("total_cents")[i].as_py())
+        for i in range(got.num_rows)
+    }
+    assert got.num_rows == cust.num_rows  # every customer exactly once
+    for i in range(cust.num_rows):
+        k = cust.column("c_custkey")[i].as_py()
+        assert rows[k] == (want_n.get(k, 0), want_t.get(k, 0)), k
+    assert any(v == (0, 0) for v in rows.values()) or len(want_n) == len(rows)
