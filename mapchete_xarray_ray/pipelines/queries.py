@@ -1502,6 +1502,91 @@ FROM b
 """
 
 
+SQL_AUDIO_FEATURES = r"""
+WITH s AS (
+  SELECT doc_id, i,
+         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS samp
+  FROM (
+    SELECT d.doc_id, t.i,
+           ascii(substr(d.text, (2 * t.i + 1)::INT, 1))
+           + 256 * ascii(substr(d.text, (2 * t.i + 2)::INT, 1)) AS v
+    FROM documents d,
+         LATERAL (SELECT unnest(range(len(d.text) // 2)) AS i) t
+  )
+),
+z AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE samp * nxt < 0)::BIGINT AS n_zero_cross
+  FROM (SELECT doc_id, samp,
+               lead(samp) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+        FROM s)
+  GROUP BY doc_id
+),
+w AS (
+  SELECT doc_id, i // 64 AS win, sum(samp * samp)::BIGINT AS energy
+  FROM s GROUP BY doc_id, i // 64
+),
+p AS (
+  SELECT doc_id, win, energy,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY energy DESC, win) AS rn
+  FROM w
+)
+SELECT d.doc_id,
+       (len(d.text) // 2)::BIGINT AS n_samples,
+       coalesce(z.n_zero_cross, 0)::BIGINT AS n_zero_cross,
+       coalesce(p.win, -1)::BIGINT AS peak_window,
+       coalesce(p.energy, 0)::BIGINT AS peak_energy
+FROM documents d
+LEFT JOIN z USING (doc_id)
+LEFT JOIN (SELECT * FROM p WHERE rn = 1) p USING (doc_id)
+"""
+
+
+def q_audio_features(sf_dir: str):
+    """Multimodal AUDIO features under the driver's EXACT hash: the
+    documents' text bytes stand in for opaque PCM payloads, and unlike
+    the image/video fakes the decode here is the real thing —
+    little-endian int16 PCM is pure byte arithmetic
+    (stages/multimodal.py AudioFeatureStage), so sample decode,
+    zero-crossing detection and the 64-sample windowed-energy peak all
+    run exactly and integer-valued. The SQL twin re-derives the
+    samples with ascii(substr(..)) byte arithmetic (ASCII corpus:
+    codepoint == utf-8 byte, same domain note as image_features)."""
+    from mapchete_xarray_ray.stages.multimodal import AudioFeatureStage
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "id": batch.column("doc_id"),
+            "payload": pa.array([t.encode("utf-8") for t in texts],
+                                pa.binary()),
+        })
+
+    ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(
+            AudioFeatureStage,
+            fn_constructor_kwargs=dict(backend="pcm16"),
+            batch_format="pyarrow",
+            batch_size=256,     # wide binary rows -> bounded batches
+            concurrency=2,
+        )
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["doc_id", "n_samples", "n_zero_cross", "peak_window",
+             "peak_energy"])
+
+    out = ds.map_batches(rename, batch_format="pyarrow")
+    return _schema_finalize(out, {
+        "doc_id": pa.int64(), "n_samples": pa.int64(),
+        "n_zero_cross": pa.int64(), "peak_window": pa.int64(),
+        "peak_energy": pa.int64()})
+
+
 def q_orders_by_nation(sf_dir: str):
     """Relational broadcast join: orders x customer x nation -> per-nation
     order count + revenue (cents). The dimension tables are the small
@@ -3359,6 +3444,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf": (q_ann_ivf, None),
     "ann_lsh": (q_ann_lsh, None),
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
+    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "orders_by_nation": (q_orders_by_nation, SQL_ORDERS_BY_NATION),
     "top_users": (q_top_users, SQL_TOP_USERS),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),

@@ -140,3 +140,104 @@ class FrameSampleStage:
             "frame_idx": pa.array(idx_out, pa.int64()),
             "frame_payload": pa.array(frames, pa.binary()),
         })
+
+
+AUDIO_WINDOW = 64  # samples per analysis window
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: ``(id, payload: binary)`` -> windowed audio
+    features. Unlike the image/video stages the decode here is REAL:
+    ``backend="pcm16"`` interprets the payload as little-endian int16
+    PCM (a trailing odd byte is ignored) — pure numpy, no codec
+    library. Compressed backends (mp3/flac/ogg) would raise until the
+    codec dependency exists, mirroring the image stage's contract.
+
+    Output schema (all int64, so an exact SQL oracle can reproduce it
+    byte-for-byte): ``n_samples``; ``n_zero_cross`` (count of
+    consecutive sample pairs with a strict sign change);
+    ``peak_window`` (index of the AUDIO_WINDOW-sample window with the
+    largest energy = sum of squared samples, ties to the earliest
+    window, -1 for empty payloads); ``peak_energy``.
+    """
+
+    def __init__(self, backend: str = "pcm16", id_col: str = "id",
+                 payload_col: str = "payload"):
+        if backend not in ("pcm16",):
+            raise NotImplementedError(
+                f"audio backend {backend!r} requires a codec library that "
+                "is not available in this environment; use backend='pcm16'"
+            )
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    @staticmethod
+    def _features_scalar(buf: bytes):
+        """Per-item sequential reference (test oracle for the
+        vectorized batch path)."""
+        s = np.frombuffer(buf[:len(buf) - len(buf) % 2],
+                          dtype="<i2").astype(np.int64)
+        if len(s) == 0:
+            return 0, 0, -1, 0
+        zc = int(((s[1:] * s[:-1]) < 0).sum())
+        n_win = (len(s) + AUDIO_WINDOW - 1) // AUDIO_WINDOW
+        energies = [int((s[w * AUDIO_WINDOW:(w + 1) * AUDIO_WINDOW] ** 2)
+                        .sum()) for w in range(n_win)]
+        peak = int(np.argmax(energies))  # first max = earliest window
+        return len(s), zc, peak, energies[peak]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.payload_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not (pa.types.is_binary(col.type)
+                or pa.types.is_large_binary(col.type)):
+            raise TypeError(
+                f"payload column {self.payload_col!r} must be binary/"
+                f"large_binary, got {col.type}")
+        n = len(col)
+        off0 = col.offset
+        odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+        offsets = np.frombuffer(col.buffers()[1], dtype=odt,
+                                count=off0 + n + 1)[off0:].astype(np.int64)
+        data_buf = col.buffers()[2]
+        raw = (np.frombuffer(data_buf, dtype=np.uint8)
+               if data_buf is not None else np.empty(0, np.uint8))
+        lens = np.diff(offsets)
+        ns = lens // 2
+        total = int(ns.sum())
+        n_zc = np.zeros(n, dtype=np.int64)
+        peak_win = np.full(n, -1, dtype=np.int64)
+        peak_en = np.zeros(n, dtype=np.int64)
+        if total:
+            doc = np.repeat(np.arange(n), ns)
+            cum = np.concatenate(([0], np.cumsum(ns)))
+            within = np.arange(total) - cum[doc]
+            pos = offsets[:-1][doc] + 2 * within
+            s = (raw[pos].astype(np.int64)
+                 | (raw[pos + 1].astype(np.int64) << 8))
+            s -= (s >= 32768) * np.int64(65536)
+            same = doc[1:] == doc[:-1]
+            cross = (s[1:] * s[:-1]) < 0
+            hits = doc[:-1][same & cross]
+            if len(hits):
+                n_zc += np.bincount(hits, minlength=n)
+            win = within >> 6  # // AUDIO_WINDOW
+            seg = np.ones(total, dtype=bool)
+            seg[1:] = (doc[1:] != doc[:-1]) | (win[1:] != win[:-1])
+            starts = np.flatnonzero(seg)
+            energy = np.add.reduceat(s * s, starts)
+            seg_doc, seg_win = doc[starts], win[starts]
+            order = np.lexsort((seg_win, -energy, seg_doc))
+            sd = seg_doc[order]
+            first = np.ones(len(sd), dtype=bool)
+            first[1:] = sd[1:] != sd[:-1]
+            peak_win[sd[first]] = seg_win[order][first]
+            peak_en[sd[first]] = energy[order][first]
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_samples": pa.array(ns.astype(np.int64), pa.int64()),
+            "n_zero_cross": pa.array(n_zc, pa.int64()),
+            "peak_window": pa.array(peak_win, pa.int64()),
+            "peak_energy": pa.array(peak_en, pa.int64()),
+        })

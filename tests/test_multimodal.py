@@ -105,3 +105,43 @@ def test_image_decode_large_binary_offsets():
     with pytest.raises(TypeError, match="binary"):
         ImageDecodeStage(backend="fake")(pa.table({
             "id": ids, "payload": pa.array(["a", "b", "c", "d"])}))
+
+
+def test_audio_feature_stage_vectorized_equals_scalar():
+    """The batch PCM16 decode + windowed features equal the per-item
+    sequential reference, including empty, odd-length, and
+    sign-boundary payloads."""
+    import numpy as np
+
+    from mapchete_xarray_ray.stages.multimodal import (
+        AUDIO_WINDOW,
+        AudioFeatureStage,
+    )
+
+    rng = np.random.default_rng(23)
+    payloads = [
+        b"",                       # no samples
+        b"\x01",                   # odd byte only -> no samples
+        b"\x00\x80",               # single sample -32768
+        b"\xff\x7f\x00\x80",       # +32767 then -32768: one crossing
+        bytes(rng.integers(0, 256, 2 * AUDIO_WINDOW + 3).astype(np.uint8)),
+        bytes(rng.integers(0, 256, 10 * AUDIO_WINDOW).astype(np.uint8)),
+        b"\x00\x00" * 100,         # silence: zc=0, peak window 0
+    ]
+    ids = list(range(len(payloads)))
+    batch = pa.table({"id": pa.array(ids, pa.int64()),
+                      "payload": pa.array(payloads, pa.binary())})
+    stage = AudioFeatureStage(backend="pcm16")
+    out = stage(batch)
+    for i, buf in enumerate(payloads):
+        want = stage._features_scalar(buf)
+        got = (out.column("n_samples")[i].as_py(),
+               out.column("n_zero_cross")[i].as_py(),
+               out.column("peak_window")[i].as_py(),
+               out.column("peak_energy")[i].as_py())
+        if want[0] == 0:
+            assert got == (0, 0, -1, 0), (i, got)
+        else:
+            assert got == want, (i, got, want)
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(backend="mp3")
