@@ -1936,6 +1936,81 @@ FROM agg
 """
 
 
+CMS_D, CMS_W = 4, 512
+CMS_SALTS = (2654435761, 2246822519, 3266489917, 668265263)
+
+
+def q_heavy_hitters_cms(sf_dir: str):
+    """Count-Min sketch heavy-hitter estimation — the SECOND mergeable
+    sketch family (KMV counts distincts; CMS estimates per-key
+    frequency without a per-key shuffle): each batch contributes a
+    constant-size partial (its (row, bucket) counter increments), one
+    tiny groupby merges them into the d x w counter matrix, and every
+    distinct user's estimate is the min over its d counters —
+    overestimates only, bounded by collisions at w=512. All hashes are
+    the SQL-expressible multiplicative mix (user * salt) % w, so the
+    DuckDB twin reproduces sketch AND estimates exactly. The counter
+    matrix is O(d*w) regardless of corpus size — the whole point; only
+    it and the distinct-user list touch the driver."""
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        if len(u) and u.min() < 0:
+            raise ValueError("CMS requires non-negative user ids")
+        js, bs, cs = [], [], []
+        for j, salt in enumerate(CMS_SALTS):
+            b = (u * salt) % CMS_W
+            cnt = np.bincount(b, minlength=CMS_W)
+            nz = np.flatnonzero(cnt)
+            js.append(np.full(len(nz), j, dtype=np.int64))
+            bs.append(nz.astype(np.int64))
+            cs.append(cnt[nz].astype(np.int64))
+        return pa.table({
+            "j": pa.array(np.concatenate(js)),
+            "b": pa.array(np.concatenate(bs)),
+            "cnt": pa.array(np.concatenate(cs)),
+        })
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("user_id").to_numpy(
+            zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    # one scan feeds both: the materialized projection is (user_id)
+    # only — re-used for the sketch partials and the distinct list
+    ids = ev.materialize()
+    sk = collect_table(ids.map_batches(partial, batch_format="pyarrow"))
+    cms = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    np.add.at(cms, (sk.column("j").to_numpy(zero_copy_only=False),
+                    sk.column("b").to_numpy(zero_copy_only=False)),
+              sk.column("cnt").to_numpy(zero_copy_only=False))
+    users = np.unique(collect_table(
+        ids.map_batches(distinct_partial, batch_format="pyarrow"))
+        .column("user_id").to_numpy(zero_copy_only=False))
+    est = np.full(len(users), np.iinfo(np.int64).max, dtype=np.int64)
+    for j, salt in enumerate(CMS_SALTS):
+        np.minimum(est, cms[j, (users * salt) % CMS_W], out=est)
+    return pa.table({"user_id": pa.array(users, pa.int64()),
+                     "est_n": pa.array(est, pa.int64())})
+
+
+SQL_HEAVY_HITTERS_CMS = f"""
+WITH params(j, c) AS (VALUES (0, 2654435761), (1, 2246822519),
+                             (2, 3266489917), (3, 668265263)),
+cms AS (
+  SELECT p.j, (e.user_id * p.c) % {CMS_W} AS b, count(*)::BIGINT AS cnt
+  FROM events e CROSS JOIN params p GROUP BY 1, 2
+),
+users AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id, min(c.cnt)::BIGINT AS est_n
+FROM users u
+JOIN params p ON true
+JOIN cms c ON c.j = p.j AND c.b = (u.user_id * p.c) % {CMS_W}
+GROUP BY u.user_id
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Distributed range/interval join (SURVEY §2 custom-op list):
     every event with ``event_id % 997 == 0`` opens a 15-minute window;
@@ -3438,6 +3513,7 @@ REGISTRY: dict[str, tuple] = {
     "emb_dedup_clusters": (q_emb_dedup_clusters, SQL_EMB_DEDUP_CLUSTERS),
     "distinct_users_sketch": (q_distinct_users_sketch,
                               SQL_DISTINCT_USERS_SKETCH),
+    "heavy_hitters_cms": (q_heavy_hitters_cms, SQL_HEAVY_HITTERS_CMS),
     "sample": (q_sample, SQL_SAMPLE),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

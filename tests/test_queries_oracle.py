@@ -88,3 +88,30 @@ def test_top_terms_df_edge_cases(tmp_path):
     rows = list(zip(t.column("term").to_pylist(),
                     t.column("df").to_pylist()))
     assert rows == [("b", 2), ("a", 1), ("c", 1)]
+
+
+def test_cms_overestimates_and_is_batching_invariant(sf_dir):
+    """Count-Min estimates are >= the exact per-user counts (the CMS
+    one-sided error guarantee), exact where no collision occurs, and
+    a pure function of the multiset of user ids."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapchete_xarray_ray.pipelines.queries import REGISTRY
+
+    fn = REGISTRY["heavy_hitters_cms"][0]
+    t1 = fn(sf_dir)
+    u = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["user_id"]).column("user_id").to_numpy()
+    ids, cnt = np.unique(u, return_counts=True)
+    exact = dict(zip(ids.tolist(), cnt.tolist()))
+    assert t1.num_rows == len(ids)
+    over = 0
+    for i in range(t1.num_rows):
+        uid = t1.column("user_id")[i].as_py()
+        est = t1.column("est_n")[i].as_py()
+        assert est >= exact[uid], uid
+        over += est > exact[uid]
+    # w=512 rows x 4 salts over ~150 users: most estimates exact
+    assert over <= t1.num_rows // 2
+    assert t1.equals(fn(sf_dir))  # deterministic
