@@ -1101,6 +1101,83 @@ def q_ngram_jaccard(sf_dir: str):
                                   "jaccard": pa.float64()})
 
 
+SQL_DEDUP_CANONICAL = r"""
+WITH RECURSIVE g AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(words) >= 3
+               THEN list_transform(range(1, len(words) - 1),
+                                   i -> array_to_string(words[i:i+2], ' '))
+               ELSE [coalesce(array_to_string(words, ' '), '')] END) AS grams
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r\x1c-\x1f]+'),
+                             w -> w <> '') AS words
+          FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE 2 * len(list_intersect(a.grams, b.grams))
+        >= len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clust AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src)
+SELECT d.doc_id FROM documents d
+LEFT JOIN clust c ON c.doc_id = d.doc_id
+WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+"""
+
+
+def q_dedup_canonical(sf_dir: str):
+    """END-TO-END exact near-dup corpus dedup under the driver hash:
+    the surviving doc set after removing every non-canonical member of
+    an exact word-3-gram Jaccard >= 0.5 cluster (canonical = smallest
+    doc_id — the MinHash curation convention, here with NO
+    approximation anywhere). Composition: the distributed PPJoin pair
+    pipeline (q_ngram_jaccard) -> distributed/adaptive connected
+    components -> an anti-join of the corpus against the non-canonical
+    id set. The non-canonical set is duplicate-subgraph-sized (the
+    quantity dedup exists to keep SMALL), so it broadcasts; the corpus
+    itself streams through one vectorized filter. SQL twin = brute
+    pairs + recursive-CTE closure + the same keep rule."""
+    from mapchete_xarray_ray.stages.dedup import connected_components_ds
+
+    pairs = q_ngram_jaccard(sf_dir)
+    cc = connected_components_ds(pairs)
+
+    def non_canonical(batch: pa.Table) -> pa.Table:
+        if "doc_id" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        c = batch.column("cluster_id").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(d[d != c], pa.int64())})
+
+    drop = collect_table(cc.map_batches(non_canonical,
+                                        batch_format="pyarrow"))
+    drop_ids = np.sort(drop.column("doc_id").to_numpy(
+        zero_copy_only=False)) if drop.num_rows else np.empty(0, np.int64)
+    drop_ref = ray.put(drop_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        bad = ray.get(drop_ref)
+        pos = np.searchsorted(bad, ids)
+        hit = pos < len(bad)
+        np.minimum(pos, max(len(bad) - 1, 0), out=pos)
+        hit &= (bad[pos] == ids) if len(bad) else False
+        return pa.table({"doc_id": pa.array(ids[~hit], pa.int64())})
+
+    out = _docs(sf_dir, ["doc_id"]).map_batches(keep,
+                                                batch_format="pyarrow")
+    return _schema_finalize(out, {"doc_id": pa.int64()})
+
+
 def q_stratified_sample(sf_dir: str):
     """Stratified deterministic sample: exactly k=10 docs PER LANGUAGE,
     chosen by hash order (ties by doc_id) — per-batch partial top-k per
@@ -3505,6 +3582,7 @@ REGISTRY: dict[str, tuple] = {
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),

@@ -410,3 +410,37 @@ def test_connected_components_ds_forced_distributed_matches_fast_path():
                                t.column("cluster_id").to_pylist()))
     assert key(dist) == key(fast)
     assert dist.num_rows > 0
+
+
+def test_dedup_canonical_keeps_cluster_minima(tmp_path):
+    """The end-to-end exact near-dup corpus dedup keeps every doc
+    except non-minimal members of a Jaccard >= 0.5 cluster."""
+    import pyarrow.parquet as pq
+
+    from mapchete_xarray_ray.pipelines.queries import REGISTRY
+
+    tbl = _ngram_corpus()
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = set(REGISTRY["dedup_canonical"][0](str(tmp_path))
+              .column("doc_id").to_pylist())
+    # brute-force: union-find over the oracle pair set
+    pairs = list(_ngram_oracle(tbl))
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    all_ids = set(tbl.column("doc_id").to_pylist())
+    drop = {x for x in parent if find(x) != x}
+    assert got == all_ids - drop
+    # planted dups are dropped, their sources kept
+    for src, dup in [(0, 100), (5, 101), (3, 200), (300, 301)]:
+        assert src in got and dup not in got
