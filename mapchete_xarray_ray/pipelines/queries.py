@@ -1833,6 +1833,140 @@ FROM o GROUP BY user_id
 """
 
 
+SQL_EVENTS_LATE = """
+WITH o AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts)
+           + ((event_id % 1000003) * 2654435761) % 600000001
+           - 300000000 AS arr_us
+  FROM events
+), w AS (
+  SELECT event_id, user_id, ts_us,
+         max(ts_us) OVER (ORDER BY arr_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - 120000000 AS wm
+  FROM o
+)
+SELECT event_id, user_id, ts_us, (wm - ts_us)::BIGINT AS late_by_us
+FROM w WHERE ts_us < wm
+"""
+
+
+def q_events_late(sf_dir: str):
+    """Streaming late-data detection under a GLOBAL watermark — the
+    side-output every windowed pipeline needs: an event is LATE when
+    its event time trails the high-water mark of everything that
+    ARRIVED before it by more than the allowed lateness (120 s).
+
+    The synthetic events table is ts-ordered, so a realistic arrival
+    process is reconstructed deterministically: arrival time = event
+    time + a ±300 s jitter from a modular hash of event_id (out-of-
+    order delivery), total arrival order = (arr_us, event_id). The
+    same formula runs in the SQL twin — the check is exact.
+
+    A global running max over arrival order is a sequential scan; the
+    distributed shape is the classic two-phase prefix aggregate:
+    (1) one map pass emits each 10-minute arrival RANGE's max event
+    time as a constant-size partial, (2) the driver folds the tiny
+    per-range table into an EXCLUSIVE prefix max (range-count-sized —
+    the only thing it ever holds) and broadcasts it, (3) a
+    range-bucketed co-group sorts each range by arrival and combines
+    the broadcast prefix with the in-range exclusive running max, all
+    vectorized. Output rows are invariant to the range width — it only
+    partitions the scan; at production rates the width is a knob
+    (target events-per-range, not wall minutes)."""
+    LATE_US = 120 * 1_000_000
+    RANGE_US = 600 * 1_000_000  # 10-minute arrival ranges
+    NEG = np.iinfo(np.int64).min // 4  # "no prior event" sentinel
+
+    def jitter(e):
+        # Knuth multiplier wraps the modulus even for small ids; the
+        # pre-reduction keeps the product well inside int64 for any id.
+        return ((e % 1000003) * 2654435761) % 600000001 - 300000000
+
+    ev = _read(f"{sf_dir}/events.parquet",
+               columns=["event_id", "ts", "user_id"]).materialize()
+
+    def range_max(batch: pa.Table) -> pa.Table:
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        t = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        rb = (t + jitter(e)) // RANGE_US
+        order = np.argsort(rb, kind="stable")
+        rb_s, t_s = rb[order], t[order]
+        new = np.ones(len(rb_s), dtype=bool)
+        new[1:] = rb_s[1:] != rb_s[:-1]
+        starts = np.flatnonzero(new)
+        mx = np.maximum.reduceat(t_s, starts) if len(t_s) else t_s
+        return pa.table({"rb": pa.array(rb_s[starts], pa.int64()),
+                         "mx": pa.array(mx, pa.int64())})
+
+    part = collect_table(ev.map_batches(range_max,
+                                        batch_format="pyarrow"))
+    rb = part.column("rb").to_numpy(zero_copy_only=False)
+    mx = part.column("mx").to_numpy(zero_copy_only=False)
+    order = np.argsort(rb, kind="stable")
+    rb, mx = rb[order], mx[order]
+    new = np.ones(len(rb), dtype=bool)
+    if len(rb):
+        new[1:] = rb[1:] != rb[:-1]
+    starts = np.flatnonzero(new)
+    uniq_rb = rb[starts]
+    per_range = (np.maximum.reduceat(mx, starts)
+                 if len(mx) else np.empty(0, np.int64))
+    # exclusive prefix max across present ranges
+    prefix = np.concatenate((
+        [NEG], np.maximum.accumulate(per_range)[:-1])) \
+        if len(per_range) else np.empty(0, np.int64)
+    pref_ref = ray.put((uniq_rb, prefix))
+
+    def add_rb(batch: pa.Table) -> pa.Table:
+        if "event_id" not in batch.column_names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "user_id": pa.array([], pa.int64()),
+                             "rb": pa.array([], pa.int64())})
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        t = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return batch.append_column(
+            "rb", pa.array(((t + jitter(e)) // RANGE_US).astype(np.int64)))
+
+    def classify(group: pa.Table) -> pa.Table:
+        if "event_id" not in group.column_names or group.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "ts_us": pa.array([], pa.int64()),
+                             "late_by_us": pa.array([], pa.int64())})
+        e = group.column("event_id").to_numpy(zero_copy_only=False)
+        t = group.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        arr = t + jitter(e)
+        ranges, prefixes = ray.get(pref_ref)
+        pos = np.searchsorted(ranges, arr[0] // RANGE_US)
+        base = prefixes[pos] if pos < len(ranges) else NEG
+        order = np.lexsort((e, arr))
+        e_s, t_s, u_s = e[order], t[order], u[order]
+        run = np.maximum.accumulate(t_s)
+        prior = np.concatenate(([base], np.maximum(run[:-1], base)))
+        wm = prior - LATE_US
+        late = t_s < wm
+        return pa.table({
+            "event_id": pa.array(e_s[late], pa.int64()),
+            "user_id": pa.array(u_s[late], pa.int64()),
+            "ts_us": pa.array(t_s[late], pa.int64()),
+            "late_by_us": pa.array(wm[late] - t_s[late], pa.int64()),
+        })
+
+    out = (_regroup(ev.map_batches(add_rb, batch_format="pyarrow"))
+           .groupby("rb")
+           .map_groups(classify, batch_format="pyarrow"))
+    return _schema_finalize(out, {
+        "event_id": pa.int64(), "user_id": pa.int64(),
+        "ts_us": pa.int64(), "late_by_us": pa.int64()})
+
+
 def q_events_asof(sf_dir: str):
     """As-of self-join: each event paired with the most recent PRIOR
     event of the same user (the classic as-of/point-in-time join,
@@ -3632,6 +3766,7 @@ REGISTRY: dict[str, tuple] = {
     "events_dedup_horizon": (q_events_dedup_horizon,
                              SQL_EVENTS_DEDUP_HORIZON),
     "lineitem_rollup": (q_lineitem_rollup, SQL_LINEITEM_ROLLUP),
+    "events_late": (q_events_late, SQL_EVENTS_LATE),
 }
 
 

@@ -115,3 +115,39 @@ def test_cms_overestimates_and_is_batching_invariant(sf_dir):
     # w=512 rows x 4 salts over ~150 users: most estimates exact
     assert over <= t1.num_rows // 2
     assert t1.equals(fn(sf_dir))  # deterministic
+
+
+def test_events_late_has_signal_and_matches_sequential(sf_dir):
+    """The late-data side-output must be NON-EMPTY (a monotone arrival
+    model silently classifies nothing as late — the regression this
+    guards) and must equal a sequential single-pass watermark scan."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapchete_xarray_ray.pipelines.queries import REGISTRY
+
+    got = _to_pandas(REGISTRY["events_late"][0](sf_dir))
+    assert len(got) > 0
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "ts", "user_id"])
+    e = t.column("event_id").to_numpy()
+    ts = t.column("ts").cast(pa.int64()).to_numpy()
+    arr = ts + ((e % 1000003) * 2654435761) % 600000001 - 300000000
+    order = np.lexsort((e, arr))
+    e_s, ts_s = e[order], ts[order]
+    run = np.maximum.accumulate(ts_s)
+    prior = np.concatenate(([np.iinfo(np.int64).min // 4],
+                            run[:-1]))
+    wm = prior - 120_000_000
+    late = ts_s < wm
+    want = pd.DataFrame({
+        "event_id": e_s[late],
+        "ts_us": ts_s[late],
+        "late_by_us": wm[late] - ts_s[late],
+    })
+    got2 = got.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert got2["event_id"].tolist() == want["event_id"].tolist()
+    assert got2["ts_us"].tolist() == want["ts_us"].tolist()
+    assert got2["late_by_us"].tolist() == want["late_by_us"].tolist()
