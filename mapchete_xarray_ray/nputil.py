@@ -1,0 +1,26 @@
+"""Small shared numpy kernels used across join/dedup stages."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def sorted_lookup(sorted_keys: np.ndarray,
+                  probes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized membership probe against a SORTED key array — the
+    inner step of every searchsorted-based hash-join/semi-join in this
+    repo. Returns ``(hit, idx)``: ``hit[i]`` is True iff ``probes[i]``
+    occurs in ``sorted_keys`` and then ``idx[i]`` is a matching
+    position (the leftmost); where ``hit`` is False, ``idx`` is 0 —
+    always a VALID index, so callers can gather unconditionally and
+    select with ``np.where(hit, values[idx], default)``.
+
+    Owns the two sharp edges the inlined copies kept re-implementing:
+    out-of-range searchsorted positions and the empty-key-array case.
+    """
+    pos = np.searchsorted(sorted_keys, probes)
+    hit = pos < len(sorted_keys)
+    if len(sorted_keys):
+        hit[hit] = sorted_keys[pos[hit]] == probes[hit]
+    idx = np.where(hit, pos, 0)
+    return hit, idx

@@ -19,6 +19,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from mapchete_xarray_ray.nputil import sorted_lookup
 from mapchete_xarray_ray.scale import nblocks_for_cluster
 from mapchete_xarray_ray.stages.assign import assign_doc_ids_fn
 
@@ -479,14 +480,16 @@ def q_customer_order_profile(sf_dir: str):
             "n_orders": pa.array(np.ones(len(price), dtype=np.int64)),
             "total_cents": pa.array(np.floor(price * 100).astype(np.int64)),
         })
+        # access aggregate output by NAME ("{col}_{fn}") — the column
+        # ORDER of group_by().aggregate() has changed across pyarrow
+        # versions (keys first vs last), a positional rename transposes
         g = (t.group_by("custkey")
-             .aggregate([("n_orders", "sum"), ("total_cents", "sum")])
-             .rename_columns(["custkey", "n_orders", "total_cents"]))
+             .aggregate([("n_orders", "sum"), ("total_cents", "sum")]))
         return pa.table({
             "custkey": g.column("custkey"),
             "nationkey": pa.array(np.full(g.num_rows, -1, dtype=np.int64)),
-            "n_orders": g.column("n_orders"),
-            "total_cents": g.column("total_cents"),
+            "n_orders": g.column("n_orders_sum"),
+            "total_cents": g.column("total_cents_sum"),
             "is_cust": pa.array(np.zeros(g.num_rows, dtype=bool)),
         })
 
@@ -519,10 +522,7 @@ def q_customer_order_profile(sf_dir: str):
         sum_c = cum_c[ends] - cum_c[starts]
         sum_t = cum_t[ends] - cum_t[starts]
         ck = key[isc]
-        pos = np.searchsorted(uk, ck)
-        hit = pos < len(uk)
-        np.minimum(pos, max(len(uk) - 1, 0), out=pos)
-        hit &= (uk[pos] == ck) if len(uk) else False
+        hit, pos = sorted_lookup(uk, ck)
         return pa.table({
             "c_custkey": pa.array(ck, pa.int64()),
             "c_nationkey": pa.array(
@@ -1166,11 +1166,7 @@ def q_dedup_canonical(sf_dir: str):
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        bad = ray.get(drop_ref)
-        pos = np.searchsorted(bad, ids)
-        hit = pos < len(bad)
-        np.minimum(pos, max(len(bad) - 1, 0), out=pos)
-        hit &= (bad[pos] == ids) if len(bad) else False
+        hit, _ = sorted_lookup(ray.get(drop_ref), ids)
         return pa.table({"doc_id": pa.array(ids[~hit], pa.int64())})
 
     out = _docs(sf_dir, ["doc_id"]).map_batches(keep,
@@ -1517,6 +1513,26 @@ def q_ann_lsh(sf_dir: str):
                                   "rank": pa.int64()})
 
 
+def _text_payload(batch: pa.Table, *, ascii_only: bool = False) -> pa.Table:
+    """``(doc_id, text)`` -> ``(id, payload: binary)``: the input
+    adapter shared by the multimodal queries (image/audio/frame) —
+    text bytes standing in for opaque payloads. utf-8 string ->
+    binary is a zero-copy Arrow cast (identical bytes to per-row
+    ``text.encode("utf-8")``, no python loop). ``ascii_only`` keeps
+    only single-byte texts (byte length == codepoint length), the
+    subset where byte slicing and the SQL twin's character ``substr``
+    agree exactly — the frame sampler needs it, the whole-payload
+    image/audio kernels do not."""
+    import pyarrow.compute as pc
+
+    ids = batch.column("doc_id").cast(pa.int64())
+    text = batch.column("text")
+    if ascii_only:
+        keep = pc.equal(pc.binary_length(text), pc.utf8_length(text))
+        ids, text = ids.filter(keep), text.filter(keep)
+    return pa.table({"id": ids, "payload": text.cast(pa.binary())})
+
+
 def q_image_features(sf_dir: str):
     """Multimodal plumbing as a first-class pipeline under the driver's
     EXACT hash: documents' text bytes stand in for opaque image
@@ -1529,16 +1545,9 @@ def q_image_features(sf_dir: str):
     flips the hash."""
     from mapchete_xarray_ray.stages.multimodal import ImageDecodeStage
 
-    def to_payload(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        return pa.table({
-            "id": batch.column("doc_id"),
-            "payload": pa.array([t.encode("utf-8") for t in texts], pa.binary()),
-        })
-
     ds = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(_text_payload, batch_format="pyarrow")
         .map_batches(
             ImageDecodeStage,
             fn_constructor_kwargs=dict(backend="fake"),
@@ -1632,17 +1641,9 @@ def q_audio_features(sf_dir: str):
     codepoint == utf-8 byte, same domain note as image_features)."""
     from mapchete_xarray_ray.stages.multimodal import AudioFeatureStage
 
-    def to_payload(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        return pa.table({
-            "id": batch.column("doc_id"),
-            "payload": pa.array([t.encode("utf-8") for t in texts],
-                                pa.binary()),
-        })
-
     ds = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(_text_payload, batch_format="pyarrow")
         .map_batches(
             AudioFeatureStage,
             fn_constructor_kwargs=dict(backend="pcm16"),
@@ -2206,9 +2207,10 @@ def q_heavy_hitters_cms(sf_dir: str):
                      "est_n": pa.array(est, pa.int64())})
 
 
+_CMS_PARAM_ROWS = ", ".join(
+    f"({j}, {c})" for j, c in enumerate(CMS_SALTS))
 SQL_HEAVY_HITTERS_CMS = f"""
-WITH params(j, c) AS (VALUES (0, 2654435761), (1, 2246822519),
-                             (2, 3266489917), (3, 668265263)),
+WITH params(j, c) AS (VALUES {_CMS_PARAM_ROWS}),
 cms AS (
   SELECT p.j, (e.user_id * p.c) % {CMS_W} AS b, count(*)::BIGINT AS cnt
   FROM events e CROSS JOIN params p GROUP BY 1, 2
@@ -2771,22 +2773,12 @@ def q_frame_sample(sf_dir: str):
     from mapchete_xarray_ray.stages.multimodal import FrameSampleStage
 
     def to_payload(batch: pa.Table) -> pa.Table:
-        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = batch.column("text").to_pylist()
-        # ASCII-only subset, same predicate as the SQL twin's
-        # octet_length == length filter: the sampler slices BYTES
-        # (multimodal payloads are opaque) while substr slices
-        # CHARACTERS — they agree exactly iff the text is single-byte,
-        # and a frame boundary can never split a multibyte char
-        keep = np.array([t.isascii() for t in texts], dtype=bool)
-        d = d[keep]
-        texts = [t for t, k in zip(texts, keep) if k]
-        return pa.table({
-            "id": pa.array(d, pa.int64()),
-            "payload": pa.array([t.encode("utf-8") for t in texts],
-                                pa.binary()),
-            "n_frames": pa.array((d % 7) + 2, pa.int64()),
-        })
+        # ASCII-only subset (helper's byte==codepoint filter), same
+        # predicate as the SQL twin's octet_length == length
+        t = _text_payload(batch, ascii_only=True)
+        d = t.column("id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "n_frames", pa.array((d % 7) + 2, pa.int64()))
 
     ds = (
         _docs(sf_dir, ["doc_id", "text"])
@@ -3468,10 +3460,14 @@ def q_tfidf_topk(sf_dir: str):
         offs = toks.offsets.to_numpy(zero_copy_only=False)
         docs_rep = doc.take(pa.array(np.repeat(
             np.arange(len(toks)), np.diff(offs))))
-        tf = (pa.table({"doc_id": docs_rep, "term": flat,
-                        "tf": pa.array(np.ones(len(flat), dtype=np.int64))})
-              .group_by(["doc_id", "term"]).aggregate([("tf", "sum")])
-              .rename_columns(["doc_id", "term", "tf"]))
+        agg = (pa.table({"doc_id": docs_rep, "term": flat,
+                         "tf": pa.array(np.ones(len(flat), dtype=np.int64))})
+               .group_by(["doc_id", "term"]).aggregate([("tf", "sum")]))
+        # by-name selection: aggregate column order is pyarrow-version-
+        # dependent (keys first vs last)
+        tf = pa.table({"doc_id": agg.column("doc_id"),
+                       "term": agg.column("term"),
+                       "tf": agg.column("tf_sum")})
         h = stable_hash64(tf.column("term").to_numpy(zero_copy_only=False)
                           .astype(object)) % NB
         out = tf.append_column("tb", pa.array(h.astype(np.int64)))

@@ -24,6 +24,7 @@ import pyarrow as pa
 import ray
 
 from mapchete_xarray_ray.functions.geocode import stable_hash64
+from mapchete_xarray_ray.nputil import sorted_lookup
 
 # --- MinHash parameters (fixed; shared with the test oracle) -------------
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -817,10 +818,7 @@ def connected_components_ds(pairs: "ray.data.Dataset", max_rounds: int = 50,
         # (duplicate identical node->node rows occur only in round 1)
         is_old = kind == 0
         ok_key, ok_val = key[is_old], val[is_old]
-        pos = np.searchsorted(ok_key, node)
-        has_old = (pos < len(ok_key))
-        np.minimum(pos, max(len(ok_key) - 1, 0), out=pos)
-        has_old &= (ok_key[pos] == node) if len(ok_key) else False
+        has_old, pos = sorted_lookup(ok_key, node)
         old_lab = np.where(has_old, ok_val[pos] if len(ok_key) else 0,
                            new_lab)
         return pa.table({
@@ -842,7 +840,11 @@ def connected_components_ds(pairs: "ray.data.Dataset", max_rounds: int = 50,
         e = pa.concat_tables(tabs)
         k = e.column("key").to_numpy(zero_copy_only=False)
         v = e.column("val").to_numpy(zero_copy_only=False)
-        fwd = k < v  # edge_rows emits both directions; keep one
+        # edge_rows emits both directions; keep one. Self-loops (a == b)
+        # must survive too — both emitted copies pass k <= v, and the
+        # union-find tolerates duplicates — so a (5,5) pair yields node
+        # 5 in the output exactly like the distributed path does.
+        fwd = k <= v
         small = connected_components(pa.table({
             "id_a": pa.array(k[fwd], pa.int64()),
             "id_b": pa.array(v[fwd], pa.int64())}))

@@ -21,6 +21,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from mapchete_xarray_ray.stages.arrowbuf import binary_offsets_and_data
+
 IMAGE_FEATURE_DIM = 8
 
 
@@ -64,26 +66,11 @@ class ImageDecodeStage:
         # from ONE concatenated-bytes pass with a segment bincount
         # (np.add.at on (row, bucket)), not a python loop body per
         # image
-        col = batch.column(self.payload_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if not (pa.types.is_binary(col.type)
-                or pa.types.is_large_binary(col.type)):
-            raise TypeError(
-                f"payload column {self.payload_col!r} must be binary/"
-                f"large_binary, got {col.type}")
-        n = len(col)
         # zero-copy: offsets + values straight from the Arrow binary
-        # buffers; nulls read as empty payloads
-        off0 = col.offset
-        # large_binary (Arrow auto-promotes past 2 GiB) carries int64
-        # offsets; reading them as int32 would silently misdecode
-        odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
-        offsets = np.frombuffer(col.buffers()[1], dtype=odt,
-                                count=off0 + n + 1)[off0:].astype(np.int64)
-        data_buf = col.buffers()[2]
-        raw = (np.frombuffer(data_buf, dtype=np.uint8)
-               if data_buf is not None else np.empty(0, np.uint8))
+        # buffers (large-offset and sliced-array handling live in the
+        # shared helper); nulls read as empty payloads
+        offsets, raw, n = binary_offsets_and_data(
+            batch.column(self.payload_col), name=self.payload_col)
         lens = np.diff(offsets)
         widths = (16 + (lens % 256)).astype(np.int64)
         all_bytes = raw[offsets[0]:offsets[-1]] if n else raw[:0]
@@ -187,22 +174,8 @@ class AudioFeatureStage:
         return len(s), zc, peak, energies[peak]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch.column(self.payload_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if not (pa.types.is_binary(col.type)
-                or pa.types.is_large_binary(col.type)):
-            raise TypeError(
-                f"payload column {self.payload_col!r} must be binary/"
-                f"large_binary, got {col.type}")
-        n = len(col)
-        off0 = col.offset
-        odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
-        offsets = np.frombuffer(col.buffers()[1], dtype=odt,
-                                count=off0 + n + 1)[off0:].astype(np.int64)
-        data_buf = col.buffers()[2]
-        raw = (np.frombuffer(data_buf, dtype=np.uint8)
-               if data_buf is not None else np.empty(0, np.uint8))
+        offsets, raw, n = binary_offsets_and_data(
+            batch.column(self.payload_col), name=self.payload_col)
         lens = np.diff(offsets)
         ns = lens // 2
         total = int(ns.sum())
@@ -222,7 +195,7 @@ class AudioFeatureStage:
             hits = doc[:-1][same & cross]
             if len(hits):
                 n_zc += np.bincount(hits, minlength=n)
-            win = within >> 6  # // AUDIO_WINDOW
+            win = within // AUDIO_WINDOW
             seg = np.ones(total, dtype=bool)
             seg[1:] = (doc[1:] != doc[:-1]) | (win[1:] != win[:-1])
             starts = np.flatnonzero(seg)

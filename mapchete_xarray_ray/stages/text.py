@@ -14,6 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from mapchete_xarray_ray.functions.extract import extract_text
+from mapchete_xarray_ray.stages.arrowbuf import binary_offsets_and_data
 
 
 def extract_stage(batch: pa.Table) -> pa.Table:
@@ -134,25 +135,10 @@ def fingerprint_stage(batch: pa.Table, col: str = "text",
     bytes pass over the whole batch — per-position exponents come from
     segment arithmetic and the per-doc sum is a single ``reduceat``
     (no python loop per doc)."""
-    arr = batch.column(col)
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
     # concatenated utf-8 bytes + per-doc lengths straight from the
     # Arrow string buffers (no per-row python strings)
-    large = (pa.types.is_large_string(arr.type)
-             or pa.types.is_large_binary(arr.type))
-    flat = arr.cast(pa.large_binary() if large else pa.binary())
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    off0 = flat.offset  # sliced arrays: offsets buffer starts earlier
-    # large_* columns (Arrow auto-promotes past 2 GiB) carry int64
-    # offsets; reading them as int32 would silently misdecode
-    odt = np.int64 if large else np.int32
-    offsets = np.frombuffer(flat.buffers()[1], dtype=odt,
-                            count=off0 + len(flat) + 1)[off0:].astype(np.int64)
-    data_buf = flat.buffers()[2]
-    all_bytes = (np.frombuffer(data_buf, dtype=np.uint8)
-                 if data_buf is not None else np.empty(0, np.uint8))
+    offsets, all_bytes, _ = binary_offsets_and_data(
+        batch.column(col), allow_string=True, name=col)
     lens = np.diff(offsets)
     starts = offsets[:-1] - offsets[0]
     total = int(lens.sum())
@@ -193,21 +179,8 @@ def bpe_token_stage(batch: pa.Table, col: str = "text",
     Output: id passthrough + ``n_tokens_bpe, n_words, n_numbers,
     n_punct`` (tokens = words + numbers + punct).
     """
-    arr = batch.column(col)
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    large = (pa.types.is_large_string(arr.type)
-             or pa.types.is_large_binary(arr.type))
-    flat = arr.cast(pa.large_binary() if large else pa.binary())
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    off0 = flat.offset
-    odt = np.int64 if large else np.int32
-    offsets = np.frombuffer(flat.buffers()[1], dtype=odt,
-                            count=off0 + len(flat) + 1)[off0:].astype(np.int64)
-    data_buf = flat.buffers()[2]
-    raw = (np.frombuffer(data_buf, dtype=np.uint8)
-           if data_buf is not None else np.empty(0, np.uint8))
+    offsets, raw, _ = binary_offsets_and_data(
+        batch.column(col), allow_string=True, name=col)
     lens = np.diff(offsets)
     starts = offsets[:-1] - offsets[0]
     total = int(lens.sum())

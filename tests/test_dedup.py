@@ -412,6 +412,22 @@ def test_connected_components_ds_forced_distributed_matches_fast_path():
     assert dist.num_rows > 0
 
 
+def test_connected_components_ds_self_loops_survive_both_paths():
+    """A self-loop pair (a, a) must register node a as its own
+    singleton cluster on BOTH the adaptive in-memory path and the
+    distributed rounds — the small path used to silently drop it."""
+    from mapchete_xarray_ray.stages.dedup import connected_components_ds
+
+    t = pa.table({"id_a": pa.array([5, 1], pa.int64()),
+                  "id_b": pa.array([5, 2], pa.int64())})
+    want = [(1, 1), (2, 1), (5, 5)]
+    for cutoff in (0, 1 << 21):
+        got = _collect(connected_components_ds(
+            ray.data.from_arrow(t), small_cutoff=cutoff))
+        assert sorted(zip(got.column("doc_id").to_pylist(),
+                          got.column("cluster_id").to_pylist())) == want, cutoff
+
+
 def test_dedup_canonical_keeps_cluster_minima(tmp_path):
     """The end-to-end exact near-dup corpus dedup keeps every doc
     except non-minimal members of a Jaccard >= 0.5 cluster."""

@@ -107,6 +107,31 @@ def test_image_decode_large_binary_offsets():
             "id": ids, "payload": pa.array(["a", "b", "c", "d"])}))
 
 
+def test_audio_feature_large_binary_and_sliced_offsets():
+    """large_binary payloads (int64 offsets) and SLICED arrays must
+    produce identical audio features to plain binary ones — same
+    guarantee the image stage has, now via the shared buffer helper."""
+    import pytest
+
+    from mapchete_xarray_ray.stages.multimodal import AudioFeatureStage
+
+    payloads = [b"\x01\x02" * 40, b"", bytes(range(256)), b"\x7f\xff" * 333]
+    ids = pa.array(range(len(payloads)), pa.int64())
+    stage = AudioFeatureStage(backend="pcm16")
+    small = stage(pa.table({
+        "id": ids, "payload": pa.array(payloads, pa.binary())}))
+    big = stage(pa.table({
+        "id": ids, "payload": pa.array(payloads, pa.large_binary())}))
+    assert small.equals(big)
+    sliced = stage(pa.table({
+        "id": ids, "payload": pa.array(
+            [b"SKIP", b"ME"] + payloads, pa.binary()).slice(2)}))
+    assert small.equals(sliced)
+    with pytest.raises(TypeError, match="binary"):
+        stage(pa.table({"id": ids,
+                        "payload": pa.array(["a", "b", "c", "d"])}))
+
+
 def test_audio_feature_stage_vectorized_equals_scalar():
     """The batch PCM16 decode + windowed features equal the per-item
     sequential reference, including empty, odd-length, and

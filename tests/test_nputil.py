@@ -1,0 +1,23 @@
+import numpy as np
+
+from mapchete_xarray_ray.nputil import sorted_lookup
+
+
+def test_sorted_lookup_membership_and_positions():
+    keys = np.array([2, 5, 5, 9], dtype=np.int64)
+    probes = np.array([1, 2, 5, 9, 10], dtype=np.int64)
+    hit, idx = sorted_lookup(keys, probes)
+    assert hit.tolist() == [False, True, True, True, False]
+    # leftmost match positions; misses give a VALID index (0)
+    assert idx.tolist() == [0, 0, 1, 3, 0]
+    assert (keys[idx[hit]] == probes[hit]).all()
+
+
+def test_sorted_lookup_empty_keys_and_empty_probes():
+    hit, idx = sorted_lookup(np.empty(0, np.int64),
+                             np.array([3, 7], dtype=np.int64))
+    assert hit.tolist() == [False, False]
+    assert idx.tolist() == [0, 0]
+    hit, idx = sorted_lookup(np.array([1], dtype=np.int64),
+                             np.empty(0, np.int64))
+    assert len(hit) == 0 and len(idx) == 0
