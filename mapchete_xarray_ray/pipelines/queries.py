@@ -2538,12 +2538,6 @@ def q_urgent_revenue_bloom(sf_dir: str):
             [("n_lines", "sum"), ("revenue_cents", "sum")])
         return g.rename_columns(["l_linestatus", "n_lines", "revenue_cents"])
 
-    def final(group: pa.Table) -> pa.Table:
-        g = group.group_by("l_linestatus").aggregate(
-            [("n_lines", "sum"), ("revenue_cents", "sum")])
-        return g.rename_columns(["l_linestatus", "n_lines",
-                                 "revenue_cents"])
-
     bucketed = (_regroup(li.union(okeys)
                          .map_batches(_mod_bucket("key", "jb", empty={
                              "key": pa.int64(), "l_linestatus": pa.string(),
@@ -2552,12 +2546,24 @@ def q_urgent_revenue_bloom(sf_dir: str):
                              batch_format="pyarrow"), 0.25)
                 .groupby("jb")
                 .map_groups(verify_agg, batch_format="pyarrow"))
-    out = (_regroup(bucketed, 0.125)
-           .groupby("l_linestatus")
-           .map_groups(final, batch_format="pyarrow"))
-    return _schema_finalize(out, {"l_linestatus": pa.string(),
-                                  "n_lines": pa.int64(),
-                                  "revenue_cents": pa.int64()})
+    # verify_agg emits <= one row per (bucket, linestatus) — bounded by
+    # construction (bucket count x a handful of statuses), independent
+    # of data size — so the final fold is a driver-side aggregate over
+    # a constant-size table instead of a second all-to-all exchange
+    part = collect_table(bucketed)
+    if part.num_rows == 0:
+        final_t = pa.table({"l_linestatus": pa.array([], pa.string()),
+                            "n_lines": pa.array([], pa.int64()),
+                            "revenue_cents": pa.array([], pa.int64())})
+    else:
+        g = part.group_by("l_linestatus").aggregate(
+            [("n_lines", "sum"), ("revenue_cents", "sum")])
+        final_t = pa.table({
+            "l_linestatus": g.column("l_linestatus").cast(pa.string()),
+            "n_lines": g.column("n_lines_sum").cast(pa.int64()),
+            "revenue_cents": g.column("revenue_cents_sum").cast(pa.int64()),
+        })
+    return final_t
 
 
 SQL_URGENT_REVENUE_BLOOM = """

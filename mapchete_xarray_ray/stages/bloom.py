@@ -29,7 +29,11 @@ _MIX2 = np.uint64(0x94D049BB133111EB)
 
 
 def _splitmix64(x: np.ndarray, seed: int) -> np.ndarray:
-    z = (x.astype(np.uint64) + np.uint64(seed) * _GOLD)
+    # wrap seed*GOLD in python ints: numpy emits a RuntimeWarning for
+    # SCALAR uint64 overflow (array ops wrap silently) — same value,
+    # no per-batch warning spam from worker processes
+    off = np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+    z = (x.astype(np.uint64) + off)
     z = (z ^ (z >> np.uint64(30))) * _MIX1
     z = (z ^ (z >> np.uint64(27))) * _MIX2
     return z ^ (z >> np.uint64(31))
