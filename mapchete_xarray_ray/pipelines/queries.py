@@ -2405,10 +2405,14 @@ def q_orders_lineitem_join_native(sf_dir: str):
     per orderkey inside map_batches BEFORE the join (the combiner is
     what matters at 100 TB, whichever join executor runs), the orders
     side is filtered at the read, and a final per-key groupby folds
-    partials that crossed batch boundaries. Bench note: comparable
-    wall time to the co-group plan at sf0.1 (3-5 s, order varies with
-    host noise); the co-group version remains the reference plan
-    because it joins AND aggregates in ONE exchange."""
+    partials that crossed batch boundaries. Bench note: the native
+    operator measures ~11 s at sf0.1 vs ~4 s for the co-group plan,
+    and the gap is FIXED cost, not data cost — Ray 2.49's hash-shuffle
+    join spins up its aggregator actor pool per query (independent of
+    num_partitions: 8 vs 32 measure the same). On a long-lived cluster
+    that amortizes; the co-group version remains the reference plan
+    because it joins AND aggregates in ONE exchange with no operator
+    warm-up."""
     from mapchete_xarray_ray.scale import nblocks_for_cluster
 
     def l_partial(batch: pa.Table) -> pa.Table:
@@ -2575,6 +2579,324 @@ FROM lineitem JOIN orders ON o_orderkey = l_orderkey
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY l_linestatus
 """
+
+
+SQL_BEST_PER_SOURCE = """
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
+def q_best_per_source(sf_dir: str):
+    """Keep-best dedup: ONE representative document per source (host),
+    chosen by max n_chars with ties to the smallest doc_id — the
+    argmax-per-group curation staple (keep the richest page per host).
+
+    Distributed argmax: a per-batch combiner reduces each batch to one
+    candidate row per source seen in it (so the exchange moves <= one
+    row per (batch, source), never raw docs), the shuffle buckets by a
+    stable hash of the source string, and the in-bucket final pick is
+    the same vectorized lexsort-first kernel. The argmax, unlike a
+    plain max, carries the full winning ROW through — the shape that
+    generalizes to keep-best-by-quality-score."""
+    from mapchete_xarray_ray.functions.geocode import stable_hash64
+
+    def best_rows(src: np.ndarray, d: np.ndarray, nc: np.ndarray):
+        codes, inv = np.unique(src, return_inverse=True)
+        order = np.lexsort((d, -nc, inv))
+        inv_s = inv[order]
+        first = np.ones(len(inv_s), dtype=bool)
+        first[1:] = inv_s[1:] != inv_s[:-1]
+        win = order[first]
+        return src[win], d[win], nc[win]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "n_chars": pa.array([], pa.int64()),
+                          "sb": pa.array([], pa.int64())})
+        if "source" not in batch.column_names or batch.num_rows == 0:
+            return empty
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        src, d, nc = best_rows(src, d, nc)
+        sb = stable_hash64(src.astype(object)) % 64
+        return pa.table({"source": pa.array(src, pa.string()),
+                         "doc_id": pa.array(d, pa.int64()),
+                         "n_chars": pa.array(nc, pa.int64()),
+                         "sb": pa.array(sb.astype(np.int64))})
+
+    def final(group: pa.Table) -> pa.Table:
+        if "source" not in group.column_names or group.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64())})
+        src = group.column("source").to_numpy(zero_copy_only=False)
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = group.column("n_chars").to_numpy(zero_copy_only=False)
+        src, d, nc = best_rows(src, d, nc)
+        return pa.table({"source": pa.array(src, pa.string()),
+                         "doc_id": pa.array(d, pa.int64()),
+                         "n_chars": pa.array(nc, pa.int64())})
+
+    out = (_regroup(_docs(sf_dir, ["doc_id", "source", "n_chars"])
+                    .map_batches(partial, batch_format="pyarrow"))
+           .groupby("sb")
+           .map_groups(final, batch_format="pyarrow"))
+    return _schema_finalize(out, {"source": pa.string(),
+                                  "doc_id": pa.int64(),
+                                  "n_chars": pa.int64()})
+
+
+SQL_CUSTOMER_REVENUE = """
+SELECT c_custkey, c_name, n_name, n_items, revenue_cents FROM (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         count(*)::BIGINT AS n_items,
+         sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT)
+           ::BIGINT AS revenue_cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY 1, 2, 3)
+ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+"""
+
+
+def q_customer_revenue(sf_dir: str):
+    """TPC-H Q10 shape — the chained multi-join every warehouse runs:
+    returned-lineitem revenue per customer, top 20, with the customer's
+    nation name. Three join layers, each with the scale-correct plan:
+
+    - lineitem (filtered to returnflag='R' AT THE READ side) pre-
+      aggregates per orderkey in a combiner, co-groups with orders on
+      the orderkey bucket — first exchange moves per-key partials;
+    - the join output RE-KEYS to custkey with another in-group
+      combiner, unions with customer rows and co-groups on the custkey
+      bucket — the second exchange again moves partials;
+    - nation (25 rows) is never shuffled OR broadcast: the dim attach
+      happens AFTER the global top-k, on exactly 20 rows;
+    - top-20 by (revenue DESC, custkey) = per-block partial top-20
+      (bounded blocks), then one driver-side pick over <= 20 x blocks
+      rows.
+    """
+    import pyarrow.parquet as pq
+
+    def l_partial(batch: pa.Table) -> pa.Table:
+        flag = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        keep = flag == "R"
+        k = batch.column("l_orderkey").to_numpy(zero_copy_only=False)[keep]
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        rev = np.floor(price * (1.0 - disc) * 100).astype(np.int64)
+        o = np.argsort(k, kind="stable")
+        k, rev = k[o], rev[o]
+        new = np.ones(len(k), dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.append(starts, len(k)))
+        revs = np.add.reduceat(rev, starts) if len(k) else rev
+        return pa.table({
+            "okey": pa.array(k[starts], pa.int64()),
+            "ckey": pa.array(np.full(len(starts), -1, dtype=np.int64)),
+            "n": pa.array(n, pa.int64()),
+            "rev": pa.array(revs, pa.int64()),
+            "is_order": pa.array(np.zeros(len(starts), dtype=bool)),
+        })
+
+    def o_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "okey": batch.column("o_orderkey").cast(pa.int64()),
+            "ckey": batch.column("o_custkey").cast(pa.int64()),
+            "n": pa.array(np.zeros(n, dtype=np.int64)),
+            "rev": pa.array(np.zeros(n, dtype=np.int64)),
+            "is_order": pa.array(np.ones(n, dtype=bool)),
+        })
+
+    def join_orders(group: pa.Table) -> pa.Table:
+        """co-group on okey bucket: lineitem partials x orders ->
+        per-CUSTKEY partials (combiner for the next exchange)."""
+        empty = pa.table({"ckey": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "rev": pa.array([], pa.int64())})
+        if "okey" not in group.column_names or group.num_rows == 0:
+            return empty
+        iso = group.column("is_order").to_numpy(zero_copy_only=False)
+        okey = group.column("okey").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        rev = group.column("rev").to_numpy(zero_copy_only=False)
+        ckey = group.column("ckey").to_numpy(zero_copy_only=False)
+        lk, ln, lr = okey[~iso], n[~iso], rev[~iso]
+        o = np.argsort(lk, kind="stable")
+        lk, ln, lr = lk[o], ln[o], lr[o]
+        new = np.ones(len(lk), dtype=bool)
+        new[1:] = lk[1:] != lk[:-1]
+        starts = np.flatnonzero(new)
+        ukeys = lk[starts]
+        un = np.add.reduceat(ln, starts) if len(lk) else ln
+        ur = np.add.reduceat(lr, starts) if len(lk) else lr
+        ok, ock = okey[iso], ckey[iso]
+        hit, pos = sorted_lookup(ukeys, ok)
+        ck, jn, jr = ock[hit], un[pos[hit]], ur[pos[hit]]
+        # combiner: collapse to one partial per custkey in this bucket
+        o2 = np.argsort(ck, kind="stable")
+        ck, jn, jr = ck[o2], jn[o2], jr[o2]
+        new2 = np.ones(len(ck), dtype=bool)
+        new2[1:] = ck[1:] != ck[:-1]
+        s2 = np.flatnonzero(new2)
+        return pa.table({
+            "ckey": pa.array(ck[s2], pa.int64()),
+            "n": pa.array(np.add.reduceat(jn, s2) if len(ck) else jn,
+                          pa.int64()),
+            "rev": pa.array(np.add.reduceat(jr, s2) if len(ck) else jr,
+                            pa.int64()),
+        })
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        """tag sides for the custkey co-group under ONE schema."""
+        if "ckey" in batch.column_names:      # revenue partial side
+            if batch.num_rows == 0:
+                return pa.table({
+                    "ckey": pa.array([], pa.int64()),
+                    "name": pa.array([], pa.string()),
+                    "nationkey": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "rev": pa.array([], pa.int64()),
+                    "is_cust": pa.array([], pa.bool_())})
+            m = batch.num_rows
+            return pa.table({
+                "ckey": batch.column("ckey"),
+                "name": pa.array([""] * m, pa.string()),
+                "nationkey": pa.array(np.full(m, -1, dtype=np.int64)),
+                "n": batch.column("n"),
+                "rev": batch.column("rev"),
+                "is_cust": pa.array(np.zeros(m, dtype=bool))})
+        if "c_custkey" not in batch.column_names:  # zero-column block
+            return pa.table({
+                "ckey": pa.array([], pa.int64()),
+                "name": pa.array([], pa.string()),
+                "nationkey": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+                "is_cust": pa.array([], pa.bool_())})
+        m = batch.num_rows                    # customer side
+        return pa.table({
+            "ckey": batch.column("c_custkey").cast(pa.int64()),
+            "name": batch.column("c_name"),
+            "nationkey": batch.column("c_nationkey").cast(pa.int64()),
+            "n": pa.array(np.zeros(m, dtype=np.int64)),
+            "rev": pa.array(np.zeros(m, dtype=np.int64)),
+            "is_cust": pa.array(np.ones(m, dtype=bool))})
+
+    def join_customer(group: pa.Table) -> pa.Table:
+        empty = pa.table({"c_custkey": pa.array([], pa.int64()),
+                          "c_name": pa.array([], pa.string()),
+                          "nationkey": pa.array([], pa.int64()),
+                          "n_items": pa.array([], pa.int64()),
+                          "revenue_cents": pa.array([], pa.int64())})
+        if "ckey" not in group.column_names or group.num_rows == 0:
+            return empty
+        isc = group.column("is_cust").to_numpy(zero_copy_only=False)
+        key = group.column("ckey").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        rev = group.column("rev").to_numpy(zero_copy_only=False)
+        pk, pn, pr = key[~isc], n[~isc], rev[~isc]
+        o = np.argsort(pk, kind="stable")
+        pk, pn, pr = pk[o], pn[o], pr[o]
+        new = np.ones(len(pk), dtype=bool)
+        new[1:] = pk[1:] != pk[:-1]
+        starts = np.flatnonzero(new)
+        uk = pk[starts]
+        un = np.add.reduceat(pn, starts) if len(pk) else pn
+        ur = np.add.reduceat(pr, starts) if len(pk) else pr
+        cidx = np.flatnonzero(isc)
+        ck = key[cidx]
+        hit, pos = sorted_lookup(uk, ck)   # inner: customers w/ returns
+        sel = cidx[hit]
+        return pa.table({
+            "c_custkey": pa.array(ck[hit], pa.int64()),
+            "c_name": group.column("name").take(pa.array(sel)),
+            "nationkey": pa.array(group.column("nationkey").to_numpy(
+                zero_copy_only=False)[sel], pa.int64()),
+            "n_items": pa.array(un[pos[hit]], pa.int64()),
+            "revenue_cents": pa.array(ur[pos[hit]], pa.int64()),
+        })
+
+    K = 20
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if "c_custkey" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "c_name": pa.array([], pa.string()),
+                             "nationkey": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64()),
+                             "revenue_cents": pa.array([], pa.int64())})
+        rev = batch.column("revenue_cents").to_numpy(zero_copy_only=False)
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -rev))[:K]
+        return batch.take(pa.array(order))
+
+    lpart = _read(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_orderkey", "l_returnflag",
+                           "l_extendedprice", "l_discount"]
+                  ).map_batches(l_partial, batch_format="pyarrow")
+    orders = _read(f"{sf_dir}/orders.parquet",
+                   columns=["o_orderkey", "o_custkey"]
+                   ).map_batches(o_rows, batch_format="pyarrow")
+    by_cust = (_regroup(lpart.union(orders)
+                        .map_batches(_mod_bucket("okey", "jb", empty={
+                            "okey": pa.int64(), "ckey": pa.int64(),
+                            "n": pa.int64(), "rev": pa.int64(),
+                            "is_order": pa.bool_()}),
+                            batch_format="pyarrow"), 0.25)
+               .groupby("jb")
+               .map_groups(join_orders, batch_format="pyarrow"))
+    cust = _read(f"{sf_dir}/customer.parquet",
+                 columns=["c_custkey", "c_name", "c_nationkey"])
+    per_customer = (_regroup(by_cust.union(cust)
+                             .map_batches(cust_partial,
+                                          batch_format="pyarrow")
+                             .map_batches(_mod_bucket("ckey", "cb", empty={
+                                 "ckey": pa.int64(), "name": pa.string(),
+                                 "nationkey": pa.int64(), "n": pa.int64(),
+                                 "rev": pa.int64(), "is_cust": pa.bool_()}),
+                                 batch_format="pyarrow"), 0.25)
+                    .groupby("cb")
+                    .map_groups(join_customer, batch_format="pyarrow"))
+    cands = collect_table(
+        per_customer.map_batches(local_topk, batch_format="pyarrow"))
+    if cands.num_rows == 0:
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_name": pa.array([], pa.string()),
+                         "n_name": pa.array([], pa.string()),
+                         "n_items": pa.array([], pa.int64()),
+                         "revenue_cents": pa.array([], pa.int64())})
+    rev = cands.column("revenue_cents").to_numpy(zero_copy_only=False)
+    ck = cands.column("c_custkey").to_numpy(zero_copy_only=False)
+    pick = np.lexsort((ck, -rev))[:K]
+    top = cands.take(pa.array(pick))
+    # dim attach AFTER top-k: 25 nation rows x 20 result rows
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False)
+    no = np.argsort(nk, kind="stable")
+    hit, pos = sorted_lookup(nk[no], top.column("nationkey").to_numpy(
+        zero_copy_only=False))
+    names = nat.column("n_name").take(pa.array(no[pos]))
+    return pa.table({
+        "c_custkey": top.column("c_custkey"),
+        "c_name": top.column("c_name"),
+        "n_name": names,
+        "n_items": top.column("n_items"),
+        "revenue_cents": top.column("revenue_cents"),
+    })
 
 
 SQL_ORDERS_LINEITEM_JOIN = """
@@ -3769,6 +4091,8 @@ REGISTRY: dict[str, tuple] = {
                              SQL_EVENTS_DEDUP_HORIZON),
     "lineitem_rollup": (q_lineitem_rollup, SQL_LINEITEM_ROLLUP),
     "events_late": (q_events_late, SQL_EVENTS_LATE),
+    "best_per_source": (q_best_per_source, SQL_BEST_PER_SOURCE),
+    "customer_revenue": (q_customer_revenue, SQL_CUSTOMER_REVENUE),
 }
 
 
