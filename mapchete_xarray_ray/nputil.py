@@ -5,6 +5,23 @@ from __future__ import annotations
 import numpy as np
 
 
+def group_sum(keys: np.ndarray, *vals: np.ndarray):
+    """Vectorized group-by-sum over integer keys — the per-batch
+    combiner kernel used before every shuffle in the join family.
+    Returns ``(uniq_keys, summed_0, summed_1, ...)`` with
+    ``uniq_keys`` ascending; to count group sizes, pass a ones array.
+    Owns the sort/boundary-mask/reduceat idiom and its empty-input
+    edge case once instead of per call site."""
+    o = np.argsort(keys, kind="stable")
+    k = keys[o]
+    new = np.ones(len(k), dtype=bool)
+    new[1:] = k[1:] != k[:-1]
+    starts = np.flatnonzero(new)
+    outs = tuple(np.add.reduceat(v[o], starts) if len(k) else v[:0]
+                 for v in vals)
+    return (k[starts],) + outs
+
+
 def sorted_lookup(sorted_keys: np.ndarray,
                   probes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized membership probe against a SORTED key array — the

@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from mapchete_xarray_ray.nputil import sorted_lookup
+from mapchete_xarray_ray.nputil import group_sum, sorted_lookup
 from mapchete_xarray_ray.scale import nblocks_for_cluster
 from mapchete_xarray_ray.stages.assign import assign_doc_ids_fn
 
@@ -2326,19 +2326,13 @@ def q_orders_lineitem_join(sf_dir: str):
             zero_copy_only=False)[keep]
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
         rev = np.floor(price * (1.0 - disc) * 100).astype(np.int64)
-        o = np.argsort(k, kind="stable")
-        k, rev = k[o], rev[o]
-        new = np.ones(len(k), dtype=bool)
-        new[1:] = k[1:] != k[:-1]
-        starts = np.flatnonzero(new)
-        n = np.diff(np.append(starts, len(k)))
-        revs = np.add.reduceat(rev, starts) if len(k) else rev
+        uk, n, revs = group_sum(k, np.ones(len(k), dtype=np.int64), rev)
         return pa.table({
-            "okey": pa.array(k[starts], pa.int64()),
-            "priority": pa.array([""] * len(starts), pa.string()),
+            "okey": pa.array(uk, pa.int64()),
+            "priority": pa.array([""] * len(uk), pa.string()),
             "n": pa.array(n, pa.int64()),
             "rev": pa.array(revs, pa.int64()),
-            "is_order": pa.array(np.zeros(len(starts), dtype=bool)),
+            "is_order": pa.array(np.zeros(len(uk), dtype=bool)),
         })
 
     def o_rows(batch: pa.Table) -> pa.Table:
@@ -2363,20 +2357,10 @@ def q_orders_lineitem_join(sf_dir: str):
         okey = group.column("okey").to_numpy(zero_copy_only=False)
         n = group.column("n").to_numpy(zero_copy_only=False)
         rev = group.column("rev").to_numpy(zero_copy_only=False)
-        lk, ln, lr = okey[~iso], n[~iso], rev[~iso]
-        o = np.argsort(lk, kind="stable")
-        lk, ln, lr = lk[o], ln[o], lr[o]
-        new = np.ones(len(lk), dtype=bool)
-        new[1:] = lk[1:] != lk[:-1]
-        starts = np.flatnonzero(new)
-        ukeys = lk[starts]
-        un = np.add.reduceat(ln, starts) if len(lk) else ln
-        ur = np.add.reduceat(lr, starts) if len(lk) else lr
+        ukeys, un, ur = group_sum(okey[~iso], n[~iso], rev[~iso])
         oidx = np.flatnonzero(iso)
         ok = okey[oidx]
-        pos = np.searchsorted(ukeys, ok)
-        hit = pos < len(ukeys)
-        hit[hit] = ukeys[pos[hit]] == ok[hit]  # inner join
+        hit, pos = sorted_lookup(ukeys, ok)  # inner join
         sel = oidx[hit]
         return pa.table({
             "o_orderkey": pa.array(ok[hit], pa.int64()),
@@ -2695,19 +2679,13 @@ def q_customer_revenue(sf_dir: str):
             zero_copy_only=False)[keep]
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
         rev = np.floor(price * (1.0 - disc) * 100).astype(np.int64)
-        o = np.argsort(k, kind="stable")
-        k, rev = k[o], rev[o]
-        new = np.ones(len(k), dtype=bool)
-        new[1:] = k[1:] != k[:-1]
-        starts = np.flatnonzero(new)
-        n = np.diff(np.append(starts, len(k)))
-        revs = np.add.reduceat(rev, starts) if len(k) else rev
+        uk, n, revs = group_sum(k, np.ones(len(k), dtype=np.int64), rev)
         return pa.table({
-            "okey": pa.array(k[starts], pa.int64()),
-            "ckey": pa.array(np.full(len(starts), -1, dtype=np.int64)),
+            "okey": pa.array(uk, pa.int64()),
+            "ckey": pa.array(np.full(len(uk), -1, dtype=np.int64)),
             "n": pa.array(n, pa.int64()),
             "rev": pa.array(revs, pa.int64()),
-            "is_order": pa.array(np.zeros(len(starts), dtype=bool)),
+            "is_order": pa.array(np.zeros(len(uk), dtype=bool)),
         })
 
     def o_rows(batch: pa.Table) -> pa.Table:
@@ -2733,30 +2711,15 @@ def q_customer_revenue(sf_dir: str):
         n = group.column("n").to_numpy(zero_copy_only=False)
         rev = group.column("rev").to_numpy(zero_copy_only=False)
         ckey = group.column("ckey").to_numpy(zero_copy_only=False)
-        lk, ln, lr = okey[~iso], n[~iso], rev[~iso]
-        o = np.argsort(lk, kind="stable")
-        lk, ln, lr = lk[o], ln[o], lr[o]
-        new = np.ones(len(lk), dtype=bool)
-        new[1:] = lk[1:] != lk[:-1]
-        starts = np.flatnonzero(new)
-        ukeys = lk[starts]
-        un = np.add.reduceat(ln, starts) if len(lk) else ln
-        ur = np.add.reduceat(lr, starts) if len(lk) else lr
+        ukeys, un, ur = group_sum(okey[~iso], n[~iso], rev[~iso])
         ok, ock = okey[iso], ckey[iso]
         hit, pos = sorted_lookup(ukeys, ok)
-        ck, jn, jr = ock[hit], un[pos[hit]], ur[pos[hit]]
         # combiner: collapse to one partial per custkey in this bucket
-        o2 = np.argsort(ck, kind="stable")
-        ck, jn, jr = ck[o2], jn[o2], jr[o2]
-        new2 = np.ones(len(ck), dtype=bool)
-        new2[1:] = ck[1:] != ck[:-1]
-        s2 = np.flatnonzero(new2)
+        uck, jn, jr = group_sum(ock[hit], un[pos[hit]], ur[pos[hit]])
         return pa.table({
-            "ckey": pa.array(ck[s2], pa.int64()),
-            "n": pa.array(np.add.reduceat(jn, s2) if len(ck) else jn,
-                          pa.int64()),
-            "rev": pa.array(np.add.reduceat(jr, s2) if len(ck) else jr,
-                            pa.int64()),
+            "ckey": pa.array(uck, pa.int64()),
+            "n": pa.array(jn, pa.int64()),
+            "rev": pa.array(jr, pa.int64()),
         })
 
     def cust_partial(batch: pa.Table) -> pa.Table:
@@ -2807,15 +2770,7 @@ def q_customer_revenue(sf_dir: str):
         key = group.column("ckey").to_numpy(zero_copy_only=False)
         n = group.column("n").to_numpy(zero_copy_only=False)
         rev = group.column("rev").to_numpy(zero_copy_only=False)
-        pk, pn, pr = key[~isc], n[~isc], rev[~isc]
-        o = np.argsort(pk, kind="stable")
-        pk, pn, pr = pk[o], pn[o], pr[o]
-        new = np.ones(len(pk), dtype=bool)
-        new[1:] = pk[1:] != pk[:-1]
-        starts = np.flatnonzero(new)
-        uk = pk[starts]
-        un = np.add.reduceat(pn, starts) if len(pk) else pn
-        ur = np.add.reduceat(pr, starts) if len(pk) else pr
+        uk, un, ur = group_sum(key[~isc], n[~isc], rev[~isc])
         cidx = np.flatnonzero(isc)
         ck = key[cidx]
         hit, pos = sorted_lookup(uk, ck)   # inner: customers w/ returns
@@ -2860,9 +2815,12 @@ def q_customer_revenue(sf_dir: str):
                .map_groups(join_orders, batch_format="pyarrow"))
     cust = _read(f"{sf_dir}/customer.parquet",
                  columns=["c_custkey", "c_name", "c_nationkey"])
-    per_customer = (_regroup(by_cust.union(cust)
-                             .map_batches(cust_partial,
-                                          batch_format="pyarrow")
+    # map each side to the COMMON schema BEFORE the union (house
+    # pattern): unioning heterogeneous schemas trips Ray's RefBundle
+    # schema-consistency warning and depends on unspecified behavior
+    rev_side = by_cust.map_batches(cust_partial, batch_format="pyarrow")
+    cust_side = cust.map_batches(cust_partial, batch_format="pyarrow")
+    per_customer = (_regroup(rev_side.union(cust_side)
                              .map_batches(_mod_bucket("ckey", "cb", empty={
                                  "ckey": pa.int64(), "name": pa.string(),
                                  "nationkey": pa.int64(), "n": pa.int64(),
@@ -2889,6 +2847,8 @@ def q_customer_revenue(sf_dir: str):
     no = np.argsort(nk, kind="stable")
     hit, pos = sorted_lookup(nk[no], top.column("nationkey").to_numpy(
         zero_copy_only=False))
+    if not hit.all():   # fail loud, never attach a wrong dim row
+        raise KeyError("customer nationkey missing from nation dim")
     names = nat.column("n_name").take(pa.array(no[pos]))
     return pa.table({
         "c_custkey": top.column("c_custkey"),

@@ -21,3 +21,17 @@ def test_sorted_lookup_empty_keys_and_empty_probes():
     hit, idx = sorted_lookup(np.array([1], dtype=np.int64),
                              np.empty(0, np.int64))
     assert len(hit) == 0 and len(idx) == 0
+
+
+def test_group_sum_multi_values_and_empty():
+    from mapchete_xarray_ray.nputil import group_sum
+
+    k = np.array([7, 2, 7, 2, 5], dtype=np.int64)
+    a = np.array([1, 10, 2, 20, 5], dtype=np.int64)
+    b = np.array([100, 1, 200, 2, 50], dtype=np.int64)
+    uk, sa, sb = group_sum(k, a, b)
+    assert uk.tolist() == [2, 5, 7]
+    assert sa.tolist() == [30, 5, 3]
+    assert sb.tolist() == [3, 50, 300]
+    uk, sa = group_sum(np.empty(0, np.int64), np.empty(0, np.int64))
+    assert len(uk) == 0 and len(sa) == 0
