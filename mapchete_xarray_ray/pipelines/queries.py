@@ -2565,6 +2565,121 @@ GROUP BY l_linestatus
 """
 
 
+SQL_LANG_CENTROID = """
+SELECT lang, dim,
+       sum(floor(CAST(val AS DOUBLE) * 1000000)::BIGINT)::BIGINT AS sum_q,
+       count(*)::BIGINT AS n_vecs
+FROM (
+  SELECT d.lang AS lang,
+         unnest(range(64))::BIGINT AS dim,
+         unnest(e.embedding) AS val
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id)
+GROUP BY lang, dim
+"""
+
+
+def q_lang_centroid(sf_dir: str):
+    """Grouped VECTOR aggregate: the per-language embedding centroid
+    (component sum + vector count per dimension — the caller divides),
+    the class-prototype / per-domain-mean building block of embedding
+    pipelines. Components are quantized ``floor(float64(x) * 1e6)``
+    BEFORE summation so partials are order-independent int64 and the
+    DuckDB twin matches bit-exactly (float sums would depend on
+    association order across batches).
+
+    Plan: embeddings co-group with (doc_id, lang) on the id bucket —
+    ONE exchange that moves each vector once (the lang attach; a
+    broadcast is impossible, documents is corpus-scale). The in-bucket
+    kernel is a single unbuffered ``np.add.at`` of the quantized
+    (n, dim) matrix into a (langs, dim) accumulator, reducing every
+    bucket to a CONSTANT-size partial; the final fold over
+    <= buckets x langs x dim rows happens on the driver (bounded by
+    construction, like the bloom query's final)."""
+    from mapchete_xarray_ray.stages.ann import _embedding_matrix
+
+    DIM = 64
+
+    def e_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "id": batch.column("vec_id").cast(pa.int64()),
+            "lang": pa.array([""] * n, pa.string()),
+            "embedding": batch.column("embedding"),
+            "is_doc": pa.array(np.zeros(n, dtype=bool)),
+        })
+
+    def d_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty_vecs = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=np.int32)),
+            pa.array([], pa.float32()))
+        return pa.table({
+            "id": batch.column("doc_id").cast(pa.int64()),
+            "lang": batch.column("lang"),
+            "embedding": empty_vecs,
+            "is_doc": pa.array(np.ones(n, dtype=bool)),
+        })
+
+    EMPTY = {"lang": pa.string(), "dim": pa.int64(),
+             "sum_q": pa.int64(), "n_vecs": pa.int64()}
+
+    def centroid_partial(group: pa.Table) -> pa.Table:
+        if "id" not in group.column_names or group.num_rows == 0:
+            return pa.table({n: pa.array([], t) for n, t in EMPTY.items()})
+        isd = group.column("is_doc").to_numpy(zero_copy_only=False)
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        docs = group.filter(pa.array(isd))
+        embs = group.filter(pa.array(~isd))
+        if docs.num_rows == 0 or embs.num_rows == 0:
+            return pa.table({n: pa.array([], t) for n, t in EMPTY.items()})
+        dk = ids[isd]
+        o = np.argsort(dk, kind="stable")
+        langs = docs.column("lang").to_numpy(zero_copy_only=False)[o]
+        hit, pos = sorted_lookup(dk[o], ids[~isd])
+        kept = embs.filter(pa.array(hit))          # inner join
+        if kept.num_rows == 0:
+            return pa.table({n: pa.array([], t) for n, t in EMPTY.items()})
+        q = np.floor(_embedding_matrix(kept, "embedding")
+                     * 1e6).astype(np.int64)
+        lang_of = langs[pos[hit]]
+        ulang, codes = np.unique(lang_of, return_inverse=True)
+        acc = np.zeros((len(ulang), q.shape[1]), dtype=np.int64)
+        np.add.at(acc, codes, q)
+        cnt = np.bincount(codes, minlength=len(ulang)).astype(np.int64)
+        nl, d = len(ulang), q.shape[1]
+        return pa.table({
+            "lang": pa.array(np.repeat(ulang, d), pa.string()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), nl)),
+            "sum_q": pa.array(acc.reshape(-1), pa.int64()),
+            "n_vecs": pa.array(np.repeat(cnt, d), pa.int64()),
+        })
+
+    emb = _read(f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"]
+                ).map_batches(e_rows, batch_format="pyarrow")
+    docs = _docs(sf_dir, ["doc_id", "lang"]
+                 ).map_batches(d_rows, batch_format="pyarrow")
+    partials = (_regroup(emb.union(docs)
+                         .map_batches(_mod_bucket("id", "ib", empty={
+                             "id": pa.int64(), "lang": pa.string(),
+                             "embedding": pa.list_(pa.float32()),
+                             "is_doc": pa.bool_()}),
+                             batch_format="pyarrow"), 0.25)
+                .groupby("ib")
+                .map_groups(centroid_partial, batch_format="pyarrow"))
+    part = collect_table(partials)
+    if part.num_rows == 0:
+        return pa.table({n: pa.array([], t) for n, t in EMPTY.items()})
+    g = part.group_by(["lang", "dim"]).aggregate(
+        [("sum_q", "sum"), ("n_vecs", "sum")])
+    return pa.table({
+        "lang": g.column("lang").cast(pa.string()),
+        "dim": g.column("dim").cast(pa.int64()),
+        "sum_q": g.column("sum_q_sum").cast(pa.int64()),
+        "n_vecs": g.column("n_vecs_sum").cast(pa.int64()),
+    })
+
+
 SQL_BEST_PER_SOURCE = """
 SELECT source, doc_id, n_chars FROM (
   SELECT source, doc_id, n_chars,
@@ -4053,6 +4168,7 @@ REGISTRY: dict[str, tuple] = {
     "events_late": (q_events_late, SQL_EVENTS_LATE),
     "best_per_source": (q_best_per_source, SQL_BEST_PER_SOURCE),
     "customer_revenue": (q_customer_revenue, SQL_CUSTOMER_REVENUE),
+    "lang_centroid": (q_lang_centroid, SQL_LANG_CENTROID),
 }
 
 
