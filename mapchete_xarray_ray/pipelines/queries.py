@@ -1885,6 +1885,10 @@ def q_events_late(sf_dir: str):
         # pre-reduction keeps the product well inside int64 for any id.
         return ((e % 1000003) * 2654435761) % 600000001 - 300000000
 
+    # materialize = pin the 3-int-column PROJECTION (not the table) for
+    # the two passes below; re-scanning parquet twice would cost more
+    # than object-store residency at this width, and the object store
+    # spills if it must
     ev = _read(f"{sf_dir}/events.parquet",
                columns=["event_id", "ts", "user_id"]).materialize()
 
