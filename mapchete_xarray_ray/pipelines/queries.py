@@ -680,6 +680,36 @@ FROM documents
 """
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (the curation scrub pass): emails then long digit
+    runs replaced by typed placeholders, with per-doc redaction counts.
+    Map-only (no exchange), one vectorized RE2 pass per pattern —
+    pyarrow and DuckDB share RE2, so the scrubbed TEXT itself is under
+    the driver hash, not just the counts."""
+    from mapchete_xarray_ray.stages.text import pii_scrub_stage
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(pii_scrub_stage, batch_format="pyarrow")
+        .select_columns(["doc_id", "clean_text", "n_emails", "n_numbers"])
+    )
+
+
+def _pii_sql() -> str:
+    from mapchete_xarray_ray.stages.text import PII_DIGITS, PII_EMAIL
+
+    return f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{PII_DIGITS}', '<NUM>', 'g') AS clean_text,
+       len(regexp_extract_all(text, '{PII_EMAIL}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(
+             regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_DIGITS}'))::BIGINT AS n_numbers
+FROM documents
+"""
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-heuristic language ID with per-lang hit counts."""
     from mapchete_xarray_ray.stages.text import langid_stage
@@ -4173,6 +4203,7 @@ REGISTRY: dict[str, tuple] = {
     "best_per_source": (q_best_per_source, SQL_BEST_PER_SOURCE),
     "customer_revenue": (q_customer_revenue, SQL_CUSTOMER_REVENUE),
     "lang_centroid": (q_lang_centroid, SQL_LANG_CENTROID),
+    "pii_scrub": (q_pii_scrub, _pii_sql()),
 }
 
 

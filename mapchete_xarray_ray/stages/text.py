@@ -123,6 +123,32 @@ def langid_sql_parts(text_expr: str = "text"):
     return hits, case
 
 
+# --- PII scrub (curation redaction pass) ----------------------------------
+
+# RE2 patterns — pyarrow's replace/count _regex kernels and DuckDB's
+# regexp_* share RE2 semantics, so the SQL twin is exact (same parity
+# base as split_pattern_regex above). Kept deliberately simple and
+# ASCII-classed: email-shaped tokens and long digit runs (phone/account
+# numbers); real deployments would extend the pattern table.
+PII_EMAIL = r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+"
+PII_DIGITS = r"[0-9]{6,}"
+
+
+def pii_scrub_stage(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Redact email addresses then long digit runs (two vectorized RE2
+    passes over the whole batch — order matters and is mirrored in the
+    SQL twin: digits inside an email are consumed by the email token).
+    Appends ``clean_text`` plus integer redaction counts."""
+    text = batch.column(col)
+    n_email = pc.count_substring_regex(text, PII_EMAIL).cast(pa.int64())
+    step1 = pc.replace_substring_regex(text, PII_EMAIL, "<EMAIL>")
+    n_num = pc.count_substring_regex(step1, PII_DIGITS).cast(pa.int64())
+    clean = pc.replace_substring_regex(step1, PII_DIGITS, "<NUM>")
+    out = batch.append_column("clean_text", clean)
+    out = out.append_column("n_emails", n_email)
+    return out.append_column("n_numbers", n_num)
+
+
 # --- document fingerprint (rolling hash; not SQL-expressible) ------------
 
 _FP_BASE = np.uint64(257)

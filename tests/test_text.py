@@ -175,3 +175,30 @@ def test_weighted_sample_aes_vs_bruteforce(sf_dir):
     mean_all = np.mean(tbl.column("n_chars").to_numpy(zero_copy_only=False))
     mean_sel = np.mean(got.column("n_chars").to_numpy(zero_copy_only=False))
     assert mean_sel > mean_all
+
+
+def test_pii_scrub_redacts_and_counts():
+    """The fixture corpus carries no PII (the driver hash check passes
+    on identity there) — this test supplies the signal: emails redact
+    first, then digit runs, counts match, and digits INSIDE an email
+    are consumed by the email token (order dependence pinned)."""
+    from mapchete_xarray_ray.stages.text import pii_scrub_stage
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "write bob.smith+x@ex-a.mple.com or call 0123456789",
+            "ids 123456 and 9876543210, mail a@b.co",
+            "clean text, short 12345 stays",
+            "",
+        ]),
+    })
+    out = pii_scrub_stage(t)
+    assert out.column("clean_text").to_pylist() == [
+        "write <EMAIL> or call <NUM>",
+        "ids <NUM> and <NUM>, mail <EMAIL>",
+        "clean text, short 12345 stays",
+        "",
+    ]
+    assert out.column("n_emails").to_pylist() == [1, 1, 0, 0]
+    assert out.column("n_numbers").to_pylist() == [1, 2, 0, 0]
