@@ -4213,6 +4213,7 @@ def _wrap(fn):
 
     wrapped.__name__ = fn.__name__
     wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn  # tools/profile_query.py needs the Dataset
     return wrapped
 
 
