@@ -698,6 +698,11 @@ def q_pii_scrub(sf_dir: str):
 def _pii_sql() -> str:
     from mapchete_xarray_ray.stages.text import PII_DIGITS, PII_EMAIL
 
+    # SQL-literal-escape the patterns: today they carry no quote, but
+    # the pattern table is meant to be extended and a bare ' would
+    # silently malform the twin
+    PII_EMAIL = PII_EMAIL.replace("'", "''")
+    PII_DIGITS = PII_DIGITS.replace("'", "''")
     return f"""
 SELECT doc_id,
        regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
@@ -2631,8 +2636,6 @@ def q_lang_centroid(sf_dir: str):
     construction, like the bloom query's final)."""
     from mapchete_xarray_ray.stages.ann import _embedding_matrix
 
-    DIM = 64
-
     def e_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table({
@@ -4208,12 +4211,12 @@ REGISTRY: dict[str, tuple] = {
 
 
 def _wrap(fn):
-    def wrapped(sf_dir: str):
+    import functools
+
+    @functools.wraps(fn)  # sets __wrapped__: profile_query needs the
+    def wrapped(sf_dir: str):  # Dataset-returning original
         return collect_table(fn(sf_dir))
 
-    wrapped.__name__ = fn.__name__
-    wrapped.__doc__ = fn.__doc__
-    wrapped.__wrapped__ = fn  # tools/profile_query.py needs the Dataset
     return wrapped
 
 

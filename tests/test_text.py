@@ -185,12 +185,16 @@ def test_pii_scrub_redacts_and_counts():
     from mapchete_xarray_ray.stages.text import pii_scrub_stage
 
     t = pa.table({
-        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
         "text": pa.array([
             "write bob.smith+x@ex-a.mple.com or call 0123456789",
             "ids 123456 and 9876543210, mail a@b.co",
             "clean text, short 12345 stays",
             "",
+            # 6+ digit run INSIDE the email local part: the email pass
+            # must consume it whole (digits-first would leave
+            # "user<NUM>@mail.com" -> "user<<EMAIL>" with n_numbers=1)
+            "user123456@mail.com wrote",
         ]),
     })
     out = pii_scrub_stage(t)
@@ -199,6 +203,7 @@ def test_pii_scrub_redacts_and_counts():
         "ids <NUM> and <NUM>, mail <EMAIL>",
         "clean text, short 12345 stays",
         "",
+        "<EMAIL> wrote",
     ]
-    assert out.column("n_emails").to_pylist() == [1, 1, 0, 0]
-    assert out.column("n_numbers").to_pylist() == [1, 2, 0, 0]
+    assert out.column("n_emails").to_pylist() == [1, 1, 0, 0, 1]
+    assert out.column("n_numbers").to_pylist() == [1, 2, 0, 0, 0]

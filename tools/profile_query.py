@@ -6,13 +6,14 @@ Usage: python tools/profile_query.py <query> [sf_dir] [--cpus N]
 Runs the query once (cold caches), consumes it streamingly, and prints
 ``Dataset.stats()`` — per-operator wall/CPU/rows/bytes, actor pool
 sizing, and shuffle suboperator breakdowns. Queries that end in a
-driver-side fold return a plain Arrow table; for those the LAST
-executed Dataset's stats are still visible via Ray's captured stats
-tree printed here, plus a note that the fold itself is driver-time.
+driver-side fold return a plain Arrow table; for those only total wall
+time + row count print here, and the per-operator trees for the inner
+Dataset stages are in the Ray Data logs the output points to.
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -21,17 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    cpus = 32
-    for a in sys.argv[1:]:
-        if a.startswith("--cpus"):
-            cpus = int(a.split("=", 1)[1] if "=" in a
-                       else sys.argv[sys.argv.index(a) + 1])
-    if not args:
-        print(__doc__)
-        return 2
-    name = args[0]
-    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    p = argparse.ArgumentParser(
+        description="Per-operator Ray Data stats for one registry query")
+    p.add_argument("query")
+    p.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    p.add_argument("--cpus", type=int, default=32)
+    ns = p.parse_args()
+    name, sf_dir, cpus = ns.query, ns.sf_dir, ns.cpus
 
     import ray
 
