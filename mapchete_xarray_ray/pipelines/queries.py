@@ -2007,6 +2007,111 @@ def q_events_late(sf_dir: str):
         "ts_us": pa.int64(), "late_by_us": pa.int64()})
 
 
+SQL_EVENTS_RANK = """
+SELECT event_id,
+       row_number() OVER (ORDER BY ts, event_id)::BIGINT AS rank
+FROM events
+"""
+
+
+def q_events_rank(sf_dir: str):
+    """Global order statistics WITHOUT a global sort barrier: every
+    event's dense rank in (ts, event_id) order — §2.6's missing global
+    member (top-k and per-group sorts existed; total order did not).
+
+    The scale shape is the canonical two-phase distributed rank: one
+    map pass emits per-1h-time-range COUNTS (constant-size partials),
+    the driver folds the tiny range table into an exclusive prefix-sum
+    (range-count-sized — the only thing it holds) and broadcasts it,
+    and a range-bucketed co-group sorts each range locally, stamping
+    rank = range offset + in-range position. No all-to-all sort of the
+    data itself; the exchange is the same bucketed groupby every other
+    operator uses, and range width is a knob (target rows per range)."""
+    RANGE_US = 3_600_000_000  # 1h event-time ranges
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def range_counts(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        rb = t // RANGE_US
+        uniq, cnt = np.unique(rb, return_counts=True)
+        return pa.table({"rb": pa.array(uniq, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    part = collect_table(ev.map_batches(range_counts,
+                                        batch_format="pyarrow"))
+    rb = part.column("rb").to_numpy(zero_copy_only=False)
+    cnt = part.column("cnt").to_numpy(zero_copy_only=False)
+    uniq_rb, total = group_sum(rb, cnt)
+    offsets = np.concatenate(([0], np.cumsum(total)[:-1])) \
+        if len(total) else total
+    pref_ref = ray.put((uniq_rb, offsets))
+
+    def add_rb(batch: pa.Table) -> pa.Table:
+        if "event_id" not in batch.column_names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "rb": pa.array([], pa.int64())})
+        t = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return batch.append_column(
+            "rb", pa.array((t // RANGE_US).astype(np.int64)))
+
+    def stamp(group: pa.Table) -> pa.Table:
+        if "event_id" not in group.column_names or group.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        e = group.column("event_id").to_numpy(zero_copy_only=False)
+        t = group.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ranges, prefix = ray.get(pref_ref)
+        hit, pos = sorted_lookup(ranges, t[:1] // RANGE_US)
+        if not hit.all():
+            raise KeyError("ts range missing from prefix table")
+        base = prefix[pos[0]]
+        order = np.lexsort((e, t))
+        rank = np.empty(len(e), dtype=np.int64)
+        rank[order] = base + 1 + np.arange(len(e), dtype=np.int64)
+        return pa.table({"event_id": pa.array(e, pa.int64()),
+                         "rank": pa.array(rank, pa.int64())})
+
+    out = (_regroup(ev.map_batches(add_rb, batch_format="pyarrow"))
+           .groupby("rb")
+           .map_groups(stamp, batch_format="pyarrow"))
+    return _schema_finalize(out, {"event_id": pa.int64(),
+                                  "rank": pa.int64()})
+
+
+SQL_EVENTS_SORTED_HEAD = """
+SELECT event_id, epoch_us(ts) AS ts_us
+FROM events ORDER BY ts, event_id LIMIT 100
+"""
+
+
+def q_events_sorted_head(sf_dir: str):
+    """Native ``Dataset.sort`` interop (the §2.6 global sort expressed
+    with Ray Data's built-in range-partitioned sort, the way
+    ``orders_lineitem_join_native`` mirrors the co-group join): first
+    100 events in (ts, event_id) order. The sort is a real all-to-all
+    (sample -> range partition -> per-partition sort); limit() then
+    stops the stream after the first blocks, so only the head is ever
+    collected."""
+    ev = _read(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if "event_id" not in batch.column_names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "ts_us": pa.array([], pa.int64())})
+        return pa.table({
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+        })
+
+    return (ev.sort(["ts", "event_id"]).limit(100)
+            .map_batches(finalize, batch_format="pyarrow"))
+
+
 def q_events_asof(sf_dir: str):
     """As-of self-join: each event paired with the most recent PRIOR
     event of the same user (the classic as-of/point-in-time join,
@@ -4207,6 +4312,8 @@ REGISTRY: dict[str, tuple] = {
     "customer_revenue": (q_customer_revenue, SQL_CUSTOMER_REVENUE),
     "lang_centroid": (q_lang_centroid, SQL_LANG_CENTROID),
     "pii_scrub": (q_pii_scrub, _pii_sql()),
+    "events_rank": (q_events_rank, SQL_EVENTS_RANK),
+    "events_sorted_head": (q_events_sorted_head, SQL_EVENTS_SORTED_HEAD),
 }
 
 
