@@ -2007,6 +2007,105 @@ def q_events_late(sf_dir: str):
         "ts_us": pa.int64(), "late_by_us": pa.int64()})
 
 
+SQL_FUNNEL = """
+WITH f AS (
+  SELECT user_id,
+         coalesce(min(CASE WHEN event_type = 'view'
+                           THEN epoch_us(ts) END), -1)::BIGINT
+           AS first_view_us,
+         coalesce(min(CASE WHEN event_type = 'click'
+                           THEN epoch_us(ts) END), -1)::BIGINT
+           AS first_click_us,
+         coalesce(min(CASE WHEN event_type = 'purchase'
+                           THEN epoch_us(ts) END), -1)::BIGINT
+           AS first_purchase_us
+  FROM events GROUP BY user_id)
+SELECT user_id, first_view_us, first_click_us, first_purchase_us,
+       (CASE WHEN first_view_us >= 0
+                  AND first_click_us > first_view_us
+                  AND first_purchase_us > first_click_us
+             THEN 1 ELSE 0 END)::BIGINT AS converted
+FROM f
+"""
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel(sf_dir: str):
+    """Funnel / conversion analysis — the behavioral-analytics staple:
+    per user, the FIRST time of each step (view -> click -> purchase)
+    and whether the user converted (strictly increasing first-times;
+    a missing step or a tie breaks the funnel). Missing steps encode
+    as -1 so the row stays integer-exact under the driver hash.
+
+    Scale shape: first-times are MINIMUMS, so the per-batch combiner
+    reduces each batch to <= one (user, step, min_ts) row per pair —
+    the exchange moves constant partials per user, never events — and
+    the per-user pivot runs in the bucketed co-group, vectorized."""
+    CODES = {s: i for i, s in enumerate(_FUNNEL_STEPS)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        keep = np.isin(et, _FUNNEL_STEPS)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)[keep]
+        t = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[keep]
+        code = np.array([CODES[s] for s in et[keep]], dtype=np.int64) \
+            if keep.any() else np.empty(0, np.int64)
+        # first per (user, step): sort by (user, code, ts), take run heads
+        order = np.lexsort((t, code, u))
+        u_s, c_s, t_s = u[order], code[order], t[order]
+        first = np.ones(len(u_s), dtype=bool)
+        first[1:] = (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1])
+        return pa.table({
+            "user_id": pa.array(u_s[first], pa.int64()),
+            "step": pa.array(c_s[first], pa.int64()),
+            "ts_min": pa.array(t_s[first], pa.int64()),
+        })
+
+    def pivot(group: pa.Table) -> pa.Table:
+        empty = {"user_id": pa.int64(), "first_view_us": pa.int64(),
+                 "first_click_us": pa.int64(),
+                 "first_purchase_us": pa.int64(), "converted": pa.int64()}
+        if "user_id" not in group.column_names or group.num_rows == 0:
+            return pa.table({n: pa.array([], t) for n, t in empty.items()})
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        c = group.column("step").to_numpy(zero_copy_only=False)
+        t = group.column("ts_min").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(u, return_inverse=True)
+        firsts = np.full((len(uniq), len(_FUNNEL_STEPS)), -1,
+                         dtype=np.int64)
+        # fold batch partials: keep the min ts per (user, step)
+        order = np.lexsort((t, c, inv))
+        head = np.ones(len(order), dtype=bool)
+        head[1:] = ((inv[order][1:] != inv[order][:-1])
+                    | (c[order][1:] != c[order][:-1]))
+        sel = order[head]
+        firsts[inv[sel], c[sel]] = t[sel]
+        v, cl, p = firsts[:, 0], firsts[:, 1], firsts[:, 2]
+        conv = ((v >= 0) & (cl > v) & (p > cl)).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uniq, pa.int64()),
+            "first_view_us": pa.array(v, pa.int64()),
+            "first_click_us": pa.array(cl, pa.int64()),
+            "first_purchase_us": pa.array(p, pa.int64()),
+            "converted": pa.array(conv, pa.int64()),
+        })
+
+    ev = _read(f"{sf_dir}/events.parquet",
+               columns=["user_id", "event_type", "ts"])
+    out = (_regroup(ev.map_batches(partial, batch_format="pyarrow")
+                    .map_batches(_mod_bucket("user_id", "ub", empty={
+                        "user_id": pa.int64(), "step": pa.int64(),
+                        "ts_min": pa.int64()}), batch_format="pyarrow"))
+           .groupby("ub")
+           .map_groups(pivot, batch_format="pyarrow"))
+    return _schema_finalize(out, {
+        "user_id": pa.int64(), "first_view_us": pa.int64(),
+        "first_click_us": pa.int64(), "first_purchase_us": pa.int64(),
+        "converted": pa.int64()})
+
+
 SQL_EVENTS_RANK = """
 SELECT event_id,
        row_number() OVER (ORDER BY ts, event_id)::BIGINT AS rank
@@ -4314,6 +4413,7 @@ REGISTRY: dict[str, tuple] = {
     "pii_scrub": (q_pii_scrub, _pii_sql()),
     "events_rank": (q_events_rank, SQL_EVENTS_RANK),
     "events_sorted_head": (q_events_sorted_head, SQL_EVENTS_SORTED_HEAD),
+    "funnel": (q_funnel, SQL_FUNNEL),
 }
 
 
