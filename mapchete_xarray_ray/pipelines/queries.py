@@ -2028,6 +2028,105 @@ SELECT user_id, first_view_us, first_click_us, first_purchase_us,
 FROM f
 """
 
+SQL_RETENTION = """
+WITH activity AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS h
+  FROM events),
+first_seen AS (
+  SELECT user_id, min(h) AS cohort_h FROM activity GROUP BY user_id)
+SELECT f.cohort_h::BIGINT AS cohort_hour,
+       (a.h - f.cohort_h)::BIGINT AS offset_hours,
+       count(*)::BIGINT AS n_users
+FROM activity a JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_retention(sf_dir: str):
+    """Cohort retention — the second canonical behavioral-analytics
+    workload next to the funnel: users grouped by the hour they were
+    FIRST active (the cohort), counted in every later hour they return
+    (offset from cohort). Output: (cohort_hour, offset_hours, n_users).
+
+    Scale shape: the per-batch combiner reduces events to DISTINCT
+    (user, hour) pairs — everything downstream (cohort = min hour,
+    offsets, counting) derives from that set, so the single
+    user-bucketed exchange moves at most one row per (batch, user,
+    active-hour), never events. The per-user fold emits per-(cohort,
+    offset) partial counts (a second combiner), and one small groupby
+    folds those."""
+    H_US = 3_600_000_000
+
+    def distinct_uh(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        h = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // H_US
+        key = np.stack([u, h])
+        uniq = np.unique(key, axis=1)
+        return pa.table({"user_id": pa.array(uniq[0], pa.int64()),
+                         "h": pa.array(uniq[1], pa.int64())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = {"cohort_hour": pa.int64(), "offset_hours": pa.int64(),
+                 "n_users": pa.int64()}
+        if "user_id" not in group.column_names or group.num_rows == 0:
+            return pa.table({n: pa.array([], t) for n, t in empty.items()})
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        # per-user: cohort = min hour; one (cohort, offset) row per
+        # DISTINCT (user, hour) — batch partials may repeat pairs
+        order = np.lexsort((h, u))
+        u_s, h_s = u[order], h[order]
+        keep = np.ones(len(u_s), dtype=bool)
+        keep[1:] = (u_s[1:] != u_s[:-1]) | (h_s[1:] != h_s[:-1])
+        u_s, h_s = u_s[keep], h_s[keep]
+        new_user = np.ones(len(u_s), dtype=bool)
+        new_user[1:] = u_s[1:] != u_s[:-1]
+        cohort = h_s[np.flatnonzero(new_user)]
+        cohort_rep = np.repeat(cohort, np.diff(np.append(
+            np.flatnonzero(new_user), len(u_s))))
+        off = h_s - cohort_rep
+        # combiner: partial counts per (cohort, offset) in this bucket
+        key = cohort_rep * (1 << 32) + off   # off < 2^32 hours (490k yr)
+        uk, n = group_sum(key, np.ones(len(key), dtype=np.int64))
+        return pa.table({
+            "cohort_hour": pa.array(uk >> 32, pa.int64()),
+            "offset_hours": pa.array(uk & ((1 << 32) - 1), pa.int64()),
+            "n_users": pa.array(n, pa.int64()),
+        })
+
+    def final(group: pa.Table) -> pa.Table:
+        if "cohort_hour" not in group.column_names or group.num_rows == 0:
+            return pa.table({"cohort_hour": pa.array([], pa.int64()),
+                             "offset_hours": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        g = group.group_by(["cohort_hour", "offset_hours"]).aggregate(
+            [("n_users", "sum")])
+        return pa.table({
+            "cohort_hour": g.column("cohort_hour").cast(pa.int64()),
+            "offset_hours": g.column("offset_hours").cast(pa.int64()),
+            "n_users": g.column("n_users_sum").cast(pa.int64()),
+        })
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    partials = (_regroup(ev.map_batches(distinct_uh,
+                                        batch_format="pyarrow")
+                         .map_batches(_mod_bucket("user_id", "ub", empty={
+                             "user_id": pa.int64(), "h": pa.int64()}),
+                             batch_format="pyarrow"))
+                .groupby("ub")
+                .map_groups(fold, batch_format="pyarrow"))
+    out = (_regroup(partials.map_batches(
+        _mod_bucket("cohort_hour", "cb", empty={
+            "cohort_hour": pa.int64(), "offset_hours": pa.int64(),
+            "n_users": pa.int64()}), batch_format="pyarrow"), 0.125)
+        .groupby("cb")
+        .map_groups(final, batch_format="pyarrow"))
+    return _schema_finalize(out, {"cohort_hour": pa.int64(),
+                                  "offset_hours": pa.int64(),
+                                  "n_users": pa.int64()})
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -4414,6 +4513,7 @@ REGISTRY: dict[str, tuple] = {
     "events_rank": (q_events_rank, SQL_EVENTS_RANK),
     "events_sorted_head": (q_events_sorted_head, SQL_EVENTS_SORTED_HEAD),
     "funnel": (q_funnel, SQL_FUNNEL),
+    "retention": (q_retention, SQL_RETENTION),
 }
 
 
