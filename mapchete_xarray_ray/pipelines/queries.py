@@ -2028,6 +2028,209 @@ SELECT user_id, first_view_us, first_click_us, first_purchase_us,
 FROM f
 """
 
+_PR_STEP = """
+SELECT n.v, (150000 + (850 * COALESCE(m.acc, 0)) // 1000)::BIGINT AS s
+FROM nodes n LEFT JOIN (
+  SELECT e.dst AS v, sum({prev}.s // deg.d)::BIGINT AS acc
+  FROM e JOIN {prev} ON {prev}.v = e.src JOIN deg ON deg.v = e.src
+  GROUP BY e.dst) m ON m.v = n.v
+"""
+SQL_PAGERANK = f"""
+WITH e AS (
+  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+  FROM lineitem
+  UNION ALL
+  SELECT DISTINCT l_partkey * 2 + 1 AS src, l_orderkey * 2 AS dst
+  FROM lineitem),
+nodes AS (SELECT DISTINCT src AS v FROM e),
+deg AS (SELECT src AS v, count(*)::BIGINT AS d FROM e GROUP BY src),
+s0 AS (SELECT v, 1000000::BIGINT AS s FROM nodes),
+s1 AS ({_PR_STEP.format(prev='s0')}),
+s2 AS ({_PR_STEP.format(prev='s1')}),
+s3 AS ({_PR_STEP.format(prev='s2')})
+SELECT v AS node_id, s AS score FROM s3
+"""
+
+_PR_ITERS = 3
+
+
+def q_pagerank(sf_dir: str):
+    """Iterative numeric graph algorithm — integer-quantized PageRank
+    over the bipartite order<->part graph (node id = orderkey*2 /
+    partkey*2+1; undirected by emitting both directions). Scores are
+    pure int64 arithmetic (contrib = score // deg; next = 150000 +
+    850*acc // 1000, i.e. damping 0.85 at 1e6 scale), so every
+    iteration is order-independent and the fixed-{_PR_ITERS}-round
+    chained-CTE DuckDB twin matches bit-exactly — the usual float
+    power iteration could never be hash-checked.
+
+    Scale shape per round (the label-propagation skeleton of
+    connected_components_ds, numeric messages instead of min):
+    (1) src-bucketed co-group of edges with (score, deg) rows emits
+    per-dst PARTIAL contribution sums — a combiner, <= one row per
+    (bucket, dst); (2) a dst-bucketed co-group folds partials with the
+    node-degree rows into next-round scores. Edges and node rows
+    materialize ONCE; only score rows rebuild per round (one
+    materialize per round, the CC lazy-drop trick). The driver never
+    holds nodes, edges, or scores."""
+    def pairs(batch: pa.Table) -> pa.Table:
+        o = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        src = np.concatenate([o * 2, p * 2 + 1])
+        dst = np.concatenate([p * 2 + 1, o * 2])
+        uniq = np.unique(np.stack([src, dst]), axis=1)  # batch combiner
+        return pa.table({"src": pa.array(uniq[0], pa.int64()),
+                         "dst": pa.array(uniq[1], pa.int64())})
+
+    def build(group: pa.Table) -> pa.Table:
+        """global edge distinct + per-src degree (the bucket holds ALL
+        edges of its srcs). Emits edge rows (kind=0) and node rows
+        (kind=1, d=deg, s=initial score)."""
+        empty = {"src": pa.int64(), "dst": pa.int64(), "d": pa.int64(),
+                 "s": pa.int64(), "kind": pa.int64()}
+        if "src" not in group.column_names or group.num_rows == 0:
+            return pa.table({n: pa.array([], t) for n, t in empty.items()})
+        s = group.column("src").to_numpy(zero_copy_only=False)
+        t = group.column("dst").to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([s, t]), axis=1)
+        s, t = uniq[0], uniq[1]
+        uv, deg = group_sum(s, np.ones(len(s), dtype=np.int64))
+        z_e = np.zeros(len(s), dtype=np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([s, uv]), pa.int64()),
+            "dst": pa.array(np.concatenate([t, np.full(len(uv), -1,
+                                                       np.int64)])),
+            "d": pa.array(np.concatenate([z_e, deg]), pa.int64()),
+            "s": pa.array(np.concatenate(
+                [z_e, np.full(len(uv), 1_000_000, np.int64)]), pa.int64()),
+            "kind": pa.array(np.concatenate(
+                [z_e, np.ones(len(uv), np.int64)]), pa.int64()),
+        })
+
+    def contribs(group: pa.Table) -> pa.Table:
+        """src-bucket co-group: per-dst partial contribution sums."""
+        if "src" not in group.column_names or group.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "acc": pa.array([], pa.int64())})
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        src = group.column("src").to_numpy(zero_copy_only=False)
+        is_n = kind == 1
+        nv = src[is_n]
+        o = np.argsort(nv, kind="stable")
+        nv = nv[o]
+        nd = group.column("d").to_numpy(zero_copy_only=False)[is_n][o]
+        ns = group.column("s").to_numpy(zero_copy_only=False)[is_n][o]
+        e_src, e_dst = src[~is_n], group.column("dst").to_numpy(
+            zero_copy_only=False)[~is_n]
+        hit, pos = sorted_lookup(nv, e_src)
+        if not hit.all():
+            raise KeyError("edge source missing from score table")
+        contrib = ns[pos] // nd[pos]
+        uv, acc = group_sum(e_dst, contrib)
+        return pa.table({"v": pa.array(uv, pa.int64()),
+                         "acc": pa.array(acc, pa.int64())})
+
+    def fold_scores(group: pa.Table) -> pa.Table:
+        """dst-bucket co-group: partial sums + node-deg rows -> next
+        score rows (same schema as build's node rows)."""
+        empty = {"src": pa.int64(), "dst": pa.int64(), "d": pa.int64(),
+                 "s": pa.int64(), "kind": pa.int64()}
+        if "v" not in group.column_names or group.num_rows == 0:
+            return pa.table({n: pa.array([], t) for n, t in empty.items()})
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        acc = group.column("acc").to_numpy(zero_copy_only=False)
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        is_n = kind == 1
+        uv, total = group_sum(v[~is_n], acc[~is_n])
+        nv = v[is_n]
+        o = np.argsort(nv, kind="stable")
+        nv, nd = nv[o], acc[is_n][o]
+        hit, pos = sorted_lookup(uv, nv)
+        summed = np.where(hit, total[pos] if len(uv) else 0, 0)
+        s_new = 150_000 + (850 * summed) // 1000
+        return pa.table({
+            "src": pa.array(nv, pa.int64()),
+            "dst": pa.array(np.full(len(nv), -1, np.int64)),
+            "d": pa.array(nd, pa.int64()),
+            "s": pa.array(s_new, pa.int64()),
+            "kind": pa.array(np.ones(len(nv), np.int64)),
+        })
+
+    li = _read(f"{sf_dir}/lineitem.parquet",
+               columns=["l_orderkey", "l_partkey"])
+    graph = (_regroup(li.map_batches(pairs, batch_format="pyarrow")
+                      .map_batches(_mod_bucket("src", "sb", empty={
+                          "src": pa.int64(), "dst": pa.int64()}),
+                          batch_format="pyarrow"))
+             .groupby("sb")
+             .map_groups(build, batch_format="pyarrow")
+             .materialize())
+    def keep_kind(k: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if "kind" not in batch.column_names:
+                return pa.table({n: pa.array([], t) for n, t in {
+                    "src": pa.int64(), "dst": pa.int64(),
+                    "d": pa.int64(), "s": pa.int64(),
+                    "kind": pa.int64()}.items()})
+            m = batch.column("kind").to_numpy(zero_copy_only=False) == k
+            return batch.filter(pa.array(m))
+        return fn
+
+    edges = graph.map_batches(keep_kind(0),
+                              batch_format="pyarrow").materialize()
+    scores = graph.map_batches(keep_kind(1),
+                               batch_format="pyarrow").materialize()
+    sbucket = _mod_bucket("src", "sb", empty={
+        "src": pa.int64(), "dst": pa.int64(), "d": pa.int64(),
+        "s": pa.int64(), "kind": pa.int64()})
+    # node-deg rows reused every round on the fold side (kind=1 tags
+    # them apart from the contribution partials)
+    def node_acc(batch: pa.Table) -> pa.Table:
+        if "src" not in batch.column_names:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "acc": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int64())})
+        n = batch.num_rows
+        return pa.table({"v": batch.column("src"),
+                         "acc": batch.column("d"),
+                         "kind": pa.array(np.ones(n, np.int64))})
+
+    def part_kind0(batch: pa.Table) -> pa.Table:
+        if "v" not in batch.column_names:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "acc": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int64())})
+        n = batch.num_rows
+        return batch.append_column("kind",
+                                   pa.array(np.zeros(n, np.int64)))
+
+    vbucket = _mod_bucket("v", "vb", empty={
+        "v": pa.int64(), "acc": pa.int64(), "kind": pa.int64()})
+    deg_rows = scores.map_batches(node_acc, batch_format="pyarrow")
+    for _ in range(_PR_ITERS):
+        part = (_regroup(edges.union(scores)
+                         .map_batches(sbucket, batch_format="pyarrow"))
+                .groupby("sb")
+                .map_groups(contribs, batch_format="pyarrow")
+                .map_batches(part_kind0, batch_format="pyarrow"))
+        scores = (_regroup(part.union(deg_rows)
+                           .map_batches(vbucket, batch_format="pyarrow"))
+                  .groupby("vb")
+                  .map_groups(fold_scores, batch_format="pyarrow")
+                  .materialize())
+
+    def project(batch: pa.Table) -> pa.Table:
+        if "src" not in batch.column_names:
+            return pa.table({"node_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        return pa.table({"node_id": batch.column("src"),
+                         "score": batch.column("s")})
+
+    return _schema_finalize(
+        scores.map_batches(project, batch_format="pyarrow"),
+        {"node_id": pa.int64(), "score": pa.int64()})
+
+
 SQL_RETENTION = """
 WITH activity AS (
   SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS h
@@ -4514,6 +4717,7 @@ REGISTRY: dict[str, tuple] = {
     "events_sorted_head": (q_events_sorted_head, SQL_EVENTS_SORTED_HEAD),
     "funnel": (q_funnel, SQL_FUNNEL),
     "retention": (q_retention, SQL_RETENTION),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
 }
 
 
