@@ -3565,11 +3565,19 @@ def _tile_write_bucket(spec_ref, per_tile):
     return fn
 
 
-def _write_counts_archive(sf_dir: str):
-    """Rasterize documents into a fresh per-tile count archive at ZOOM
-    (the shared write half of the store/pyramid roundtrip queries).
-    Returns (spec, spec_ref, written) AFTER the write barrier — only the
-    small (tile_row, tile_col) list lands on the driver."""
+def _per_tile_counts(store, sp, row, col, seg: pa.Table) -> None:
+    """Rasterize one tile's (px, py) rows into a count grid and write it
+    (shared by the shuffle and pre-partitioned store roundtrips)."""
+    px = seg.column("px").to_numpy(zero_copy_only=False)
+    py = seg.column("py").to_numpy(zero_copy_only=False)
+    grid = np.zeros((256, 256), dtype=np.int32)
+    np.add.at(grid, (py % 256, px % 256), 1)
+    store.write_tile(row, col, grid[None])  # (bands, h, w)
+
+
+def _fresh_counts_spec(prefix: str):
+    """Fresh tmp-dir JobSpec + initialized archive for a roundtrip query.
+    Returns (base_dir, spec, spec_ref)."""
     import atexit
     import os
     import shutil
@@ -3578,23 +3586,24 @@ def _write_counts_archive(sf_dir: str):
     from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
     from mapchete_xarray_ray.spec import JobSpec
 
-    out_dir = tempfile.mkdtemp(prefix="store_rt_", dir="/tmp")
+    base = tempfile.mkdtemp(prefix=prefix, dir="/tmp")
     # consumed lazily after return -> clean at process exit, not here
-    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
-    spec = JobSpec(path=os.path.join(out_dir, "counts.zarr"), zoom=ZOOM,
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    spec = JobSpec(path=os.path.join(base, "counts.zarr"), zoom=ZOOM,
                    bounds=(-180.0, -90.0, 180.0, 90.0), bands=1,
                    dtype="int32", nodata=0)
     ZarrTileStore(spec, compressor=_store_compressor()).initialize()
     spec_ref = ray.put(spec)  # broadcast once; actors rebuild the handle
+    return base, spec, spec_ref
 
-    def per_tile_counts(store, sp, row, col, seg: pa.Table) -> None:
-        px = seg.column("px").to_numpy(zero_copy_only=False)
-        py = seg.column("py").to_numpy(zero_copy_only=False)
-        grid = np.zeros((256, 256), dtype=np.int32)
-        np.add.at(grid, (py % 256, px % 256), 1)
-        store.write_tile(row, col, grid[None])  # (bands, h, w)
 
-    write_tile_bucket = _tile_write_bucket(spec_ref, per_tile_counts)
+def _write_counts_archive(sf_dir: str):
+    """Rasterize documents into a fresh per-tile count archive at ZOOM
+    (the shared write half of the store/pyramid roundtrip queries).
+    Returns (spec, spec_ref, written) AFTER the write barrier — only the
+    small (tile_row, tile_col) list lands on the driver."""
+    _base, spec, spec_ref = _fresh_counts_spec("store_rt_")
+    write_tile_bucket = _tile_write_bucket(spec_ref, _per_tile_counts)
 
     written = collect_table(
         _regroup(_docs(sf_dir, ["doc_id"])
@@ -3650,6 +3659,69 @@ def q_store_roundtrip(sf_dir: str):
     # spread the tile work list across blocks: from_arrow yields ONE
     # block, which would run the whole read-back on a single task
     return ray.data.from_arrow(written).repartition(nblocks_for_cluster(1.0, lo=8)).map_batches(
+        _pixel_rows_stage(spec_ref, ZOOM), batch_format="pyarrow")
+
+
+def q_store_roundtrip_prepart(sf_dir: str):
+    """Shuffle-free tile write over PRE-PARTITIONED input (S3 + S10 —
+    the round-2 verdict's "only structural win left"). Phase 1 pays the
+    one all-to-all ONCE, at ingest: assigned rows, already projected
+    narrow, land in hive-partitioned parquet keyed by tile-hash bucket
+    (``sinks/parquet.write_partitioned`` — atomic per-partition markers,
+    so the ingest itself resumes). Phase 2, the recurring job, never
+    shuffles: each partition directory is an independent work item; a
+    task reads its bucket locally and writes its tiles through the
+    exact segment-per-tile path as ``store_roundtrip`` (chunk ownership
+    holds because the partition key is ``tile_id % NB``). At 100 TB
+    this is the layout that amortizes the ingest exchange across every
+    downstream run — re-process, pyramid, incremental — each a pure map
+    job that also resumes per partition. The read-back and SQL twin are
+    IDENTICAL to ``store_roundtrip``, so the driver hash certifies the
+    shuffle-free path produces the same archive content. The reference
+    gets the same property from mapchete's per-tile task list
+    (_output.py:353-390); here the partition layout IS the task list.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mapchete_xarray_ray.sinks.parquet import write_partitioned
+
+    base, _spec, spec_ref = _fresh_counts_spec("store_prepart_")
+    part_dir = os.path.join(base, "pages_by_tb")
+
+    # phase 1 — ingest: the only shuffle, into partitioned storage
+    assigned = (_docs(sf_dir, ["doc_id"])
+                .map_batches(assign_doc_ids_fn(ZOOM), batch_format="pyarrow")
+                .select_columns(["px", "py", "tile_row", "tile_col",
+                                 "tile_id"])
+                .map_batches(_mod_bucket("tile_id", "tb"),
+                             batch_format="pyarrow"))
+    write_partitioned(assigned, part_dir, "tb", mode="overwrite")
+
+    # phase 2 — the tile-write job: a map over partition dirs, no
+    # exchange. pyarrow's dataset reader skips the _SUCCESS markers
+    # (default ignore_prefixes '.', '_').
+    pdirs = sorted(
+        os.path.join(part_dir, d) for d in os.listdir(part_dir)
+        if os.path.exists(os.path.join(part_dir, d, "_SUCCESS")))
+    write_bucket = _tile_write_bucket(spec_ref, _per_tile_counts)
+
+    def write_from_partition(batch: pa.Table) -> pa.Table:
+        outs = [write_bucket(pq.read_table(pdir))
+                for pdir in batch.column("pdir").to_pylist()]
+        return (pa.concat_tables(outs) if outs else
+                pa.table({"tile_row": pa.array([], pa.int64()),
+                          "tile_col": pa.array([], pa.int64())}))
+
+    work = ray.data.from_arrow(pa.table({"pdir": pa.array(pdirs)}))
+    written = collect_table(
+        work.repartition(max(len(pdirs), 1))
+        .map_batches(write_from_partition, batch_format="pyarrow"))
+
+    # phase 3 — read-back, identical to store_roundtrip
+    return ray.data.from_arrow(written).repartition(
+        nblocks_for_cluster(1.0, lo=8)).map_batches(
         _pixel_rows_stage(spec_ref, ZOOM), batch_format="pyarrow")
 
 
@@ -4681,6 +4753,8 @@ REGISTRY: dict[str, tuple] = {
     "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "store_roundtrip": (q_store_roundtrip, SQL_RASTERIZE_ROUNDTRIP),
+    "store_roundtrip_prepart": (q_store_roundtrip_prepart,
+                                SQL_RASTERIZE_ROUNDTRIP),
     "orders_lineitem_join": (q_orders_lineitem_join, SQL_ORDERS_LINEITEM_JOIN),
     "orders_lineitem_join_native": (q_orders_lineitem_join_native,
                                     SQL_ORDERS_LINEITEM_JOIN),
