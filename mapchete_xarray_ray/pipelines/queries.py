@@ -1535,6 +1535,21 @@ def q_ann_ivf(sf_dir: str):
                                   "rank": pa.int64()})
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (compressed ADC scan — the third scale
+    path next to IVF and LSH; see stages/ann.ann_pq_pipeline for the
+    scale contract). Approximate -> rows-only driver check; recall vs
+    brute force and determinism are asserted in tests/test_ann.py."""
+    from mapchete_xarray_ray.stages.ann import ann_pq_pipeline
+
+    emb = _read(f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"])
+    out = ann_pq_pipeline(emb, dim=64, k=5)
+    return _schema_finalize(out, {"vec_id": pa.int64(),
+                                  "neighbor_id": pa.int64(),
+                                  "rank": pa.int64()})
+
+
 def q_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate all-pairs top-k (rows-only; recall +
     determinism asserted in tests/test_ann.py)."""
@@ -4314,6 +4329,111 @@ FROM documents
 """
 
 
+def q_inverted_index(sf_dir: str):
+    """Distributed inverted-index build (term -> sorted posting list)
+    for mid-frequency vocabulary — the retrieval-side primitive of a
+    training-data pipeline (targeted corpus search / contamination
+    checks). One pass emits distinct (doc_id, term) pairs per batch
+    (within-doc dedup via a pyarrow group_by — docs never span
+    batches, so per-batch distinct IS global distinct); pairs shuffle
+    once by term-hash bucket; each bucket segments its rows by term
+    (lexsort + run lengths), drops df-1 singletons, and materializes
+    per-term rows with vectorized Arrow kernels — a zero-copy
+    ListArray over the sorted doc-id strings + ``pc.binary_join`` —
+    no python loop over terms or rows. ``df`` counts ALL docs, but the
+    stored posting list is TRUNCATED to the first ``CAP`` doc_ids (in
+    doc_id order) — the standard posting-shard bound: row size stays
+    O(CAP) ids at any corpus scale (a hot stopword term carries its
+    true df but not a corpus-sized string), and the only all-to-all
+    moves (int64, short-string) pairs. Exact DuckDB twin via a
+    row_number window under the same cap."""
+    import pyarrow.compute as pc
+
+    from mapchete_xarray_ray.functions.geocode import stable_hash64
+    from mapchete_xarray_ray.stages.text import trim_ws
+
+    DF_MIN, CAP = 2, 100
+
+    EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "term": pa.array([], pa.string()),
+                      "tb": pa.array([], pa.int64())})
+
+    def doc_term_pairs(batch: pa.Table) -> pa.Table:
+        if "text" not in batch.column_names or batch.num_rows == 0:
+            return EMPTY
+        trimmed = trim_ws(batch.column("text"))
+        keep = pc.not_equal(trimmed, "")
+        doc = batch.column("doc_id").filter(keep)
+        if len(doc) == 0:
+            return EMPTY
+        toks = pc.split_pattern_regex(trimmed.filter(keep), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        docs_rep = doc.take(pa.array(np.repeat(
+            np.arange(len(toks)), np.diff(offs))))
+        pairs = (pa.table({"doc_id": docs_rep, "term": toks.flatten()})
+                 .group_by(["doc_id", "term"]).aggregate([]))
+        h = stable_hash64(pairs.column("term").to_numpy(zero_copy_only=False)
+                          .astype(object)) % 64
+        return pairs.append_column("tb", pa.array(h.astype(np.int64)))
+
+    def bucket_postings(group: pa.Table) -> pa.Table:
+        out_empty = pa.table({"term": pa.array([], pa.string()),
+                              "df": pa.array([], pa.int64()),
+                              "postings": pa.array([], pa.string())})
+        if group.num_rows == 0 or "term" not in group.column_names:
+            return out_empty
+        terms = group.column("term").to_numpy(zero_copy_only=False)
+        docs = group.column("doc_id").to_numpy(zero_copy_only=False)
+        o = np.lexsort((docs, terms))
+        terms, docs = terms[o], docs[o]
+        new = np.ones(len(terms), dtype=bool)
+        new[1:] = terms[1:] != terms[:-1]
+        starts = np.flatnonzero(new)
+        df = np.diff(np.append(starts, len(terms)))
+        kseg = df >= DF_MIN
+        if not kseg.any():
+            return out_empty
+        # truncate each kept segment to its first CAP rows (doc_id
+        # order within a segment is guaranteed by the lexsort above)
+        pos = np.arange(len(terms)) - np.repeat(starts, df)
+        krow = np.repeat(kseg, df) & (pos < CAP)
+        stored = np.minimum(df[kseg], CAP)
+        doc_strs = pc.cast(pa.array(docs[krow]), pa.string())
+        offsets = np.concatenate(([0], np.cumsum(stored)))
+        postings = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     doc_strs), ",")
+        return pa.table({"term": pa.array(terms[starts[kseg]], pa.string()),
+                         "df": pa.array(df[kseg], pa.int64()),
+                         "postings": postings})
+
+    return (_regroup(_docs(sf_dir, ["doc_id", "text"])
+                     .map_batches(doc_term_pairs, batch_format="pyarrow"),
+                     0.25)
+            .groupby("tb")
+            .map_groups(bucket_postings, batch_format="pyarrow"))
+
+
+SQL_INVERTED_INDEX = r"""
+WITH t AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+')) AS term
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
+), r AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY term) AS df
+  FROM t
+)
+SELECT term, max(df)::BIGINT AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM r WHERE rn <= 100 AND df >= 2
+GROUP BY term
+"""
+
+
 def q_top_terms_df(sf_dir: str):
     """Document frequency of whitespace terms, global top-20 (df desc,
     term asc) — the tf-idf building block and a genuine
@@ -4745,6 +4865,7 @@ REGISTRY: dict[str, tuple] = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "ann_ivf": (q_ann_ivf, None),
     "ann_lsh": (q_ann_lsh, None),
+    "ann_pq": (q_ann_pq, None),
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "orders_by_nation": (q_orders_by_nation, SQL_ORDERS_BY_NATION),
@@ -4771,6 +4892,7 @@ REGISTRY: dict[str, tuple] = {
     "export_roundtrip": (q_export_roundtrip, _curation_sql(with_text=True)),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "top_terms_df": (q_top_terms_df, SQL_TOP_TERMS_DF),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "top_users_per_type": (q_top_users_per_type, SQL_TOP_USERS_PER_TYPE),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),

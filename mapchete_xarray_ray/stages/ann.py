@@ -458,3 +458,164 @@ def ann_lsh_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
     bucketed = corpus.map_batches(bucket_stage(planes), batch_format="pyarrow")
     return bucketed.groupby("bucket").map_groups(bucket_local_topk(k),
                                                  batch_format="pyarrow")
+
+
+# --- Product-quantization variant (compressed-scan scale path) -----------
+
+_PQ_SEED = 0xAD7
+
+
+def _kmeans_l2(mat: np.ndarray, n_clusters: int, iters: int = 10,
+               seed: int = _PQ_SEED) -> np.ndarray:
+    """Deterministic plain-L2 Lloyd k-means (driver-side, on a sample):
+    fixed-seed init from sample rows, argmin-distance assignment, mean
+    update (empty clusters keep their previous centroid). Distances use
+    the ``-2x.c + |c|^2`` form — no (n, k, d) broadcast blow-up."""
+    rng = np.random.default_rng(seed)
+    mat = mat.astype(np.float64)
+    idx = rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)
+    cent = mat[np.sort(idx)].copy()
+    for _ in range(iters):
+        d = -2.0 * (mat @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_train(sample_mat: np.ndarray, m_sub: int,
+             n_codes: int) -> np.ndarray:
+    """Fit one L2 codebook per subspace on (already normalized) sample
+    rows. Returns (m_sub, n_codes, dim // m_sub) codebooks. Distinct
+    seed per subspace so codebooks are independent."""
+    d = sample_mat.shape[1]
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    ds = d // m_sub
+    return np.stack([
+        _kmeans_l2(sample_mat[:, i * ds:(i + 1) * ds], n_codes,
+                   seed=_PQ_SEED + i)
+        for i in range(m_sub)])
+
+
+def pq_assign(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Encode (n, dim) rows against (M, K, ds) codebooks -> (n, M)
+    uint8 codes (nearest codeword per subspace, vectorized per
+    subspace)."""
+    m_sub, _k, ds = books.shape
+    codes = np.empty((len(mat), m_sub), dtype=np.uint8)
+    for m in range(m_sub):
+        sub = mat[:, m * ds:(m + 1) * ds]
+        cb = books[m]
+        d = -2.0 * (sub @ cb.T) + (cb * cb).sum(axis=1)[None, :]
+        codes[:, m] = np.argmin(d, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode_stage(books_ref, id_col: str = "vec_id",
+                    emb_col: str = "embedding"):
+    """map_batches fn factory: normalize + PQ-encode each batch, emit
+    ``(vec_id, code)`` with all M uint8 codes packed into ONE int64
+    (M <= 8, K <= 256) — a 32x compression of a 64-dim f32 vector,
+    shipped as plain Arrow ints, no per-row python."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if id_col not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.int64())})
+        books = ray.get(books_ref)
+        mat = normalize_rows(_embedding_matrix(batch, emb_col))
+        codes = pq_assign(mat, books).astype(np.uint64)
+        m_sub = books.shape[0]
+        packed = (codes << (8 * np.arange(m_sub, dtype=np.uint64))[None, :]
+                  ).sum(axis=1)
+        return pa.table({
+            "vec_id": batch.column(id_col).cast(pa.int64()),
+            "code": pa.array(packed.view(np.int64)),
+        })
+
+    return fn
+
+
+def _pq_unpack(packed: np.ndarray, m_sub: int) -> np.ndarray:
+    """(n,) packed int64 -> (n, M) uint8 codes."""
+    u = packed.view(np.uint64)
+    return ((u[:, None] >> (8 * np.arange(m_sub, dtype=np.uint64))[None, :])
+            & np.uint64(0xFF)).astype(np.uint8)
+
+
+def pq_scan_stage(books_ref, codes_ref, k: int, id_col: str = "vec_id",
+                  emb_col: str = "embedding"):
+    """map_batches fn factory: asymmetric-distance (ADC) scan. Each
+    query batch builds its (Q, M, K) inner-product lookup tables in one
+    einsum, accumulates approximate scores against the broadcast code
+    table by fancy indexing (M vectorized gathers — never a python loop
+    over vectors), and emits its own exact top-k (vec_id, neighbor_id,
+    rank). No shuffle: the compressed scan structure travels to the
+    data."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64())})
+        if id_col not in batch.column_names or batch.num_rows == 0:
+            return empty
+        books = ray.get(books_ref)
+        c_ids, c_codes = ray.get(codes_ref)
+        m_sub, _kk, ds = books.shape
+        q_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        q = normalize_rows(_embedding_matrix(batch, emb_col))
+        lut = np.einsum("qmd,mkd->qmk", q.reshape(len(q), m_sub, ds),
+                        books)
+        approx = np.zeros((len(q), len(c_ids)), dtype=np.float64)
+        for m in range(m_sub):
+            approx += lut[:, m, c_codes[:, m]]
+        q_sel, c_sel, rank = rowwise_topk(-approx, q_ids, c_ids, k)
+        return pa.table({
+            "vec_id": pa.array(q_ids[q_sel], pa.int64()),
+            "neighbor_id": pa.array(c_ids[c_sel], pa.int64()),
+            "rank": pa.array(rank, pa.int64()),
+        })
+
+    return fn
+
+
+def ann_pq_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
+                    m_sub: int = 8, n_codes: int = 16,
+                    sample_limit: int = 10_000,
+                    scan_batch: int = 1024) -> ray.data.Dataset:
+    """Product-quantization ANN (the compressed-scan scale path next to
+    IVF and LSH): codebooks are fit driver-side on a bounded sample
+    (deterministic seeds), one streaming pass encodes every vector to
+    M bytes (packed into a single int64 column), and the scan pass
+    streams queries against the broadcast code table with asymmetric
+    distance. Scale contract: the broadcast is M bytes/vector (8 B vs
+    256 B raw f32 at dim=64 — 32x), i.e. ~8 GB at 10^9 vectors; that
+    compression is exactly why a PQ scan structure fits in worker RAM
+    where raw vectors cannot. Beyond ~10^9, shard the code table by IVF
+    list (compose with ``ann_ivf_pipeline``'s assignment) instead of
+    growing the broadcast. ``scan_batch`` bounds the per-task (Q, N)
+    score matrix. Approximate -> rows-only under the driver; recall and
+    determinism are asserted in tests/test_ann.py."""
+    sample = pa.concat_tables([
+        t for t in (ray.get(r)
+                    for r in corpus.limit(sample_limit).to_arrow_refs())
+        if t.num_columns > 0])
+    mat = normalize_rows(_embedding_matrix(sample, "embedding"))
+    books_ref = ray.put(pq_train(mat, m_sub, n_codes))
+
+    enc = pa.concat_tables([
+        t for t in (ray.get(r) for r in corpus.map_batches(
+            pq_encode_stage(books_ref), batch_format="pyarrow")
+            .to_arrow_refs())
+        if t.num_columns > 0])
+    c_ids = enc.column("vec_id").to_numpy(zero_copy_only=False)
+    c_codes = _pq_unpack(
+        enc.column("code").to_numpy(zero_copy_only=False), m_sub)
+    codes_ref = ray.put((c_ids, c_codes))
+
+    return corpus.map_batches(pq_scan_stage(books_ref, codes_ref, k),
+                              batch_format="pyarrow",
+                              batch_size=scan_batch)

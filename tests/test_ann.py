@@ -181,3 +181,62 @@ def test_ivf_distributed_refinement_improves_constrained_sample(sf_dir):
 
     r0, r3 = recall(0), recall(3)
     assert r3 > r0 + 0.01, (r0, r3)
+
+
+def test_pq_ann_recall_determinism_and_compression():
+    from mapchete_xarray_ray.stages.ann import (
+        _pq_unpack,
+        ann_pq_pipeline,
+        normalize_rows as _norm,
+        pq_assign,
+        pq_train,
+    )
+
+    tbl, ids, mat = _corpus(n=400, dim=16, seed=13)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got1 = _collect(ann_pq_pipeline(ds, dim=16, k=5, m_sub=4, n_codes=16))
+    got2 = _collect(ann_pq_pipeline(ds, dim=16, k=5, m_sub=4, n_codes=16))
+    s1 = sorted(zip(got1.column("vec_id").to_pylist(),
+                    got1.column("neighbor_id").to_pylist(),
+                    got1.column("rank").to_pylist()))
+    assert s1 == sorted(zip(got2.column("vec_id").to_pylist(),
+                            got2.column("neighbor_id").to_pylist(),
+                            got2.column("rank").to_pylist()))
+    # every query answered with a full k, ranks contiguous
+    per_q = {}
+    for v, n, r in s1:
+        per_q.setdefault(v, []).append(r)
+    assert len(per_q) == len(ids)
+    assert all(sorted(rs) == [1, 2, 3, 4, 5] for rs in per_q.values())
+    # recall@1 on PLANTED near-duplicate twins: uniform Gaussian data
+    # has near-random NN structure that no coarse quantizer preserves
+    # (the LSH test bounds at 0.05 for the same reason), so the
+    # meaningful recall check is whether the compressed scan recovers
+    # strong planted neighbors. vec i and i+n are twins (tiny noise);
+    # rank-1 under exact cosine is the twin, and ADC must agree for
+    # most of them. Fixed seeds -> deterministic, not flaky.
+    rng = np.random.default_rng(99)
+    base = rng.standard_normal((200, 16))
+    twin_mat = np.vstack([base, base + 0.05 * rng.standard_normal(base.shape)])
+    twin_ids = np.arange(400, dtype=np.int64)
+    twin_tbl = pa.table({
+        "vec_id": pa.array(twin_ids),
+        "embedding": pa.array([r.tolist() for r in twin_mat],
+                              pa.list_(pa.float64())),
+    })
+    tds = ray.data.from_arrow(twin_tbl).repartition(4)
+    tgot = _collect(ann_pq_pipeline(tds, dim=16, k=5, m_sub=4, n_codes=16))
+    t_r1 = {v: n for v, n, r in zip(tgot.column("vec_id").to_pylist(),
+                                    tgot.column("neighbor_id").to_pylist(),
+                                    tgot.column("rank").to_pylist())
+            if r == 1}
+    twin_of = {int(i): int((i + 200) % 400) for i in twin_ids}
+    hits = sum(1 for v, n in t_r1.items() if n == twin_of[v])
+    assert hits / len(twin_ids) > 0.6, hits / len(twin_ids)
+
+    # pack/unpack roundtrip: codes survive the int64 packing exactly
+    books = pq_train(_norm(mat.astype(np.float64)), 4, 16)
+    codes = pq_assign(_norm(mat.astype(np.float64)), books)
+    packed = (codes.astype(np.uint64)
+              << (8 * np.arange(4, dtype=np.uint64))[None, :]).sum(axis=1)
+    assert (_pq_unpack(packed.view(np.int64), 4) == codes).all()
