@@ -4434,6 +4434,127 @@ GROUP BY term
 """
 
 
+def _doc_gram_pairs(batch: pa.Table, n: int) -> tuple:
+    """Distinct (doc_id, word n-gram) pairs of a batch, fully
+    vectorized: tokenize once, compute every gram start position with
+    offset arithmetic, materialize gram STRINGS with one
+    ``pc.binary_join_element_wise`` over shifted takes (no python loop
+    over docs or grams), then dedup within doc via a pyarrow group_by.
+    Each row is one whole document, so per-batch distinct IS global
+    distinct. Returns (doc_ids, grams) arrays (possibly empty)."""
+    import pyarrow.compute as pc
+
+    from mapchete_xarray_ray.stages.text import trim_ws
+
+    empty = (pa.array([], pa.int64()), pa.array([], pa.string()))
+    if "text" not in batch.column_names or batch.num_rows == 0:
+        return empty
+    trimmed = trim_ws(batch.column("text"))
+    keep = pc.not_equal(trimmed, "")
+    doc = batch.column("doc_id").filter(keep)
+    if len(doc) == 0:
+        return empty
+    toks = pc.split_pattern_regex(trimmed.filter(keep), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    pos_in_doc = np.arange(offs[-1]) - np.repeat(offs[:-1], lens)
+    start = pos_in_doc < np.repeat(lens - (n - 1), lens)
+    idx = np.flatnonzero(start)
+    if len(idx) == 0:
+        return empty
+    grams = pc.binary_join_element_wise(
+        *(flat.take(pa.array(idx + j)) for j in range(n)), " ")
+    doc_rep = doc.take(pa.array(
+        np.repeat(np.arange(len(lens)), lens)[idx]))
+    pairs = (pa.table({"doc_id": doc_rep, "gram": grams})
+             .group_by(["doc_id", "gram"]).aggregate([]))
+    return pairs.column("doc_id"), pairs.column("gram")
+
+
+def q_decontaminate(sf_dir: str):
+    """Eval-set decontamination — the pre-training hygiene pass that
+    flags train documents sharing any word n-gram with a held-out eval
+    set (the GPT-3-style n-gram overlap check). The eval set here is
+    the deterministic ``doc_id % 97 == 0`` slice of the corpus (~1%;
+    in production it is a separate small table — same shape). Scale
+    contract: the eval side is small BY DEFINITION, so its distinct
+    gram hashes are collected once and ``ray.put``-broadcast as one
+    sorted uint64 array (an eval suite of 10^6 grams is 8 MB); the
+    train side streams, and each batch answers itself — distinct
+    (doc, gram) pairs, one ``searchsorted`` membership probe, one
+    ``group_sum`` per doc — with NO shuffle anywhere. Were the eval
+    side ever corpus-sized, the fallback is the repo's hash co-group
+    semi-join (see ``customers_with_orders``). Gram identity is the
+    64-bit stable hash of the gram string (collision odds ~2^-64 per
+    pair — the repo-wide exact-dedup convention). Exact DuckDB twin
+    joins on the gram strings themselves."""
+    from mapchete_xarray_ray.functions.geocode import stable_hash64
+    from mapchete_xarray_ray.nputil import group_sum, sorted_lookup
+
+    N, EVAL_MOD = 3, 97
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _mod_mask(batch: pa.Table, is_eval: bool) -> pa.Array:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        m = (ids % EVAL_MOD) == 0
+        return pa.array(m if is_eval else ~m)
+
+    def eval_gram_hashes(batch: pa.Table) -> pa.Table:
+        _, grams = _doc_gram_pairs(batch.filter(_mod_mask(batch, True)), N)
+        h = np.unique(stable_hash64(
+            grams.to_numpy(zero_copy_only=False).astype(object)))
+        return pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
+
+    # eval side: tiny by definition -> distinct hashes to the driver
+    ev_tabs = [ray.get(r) for r in docs.map_batches(
+        eval_gram_hashes, batch_format="pyarrow").to_arrow_refs()]
+    ev = np.unique(np.concatenate(
+        [t.column("h").to_numpy(zero_copy_only=False) for t in ev_tabs
+         if t.num_columns > 0] or [np.array([], np.int64)])).view(np.uint64)
+    ev_ref = ray.put(np.sort(ev))
+
+    def contaminated(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "hit_grams": pa.array([], pa.int64())})
+        if "doc_id" not in batch.column_names or batch.num_rows == 0:
+            return empty
+        d, grams = _doc_gram_pairs(batch.filter(_mod_mask(batch, False)), N)
+        if len(d) == 0:
+            return empty
+        h = stable_hash64(
+            grams.to_numpy(zero_copy_only=False).astype(object))
+        hit, _ = sorted_lookup(ray.get(ev_ref), h)
+        dids = d.to_numpy(zero_copy_only=False)
+        uniq, hits = group_sum(dids[hit], np.ones(int(hit.sum()), np.int64))
+        return pa.table({"doc_id": pa.array(uniq, pa.int64()),
+                         "hit_grams": pa.array(hits, pa.int64())})
+
+    return docs.map_batches(contaminated, batch_format="pyarrow")
+
+
+SQL_DECONTAMINATE = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+') AS ws
+  FROM documents
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
+), g AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t
+), ev AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+)
+SELECT g.doc_id, count(*)::BIGINT AS hit_grams
+FROM g JOIN ev USING (gram)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+"""
+
+
 def q_top_terms_df(sf_dir: str):
     """Document frequency of whitespace terms, global top-20 (df desc,
     term asc) — the tf-idf building block and a genuine
@@ -4893,6 +5014,7 @@ REGISTRY: dict[str, tuple] = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "top_terms_df": (q_top_terms_df, SQL_TOP_TERMS_DF),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "top_users_per_type": (q_top_users_per_type, SQL_TOP_USERS_PER_TYPE),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),

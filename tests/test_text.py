@@ -207,3 +207,32 @@ def test_pii_scrub_redacts_and_counts():
     ]
     assert out.column("n_emails").to_pylist() == [1, 1, 0, 0, 1]
     assert out.column("n_numbers").to_pylist() == [1, 2, 0, 0, 0]
+
+
+def test_doc_gram_pairs_short_docs_and_dedup():
+    """Word-n-gram pair extraction: docs shorter than n yield no grams
+    (never a negative-length slice), repeated grams within a doc dedup,
+    empty/whitespace-only docs drop out, and gram strings are exact."""
+    from mapchete_xarray_ray.pipelines.queries import _doc_gram_pairs
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "a b",              # 2 tokens < n=3 -> no grams
+            "a b c",            # exactly one gram
+            "a b c a b c a b",  # "a b c" twice -> dedups to once
+            "   ",              # whitespace-only -> dropped
+            "",                 # empty -> dropped
+        ]),
+    })
+    docs, grams = _doc_gram_pairs(t, 3)
+    pairs = sorted(zip(docs.to_pylist(), grams.to_pylist()))
+    assert pairs == [
+        (2, "a b c"),
+        (3, "a b c"), (3, "b c a"), (3, "c a b"),
+    ]
+    # all-short batch -> both outputs empty with stable types
+    docs2, grams2 = _doc_gram_pairs(
+        pa.table({"doc_id": pa.array([9], pa.int64()),
+                  "text": pa.array(["x y"])}), 3)
+    assert len(docs2) == 0 and len(grams2) == 0
