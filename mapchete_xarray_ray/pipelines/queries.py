@@ -2025,6 +2025,11 @@ def q_events_late(sf_dir: str):
 SQL_FUNNEL = """
 WITH f AS (
   SELECT user_id,
+         -- funnel is defined over PARTICIPANTS (users with at least
+         -- one funnel-step event) — matching the Ray side, which
+         -- filters to the three steps before any grouping, so a user
+         -- whose events are all 'error'/'signup' appears on neither
+         -- side regardless of fixture seed.
          coalesce(min(CASE WHEN event_type = 'view'
                            THEN epoch_us(ts) END), -1)::BIGINT
            AS first_view_us,
@@ -2034,7 +2039,9 @@ WITH f AS (
          coalesce(min(CASE WHEN event_type = 'purchase'
                            THEN epoch_us(ts) END), -1)::BIGINT
            AS first_purchase_us
-  FROM events GROUP BY user_id)
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id)
 SELECT user_id, first_view_us, first_click_us, first_purchase_us,
        (CASE WHEN first_view_us >= 0
                   AND first_click_us > first_view_us
@@ -2353,22 +2360,30 @@ def q_funnel(sf_dir: str):
     per user, the FIRST time of each step (view -> click -> purchase)
     and whether the user converted (strictly increasing first-times;
     a missing step or a tie breaks the funnel). Missing steps encode
-    as -1 so the row stays integer-exact under the driver hash.
+    as -1 so the row stays integer-exact under the driver hash. The
+    funnel covers PARTICIPANTS only: a user with zero funnel-step
+    events emits no row (both sides filter to the three steps up
+    front, so the contract holds on any fixture seed — a spectator
+    row would force the scan to carry every user just to emit
+    (-1,-1,-1,0)).
 
     Scale shape: first-times are MINIMUMS, so the per-batch combiner
     reduces each batch to <= one (user, step, min_ts) row per pair —
     the exchange moves constant partials per user, never events — and
     the per-user pivot runs in the bucketed co-group, vectorized."""
-    CODES = {s: i for i, s in enumerate(_FUNNEL_STEPS)}
-
     def partial(batch: pa.Table) -> pa.Table:
         et = batch.column("event_type").to_numpy(zero_copy_only=False)
         keep = np.isin(et, _FUNNEL_STEPS)
         u = batch.column("user_id").to_numpy(zero_copy_only=False)[keep]
         t = batch.column("ts").cast(pa.int64()).to_numpy(
             zero_copy_only=False)[keep]
-        code = np.array([CODES[s] for s in et[keep]], dtype=np.int64) \
-            if keep.any() else np.empty(0, np.int64)
+        # vectorized step->code map (three equality compares — no
+        # per-event python on the scan of the largest input); every
+        # kept value matches exactly one step by construction of keep
+        et_k = et[keep]
+        code = np.select([et_k == s for s in _FUNNEL_STEPS],
+                         np.arange(len(_FUNNEL_STEPS), dtype=np.int64)
+                         ).astype(np.int64)
         # first per (user, step): sort by (user, code, ts), take run heads
         order = np.lexsort((t, code, u))
         u_s, c_s, t_s = u[order], code[order], t[order]

@@ -493,6 +493,14 @@ def pq_train(sample_mat: np.ndarray, m_sub: int,
     d = sample_mat.shape[1]
     if d % m_sub:
         raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    # the int64 packing in pq_encode_stage holds M uint8 codes: more
+    # than 8 subspaces would shift past 64 bits (numpy yields 0
+    # SILENTLY) and >256 codes would wrap the uint8 cast — fail loud
+    # here instead of corrupting every code downstream
+    if m_sub > 8:
+        raise ValueError(f"m_sub {m_sub} > 8 cannot pack into int64")
+    if n_codes > 256:
+        raise ValueError(f"n_codes {n_codes} > 256 overflows uint8")
     ds = d // m_sub
     return np.stack([
         _kmeans_l2(sample_mat[:, i * ds:(i + 1) * ds], n_codes,
@@ -547,14 +555,27 @@ def _pq_unpack(packed: np.ndarray, m_sub: int) -> np.ndarray:
 
 
 def pq_scan_stage(books_ref, codes_ref, k: int, id_col: str = "vec_id",
-                  emb_col: str = "embedding"):
+                  emb_col: str = "embedding",
+                  corpus_chunk: int = 1 << 18):
     """map_batches fn factory: asymmetric-distance (ADC) scan. Each
     query batch builds its (Q, M, K) inner-product lookup tables in one
-    einsum, accumulates approximate scores against the broadcast code
-    table by fancy indexing (M vectorized gathers — never a python loop
-    over vectors), and emits its own exact top-k (vec_id, neighbor_id,
-    rank). No shuffle: the compressed scan structure travels to the
-    data."""
+    einsum, then streams the broadcast code table in ``corpus_chunk``
+    slices — each slice scores by fancy indexing (M vectorized gathers,
+    never a python loop over vectors) and folds into a running per-row
+    top-k keyed by (score desc, neighbor_id asc). Peak score memory is
+    (Q, corpus_chunk) float64 (~2 GB at the defaults), NOT (Q, N):
+    top-k under a total order is chunk-mergeable, so the result is
+    bit-identical to a full-matrix scan at any chunk size. No shuffle:
+    the compressed scan structure travels to the data."""
+
+    def _row_topk(key: np.ndarray, ids: np.ndarray, kk: int):
+        """Per-row smallest-kk by (key asc, id asc); returns the
+        selected (Q, kk') key and id matrices in rank order. ``ids``
+        may be (C,) shared across rows or (Q, C) per row."""
+        ids2 = np.broadcast_to(ids, key.shape)
+        order = np.lexsort((ids2, key), axis=-1)[:, :min(kk, key.shape[1])]
+        return (np.take_along_axis(key, order, axis=1),
+                np.take_along_axis(ids2, order, axis=1))
 
     def fn(batch: pa.Table) -> pa.Table:
         empty = pa.table({"vec_id": pa.array([], pa.int64()),
@@ -567,16 +588,29 @@ def pq_scan_stage(books_ref, codes_ref, k: int, id_col: str = "vec_id",
         m_sub, _kk, ds = books.shape
         q_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         q = normalize_rows(_embedding_matrix(batch, emb_col))
-        lut = np.einsum("qmd,mkd->qmk", q.reshape(len(q), m_sub, ds),
-                        books)
-        approx = np.zeros((len(q), len(c_ids)), dtype=np.float64)
-        for m in range(m_sub):
-            approx += lut[:, m, c_codes[:, m]]
-        q_sel, c_sel, rank = rowwise_topk(-approx, q_ids, c_ids, k)
+        nq = len(q)
+        lut = np.einsum("qmd,mkd->qmk", q.reshape(nq, m_sub, ds), books)
+        best_key = np.full((nq, 0), np.inf)
+        best_id = np.full((nq, 0), 0, dtype=np.int64)
+        for s0 in range(0, len(c_ids), corpus_chunk):
+            cc = c_codes[s0:s0 + corpus_chunk]
+            cid = c_ids[s0:s0 + corpus_chunk]
+            sc = np.zeros((nq, len(cc)), dtype=np.float64)
+            for m in range(m_sub):
+                sc += lut[:, m, cc[:, m]]
+            key = np.where(q_ids[:, None] == cid[None, :], np.inf, -sc)
+            ck, ci = _row_topk(key, cid, k)
+            best_key, best_id = _row_topk(
+                np.concatenate([best_key, ck], axis=1),
+                np.concatenate([best_id, ci], axis=1), k)
+        finite = np.isfinite(best_key)
+        t = finite.sum(axis=1)
         return pa.table({
-            "vec_id": pa.array(q_ids[q_sel], pa.int64()),
-            "neighbor_id": pa.array(c_ids[c_sel], pa.int64()),
-            "rank": pa.array(rank, pa.int64()),
+            "vec_id": pa.array(np.repeat(q_ids, t), pa.int64()),
+            "neighbor_id": pa.array(best_id[finite], pa.int64()),
+            "rank": pa.array(np.broadcast_to(
+                np.arange(1, best_key.shape[1] + 1),
+                best_key.shape)[finite].astype(np.int64)),
         })
 
     return fn
@@ -594,11 +628,15 @@ def ann_pq_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
     distance. Scale contract: the broadcast is M bytes/vector (8 B vs
     256 B raw f32 at dim=64 — 32x), i.e. ~8 GB at 10^9 vectors; that
     compression is exactly why a PQ scan structure fits in worker RAM
-    where raw vectors cannot. Beyond ~10^9, shard the code table by IVF
-    list (compose with ``ann_ivf_pipeline``'s assignment) instead of
-    growing the broadcast. ``scan_batch`` bounds the per-task (Q, N)
-    score matrix. Approximate -> rows-only under the driver; recall and
-    determinism are asserted in tests/test_ann.py."""
+    where raw vectors cannot (the driver assembles the code table once
+    before the ``ray.put`` — same 8 B/vector bound). Beyond ~10^9,
+    shard the code table by IVF list (compose with
+    ``ann_ivf_pipeline``'s assignment) instead of growing the
+    broadcast. ``scan_batch`` bounds Q per task; the scan itself
+    streams the code table in chunks with a running top-k merge (see
+    ``pq_scan_stage``), so score memory is (Q, chunk), never (Q, N).
+    Approximate -> rows-only under the driver; recall and determinism
+    are asserted in tests/test_ann.py."""
     sample = pa.concat_tables([
         t for t in (ray.get(r)
                     for r in corpus.limit(sample_limit).to_arrow_refs())

@@ -240,3 +240,39 @@ def test_pq_ann_recall_determinism_and_compression():
     packed = (codes.astype(np.uint64)
               << (8 * np.arange(4, dtype=np.uint64))[None, :]).sum(axis=1)
     assert (_pq_unpack(packed.view(np.int64), 4) == codes).all()
+
+
+def test_pq_scan_chunking_bitexact_and_pack_limits():
+    """The running top-k merge must be bit-identical at ANY chunk size
+    (top-k under a total order is chunk-mergeable), and the int64
+    packing limits must fail loud instead of silently zeroing codes."""
+    import pytest
+
+    from mapchete_xarray_ray.stages.ann import (
+        normalize_rows as _norm,
+        pq_assign,
+        pq_scan_stage,
+        pq_train,
+    )
+
+    tbl, ids, mat = _corpus(n=150, dim=16, seed=21)
+    nm = _norm(mat.astype(np.float64))
+    books = pq_train(nm, 4, 16)
+    codes = pq_assign(nm, books)
+    books_ref = ray.put(books)
+    codes_ref = ray.put((ids, codes))
+
+    outs = []
+    for chunk in (7, 64, 10**6):
+        fn = pq_scan_stage(books_ref, codes_ref, k=5, corpus_chunk=chunk)
+        got = fn(tbl)
+        outs.append(list(zip(got.column("vec_id").to_pylist(),
+                             got.column("neighbor_id").to_pylist(),
+                             got.column("rank").to_pylist())))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 150 * 5
+
+    with pytest.raises(ValueError, match="m_sub"):
+        pq_train(nm, 16, 16)     # ds=1 divides, but 16 bytes > int64
+    with pytest.raises(ValueError, match="n_codes"):
+        pq_train(nm, 4, 512)     # wraps the uint8 cast
