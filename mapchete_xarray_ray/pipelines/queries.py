@@ -4570,6 +4570,120 @@ GROUP BY g.doc_id
 """
 
 
+def q_seq_pack(sf_dir: str):
+    """Sequence packing — the pre-training batching step: concatenate
+    every document's tokens in doc_id order into one global token
+    stream and split it into fixed-size context windows (B=256), so
+    each doc lands at a deterministic (window, offset); docs may span
+    windows (first_seq < last_seq). The primitive underneath is a
+    DISTRIBUTED WEIGHTED PREFIX-SUM over a 100-TB-wide total order —
+    the same two-phase scan as ``events_rank`` but summing token
+    counts, not row counts: one map pass reduces each doc_id RANGE to
+    a constant-size token-count partial, the driver folds the tiny
+    range table into exclusive offsets and broadcasts it, and a
+    range-bucketed co-group stamps every doc with
+    ``range offset + in-range exclusive cumsum``. No all-to-all sort
+    of the docs; range width (64 docs) is a knob. Exact DuckDB twin
+    via a ROWS UNBOUNDED PRECEDING window sum."""
+    from mapchete_xarray_ray.nputil import group_sum, sorted_lookup
+    from mapchete_xarray_ray.stages.text import token_count_stage, trim_ws
+
+    B, RANGE = 256, 64
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.not_equal(trim_ws(batch.column("text")), "")
+        kept = batch.filter(keep)
+        out = token_count_stage(kept)
+        return pa.table({"doc_id": out.column("doc_id").cast(pa.int64()),
+                         "n_tokens": out.column("n_tokens")})
+
+    def range_sums(batch: pa.Table) -> pa.Table:
+        if "doc_id" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"rb": pa.array([], pa.int64()),
+                             "tok": pa.array([], pa.int64())})
+        t = _tok(batch)
+        rb = t.column("doc_id").to_numpy(zero_copy_only=False) // RANGE
+        uniq, tot = group_sum(
+            rb, t.column("n_tokens").to_numpy(zero_copy_only=False))
+        return pa.table({"rb": pa.array(uniq, pa.int64()),
+                         "tok": pa.array(tot, pa.int64())})
+
+    part = collect_table(docs.map_batches(range_sums,
+                                          batch_format="pyarrow"))
+    rb = part.column("rb").to_numpy(zero_copy_only=False)
+    tok = part.column("tok").to_numpy(zero_copy_only=False)
+    uniq_rb, total = group_sum(rb, tok)
+    offsets = np.concatenate(([0], np.cumsum(total)[:-1])) \
+        if len(total) else total
+    pref_ref = ray.put((uniq_rb, offsets))
+
+    def add_rb(batch: pa.Table) -> pa.Table:
+        t = _tok(batch) if batch.num_rows else pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64())})
+        d = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            if t.num_rows else np.empty(0, np.int64)
+        return t.append_column("rb", pa.array((d // RANGE).astype(np.int64)))
+
+    def stamp(group: pa.Table) -> pa.Table:
+        cols = {"doc_id": pa.int64(), "n_tokens": pa.int64(),
+                "tok_start": pa.int64(), "first_seq": pa.int64(),
+                "last_seq": pa.int64(), "seq_offset": pa.int64()}
+        if "doc_id" not in group.column_names or group.num_rows == 0:
+            return pa.table({n: pa.array([], t) for n, t in cols.items()})
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        n = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        ranges, prefix = ray.get(pref_ref)
+        hit, pos = sorted_lookup(ranges, d[:1] // RANGE)
+        if not hit.all():
+            raise KeyError("doc range missing from prefix table")
+        order = np.argsort(d, kind="stable")
+        start = np.empty(len(d), dtype=np.int64)
+        start[order] = prefix[pos[0]] + np.concatenate(
+            ([0], np.cumsum(n[order])[:-1]))
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "tok_start": pa.array(start, pa.int64()),
+            "first_seq": pa.array(start // B, pa.int64()),
+            "last_seq": pa.array((start + n - 1) // B, pa.int64()),
+            "seq_offset": pa.array(start % B, pa.int64()),
+        })
+
+    out = (_regroup(docs.map_batches(add_rb, batch_format="pyarrow"))
+           .groupby("rb")
+           .map_groups(stamp, batch_format="pyarrow"))
+    return _schema_finalize(out, {
+        "doc_id": pa.int64(), "n_tokens": pa.int64(),
+        "tok_start": pa.int64(), "first_seq": pa.int64(),
+        "last_seq": pa.int64(), "seq_offset": pa.int64()})
+
+
+SQL_SEQ_PACK = r"""
+WITH t AS (
+  SELECT doc_id,
+         array_length(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+'))::BIGINT AS n_tokens
+  FROM documents
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
+), c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS tok_start
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_start,
+       (tok_start // 256)::BIGINT AS first_seq,
+       ((tok_start + n_tokens - 1) // 256)::BIGINT AS last_seq,
+       (tok_start % 256)::BIGINT AS seq_offset
+FROM c
+"""
+
+
 def q_top_terms_df(sf_dir: str):
     """Document frequency of whitespace terms, global top-20 (df desc,
     term asc) — the tf-idf building block and a genuine
@@ -5030,6 +5144,7 @@ REGISTRY: dict[str, tuple] = {
     "top_terms_df": (q_top_terms_df, SQL_TOP_TERMS_DF),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "top_users_per_type": (q_top_users_per_type, SQL_TOP_USERS_PER_TYPE),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
