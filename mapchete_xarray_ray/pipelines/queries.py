@@ -4449,14 +4449,16 @@ GROUP BY term
 """
 
 
-def _doc_gram_pairs(batch: pa.Table, n: int) -> tuple:
-    """Distinct (doc_id, word n-gram) pairs of a batch, fully
-    vectorized: tokenize once, compute every gram start position with
-    offset arithmetic, materialize gram STRINGS with one
+def _doc_gram_pairs(batch: pa.Table, n: int, distinct: bool = True) -> tuple:
+    """(doc_id, word n-gram) pairs of a batch, fully vectorized:
+    tokenize once, compute every gram start position with offset
+    arithmetic, materialize gram STRINGS with one
     ``pc.binary_join_element_wise`` over shifted takes (no python loop
-    over docs or grams), then dedup within doc via a pyarrow group_by.
-    Each row is one whole document, so per-batch distinct IS global
-    distinct. Returns (doc_ids, grams) arrays (possibly empty)."""
+    over docs or grams), then (when ``distinct``) dedup within doc via
+    a pyarrow group_by. Each row is one whole document, so per-batch
+    distinct IS global distinct; ``distinct=False`` keeps every
+    occurrence (for frequency-based metrics). Returns
+    (doc_ids, grams) arrays (possibly empty)."""
     import pyarrow.compute as pc
 
     from mapchete_xarray_ray.stages.text import trim_ws
@@ -4484,6 +4486,8 @@ def _doc_gram_pairs(batch: pa.Table, n: int) -> tuple:
         *(flat.take(pa.array(idx + j)) for j in range(n)), " ")
     doc_rep = doc.take(pa.array(
         np.repeat(np.arange(len(lens)), lens)[idx]))
+    if not distinct:
+        return doc_rep, grams
     pairs = (pa.table({"doc_id": doc_rep, "gram": grams})
              .group_by(["doc_id", "gram"]).aggregate([]))
     return pairs.column("doc_id"), pairs.column("gram")
@@ -4681,6 +4685,159 @@ SELECT doc_id, n_tokens, tok_start,
        ((tok_start + n_tokens - 1) // 256)::BIGINT AS last_seq,
        (tok_start % 256)::BIGINT AS seq_offset
 FROM c
+"""
+
+
+def q_lang_rebalance(sf_dir: str):
+    """Temperature-based language rebalancing — the multilingual
+    pretraining sampler (mT5/XLM-R): languages are resampled toward
+    q_l ∝ n_l^alpha (alpha=0.5, i.e. sqrt), which up-weights tail
+    languages relative to their corpus share; per-lang keep rate
+    r_l = min(1, T*q_l/n_l) under a budget T = 4N/5, capped at 1 for
+    languages already under their target. Keep decisions are the
+    repo's exact hash-derived uniforms (u < r_l), so the sample is a
+    pure function of doc_id — reproducible across runs, partitionings
+    and engines. Scale shape: one tiny per-lang count groupby (partial
+    counts per batch, langs number in the dozens), the rate table is
+    computed driver-side with scalar libm (``math.sqrt`` — correctly
+    rounded, bit-identical to DuckDB ``sqrt``; the cross-lang sum
+    accumulates in lang-ascending order on BOTH sides) and broadcast;
+    the keep pass is a stateless map. Exact SQL twin with the same
+    expression tree."""
+    import math
+
+    from mapchete_xarray_ray.nputil import group_sum
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+
+    def lang_counts(batch: pa.Table) -> pa.Table:
+        if "lang" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        g = (pa.table({"lang": batch.column("lang")})
+             .group_by("lang").aggregate([([], "count_all")]))
+        return pa.table({"lang": g.column("lang"),
+                         "cnt": g.column("count_all").cast(pa.int64())})
+
+    part = collect_table(docs.map_batches(lang_counts,
+                                          batch_format="pyarrow"))
+    langs = part.column("lang").to_numpy(zero_copy_only=False)
+    cnts = part.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.argsort(langs, kind="stable")
+    uniq_l, uniq_c = group_sum(langs[order].astype(object), cnts[order])
+    n_total = int(uniq_c.sum())
+    budget = (4 * n_total) // 5
+    # lang-ascending accumulation order == the SQL twin's
+    # sum(... ORDER BY lang); group_sum already returns keys ascending
+    ssum = 0.0
+    for c in uniq_c:
+        ssum += math.sqrt(float(c))
+    rates = np.array([
+        min(1.0, (float(budget) * (math.sqrt(float(c)) / ssum)) / float(c))
+        for c in uniq_c])
+    table_ref = ray.put((uniq_l.astype("U"), rates))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "lang": pa.array([], pa.string())})
+        if "doc_id" not in batch.column_names or batch.num_rows == 0:
+            return empty
+        ls, rs = ray.get(table_ref)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        bl = batch.column("lang").to_numpy(zero_copy_only=False).astype("U")
+        pos = np.searchsorted(ls, bl)
+        if (pos >= len(ls)).any() or (ls[pos] != bl).any():
+            raise KeyError("lang missing from rate table")
+        u = ((d * 2654435761) % 2147483647 + 1) / 2147483648.0
+        m = u < rs[pos]
+        return pa.table({"doc_id": pa.array(d[m], pa.int64()),
+                         "lang": batch.column("lang").filter(pa.array(m))})
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_LANG_REBALANCE = r"""
+WITH c AS (
+  SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY lang
+), s AS (
+  SELECT sum(sqrt(cnt::DOUBLE) ORDER BY lang) AS ssum,
+         (4 * sum(cnt) // 5)::BIGINT AS budget
+  FROM c
+), r AS (
+  SELECT lang,
+         least(1.0, (budget::DOUBLE * (sqrt(cnt::DOUBLE) / ssum))
+                    / cnt::DOUBLE) AS rate
+  FROM c, s
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE ((d.doc_id * 2654435761) % 2147483647 + 1) / 2147483648.0 < r.rate
+"""
+
+
+def q_repetition(sf_dir: str):
+    """Repetition-based quality metrics — the Gopher-style boilerplate
+    filter: per doc, how many times its MOST FREQUENT word 2-gram
+    occurs vs the total bigram count, plus the integer keep verdict
+    (flag docs whose top bigram covers > 10% of bigrams — navboxes,
+    keyword stuffing, template pages). All outputs are integers so the
+    DuckDB twin is bit-exact. Scale shape: each row is one whole doc,
+    so the whole metric is a map-only pass — gram occurrences
+    (``_doc_gram_pairs`` with ``distinct=False``), one pyarrow
+    group_by for per-(doc, gram) counts, then per-doc max/sum via one
+    sort + ``reduceat`` — no shuffle, no driver state. Docs with fewer
+    than 2 tokens have no bigrams and drop out on both sides."""
+    def metrics(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_bigrams": pa.array([], pa.int64()),
+                          "top_bigram_cnt": pa.array([], pa.int64()),
+                          "keep": pa.array([], pa.int64())})
+        if "doc_id" not in batch.column_names or batch.num_rows == 0:
+            return empty
+        d, grams = _doc_gram_pairs(batch, 2, distinct=False)
+        if len(d) == 0:
+            return empty
+        counts = (pa.table({"doc_id": d, "gram": grams})
+                  .group_by(["doc_id", "gram"])
+                  .aggregate([([], "count_all")]))
+        dids = counts.column("doc_id").to_numpy(zero_copy_only=False)
+        cnt = counts.column("count_all").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        o = np.argsort(dids, kind="stable")
+        ds_, cs = dids[o], cnt[o]
+        new = np.ones(len(ds_), dtype=bool)
+        new[1:] = ds_[1:] != ds_[:-1]
+        starts = np.flatnonzero(new)
+        top = np.maximum.reduceat(cs, starts)
+        tot = np.add.reduceat(cs, starts)
+        return pa.table({
+            "doc_id": pa.array(ds_[starts], pa.int64()),
+            "n_bigrams": pa.array(tot, pa.int64()),
+            "top_bigram_cnt": pa.array(top, pa.int64()),
+            "keep": pa.array((top * 10 <= tot).astype(np.int64)),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        metrics, batch_format="pyarrow")
+
+
+SQL_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+') AS ws
+  FROM documents
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
+), g AS (
+  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) t
+), c AS (
+  SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM g GROUP BY doc_id, gram
+)
+SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+       max(cnt)::BIGINT AS top_bigram_cnt,
+       (CASE WHEN max(cnt) * 10 <= sum(cnt) THEN 1 ELSE 0 END)::BIGINT
+         AS keep
+FROM c GROUP BY doc_id
 """
 
 
@@ -5145,6 +5302,8 @@ REGISTRY: dict[str, tuple] = {
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
+    "lang_rebalance": (q_lang_rebalance, SQL_LANG_REBALANCE),
+    "repetition": (q_repetition, SQL_REPETITION),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "top_users_per_type": (q_top_users_per_type, SQL_TOP_USERS_PER_TYPE),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
