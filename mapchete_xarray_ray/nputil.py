@@ -5,21 +5,30 @@ from __future__ import annotations
 import numpy as np
 
 
-def group_sum(keys: np.ndarray, *vals: np.ndarray):
-    """Vectorized group-by-sum over integer keys — the per-batch
-    combiner kernel used before every shuffle in the join family.
-    Returns ``(uniq_keys, summed_0, summed_1, ...)`` with
-    ``uniq_keys`` ascending; to count group sizes, pass a ones array.
-    Owns the sort/boundary-mask/reduceat idiom and its empty-input
-    edge case once instead of per call site."""
+def group_reduce(keys: np.ndarray, *pairs):
+    """Vectorized group-by-reduce over sortable keys: each ``pairs``
+    entry is ``(ufunc, values)`` (e.g. ``(np.add, x)``,
+    ``(np.maximum, x)``). Returns
+    ``(uniq_keys, reduced_0, reduced_1, ...)`` with ``uniq_keys``
+    ascending. Owns the sort/boundary-mask/reduceat idiom and its
+    empty-input edge case once instead of per call site."""
     o = np.argsort(keys, kind="stable")
     k = keys[o]
     new = np.ones(len(k), dtype=bool)
     new[1:] = k[1:] != k[:-1]
     starts = np.flatnonzero(new)
-    outs = tuple(np.add.reduceat(v[o], starts) if len(k) else v[:0]
-                 for v in vals)
+    outs = tuple(uf.reduceat(v[o], starts) if len(k) else v[:0]
+                 for uf, v in pairs)
     return (k[starts],) + outs
+
+
+def group_sum(keys: np.ndarray, *vals: np.ndarray):
+    """Vectorized group-by-sum over integer keys — the per-batch
+    combiner kernel used before every shuffle in the join family.
+    Returns ``(uniq_keys, summed_0, summed_1, ...)`` with
+    ``uniq_keys`` ascending; to count group sizes, pass a ones array.
+    Sum-only sugar over :func:`group_reduce`."""
+    return group_reduce(keys, *((np.add, v) for v in vals))
 
 
 def sorted_lookup(sorted_keys: np.ndarray,

@@ -4582,10 +4582,11 @@ def q_seq_pack(sf_dir: str):
     windows (first_seq < last_seq). The primitive underneath is a
     DISTRIBUTED WEIGHTED PREFIX-SUM over a 100-TB-wide total order —
     the same two-phase scan as ``events_rank`` but summing token
-    counts, not row counts: one map pass reduces each doc_id RANGE to
-    a constant-size token-count partial, the driver folds the tiny
-    range table into exclusive offsets and broadcasts it, and a
-    range-bucketed co-group stamps every doc with
+    counts, not row counts: text tokenizes ONCE into a materialized
+    3-int64-column projection, one pass over it reduces each doc_id
+    RANGE to a constant-size token-count partial, the driver folds
+    the tiny range table into exclusive offsets and broadcasts it,
+    and a range-bucketed co-group stamps every doc with
     ``range offset + in-range exclusive cumsum``. No all-to-all sort
     of the docs; range width (64 docs) is a knob. Exact DuckDB twin
     via a ROWS UNBOUNDED PRECEDING window sum."""
@@ -4596,42 +4597,51 @@ def q_seq_pack(sf_dir: str):
 
     docs = _docs(sf_dir, ["doc_id", "text"])
 
-    def _tok(batch: pa.Table) -> pa.Table:
+    def tok_rb(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "rb": pa.array([], pa.int64())})
+        if "doc_id" not in batch.column_names or batch.num_rows == 0:
+            return empty
         keep = pc.not_equal(trim_ws(batch.column("text")), "")
         kept = batch.filter(keep)
+        if kept.num_rows == 0:
+            return empty
         out = token_count_stage(kept)
-        return pa.table({"doc_id": out.column("doc_id").cast(pa.int64()),
-                         "n_tokens": out.column("n_tokens")})
+        d = out.column("doc_id").cast(pa.int64())
+        return pa.table({
+            "doc_id": d,
+            "n_tokens": out.column("n_tokens"),
+            "rb": pa.array(d.to_numpy(zero_copy_only=False) // RANGE,
+                           pa.int64()),
+        })
+
+    # tokenize ONCE: the regex split is the dominant CPU cost, so both
+    # passes run over this materialized 3-int64-column projection
+    # (~24 B/doc, a few % of input bytes — the object store spills it
+    # at corpus scale) instead of re-tokenizing the text per pass
+    counts = docs.map_batches(tok_rb, batch_format="pyarrow").materialize()
 
     def range_sums(batch: pa.Table) -> pa.Table:
-        if "doc_id" not in batch.column_names or batch.num_rows == 0:
+        if "rb" not in batch.column_names or batch.num_rows == 0:
             return pa.table({"rb": pa.array([], pa.int64()),
                              "tok": pa.array([], pa.int64())})
-        t = _tok(batch)
-        rb = t.column("doc_id").to_numpy(zero_copy_only=False) // RANGE
         uniq, tot = group_sum(
-            rb, t.column("n_tokens").to_numpy(zero_copy_only=False))
+            batch.column("rb").to_numpy(zero_copy_only=False),
+            batch.column("n_tokens").to_numpy(zero_copy_only=False))
         return pa.table({"rb": pa.array(uniq, pa.int64()),
                          "tok": pa.array(tot, pa.int64())})
 
-    part = collect_table(docs.map_batches(range_sums,
-                                          batch_format="pyarrow"))
+    part = collect_table(counts.map_batches(range_sums,
+                                            batch_format="pyarrow"))
     rb = part.column("rb").to_numpy(zero_copy_only=False)
     tok = part.column("tok").to_numpy(zero_copy_only=False)
     uniq_rb, total = group_sum(rb, tok)
     offsets = np.concatenate(([0], np.cumsum(total)[:-1])) \
         if len(total) else total
     pref_ref = ray.put((uniq_rb, offsets))
-
-    def add_rb(batch: pa.Table) -> pa.Table:
-        t = _tok(batch) if batch.num_rows else pa.table(
-            {"doc_id": pa.array([], pa.int64()),
-             "n_tokens": pa.array([], pa.int64())})
-        d = t.column("doc_id").to_numpy(zero_copy_only=False) \
-            if t.num_rows else np.empty(0, np.int64)
-        return t.append_column("rb", pa.array((d // RANGE).astype(np.int64)))
 
     def stamp(group: pa.Table) -> pa.Table:
         cols = {"doc_id": pa.int64(), "n_tokens": pa.int64(),
@@ -4658,7 +4668,7 @@ def q_seq_pack(sf_dir: str):
             "seq_offset": pa.array(start % B, pa.int64()),
         })
 
-    out = (_regroup(docs.map_batches(add_rb, batch_format="pyarrow"))
+    out = (_regroup(counts)
            .groupby("rb")
            .map_groups(stamp, batch_format="pyarrow"))
     return _schema_finalize(out, {
@@ -4711,10 +4721,14 @@ def q_lang_rebalance(sf_dir: str):
     docs = _docs(sf_dir, ["doc_id", "lang"])
 
     def lang_counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         if "lang" not in batch.column_names or batch.num_rows == 0:
             return pa.table({"lang": pa.array([], pa.string()),
                              "cnt": pa.array([], pa.int64())})
+        # NULL lang drops out, matching the twin's JOIN USING (lang)
         g = (pa.table({"lang": batch.column("lang")})
+             .filter(pc.is_valid(batch.column("lang")))
              .group_by("lang").aggregate([([], "count_all")]))
         return pa.table({"lang": g.column("lang"),
                          "cnt": g.column("count_all").cast(pa.int64())})
@@ -4723,8 +4737,7 @@ def q_lang_rebalance(sf_dir: str):
                                           batch_format="pyarrow"))
     langs = part.column("lang").to_numpy(zero_copy_only=False)
     cnts = part.column("cnt").to_numpy(zero_copy_only=False)
-    order = np.argsort(langs, kind="stable")
-    uniq_l, uniq_c = group_sum(langs[order].astype(object), cnts[order])
+    uniq_l, uniq_c = group_sum(langs.astype(object), cnts)
     n_total = int(uniq_c.sum())
     budget = (4 * n_total) // 5
     # lang-ascending accumulation order == the SQL twin's
@@ -4738,9 +4751,15 @@ def q_lang_rebalance(sf_dir: str):
     table_ref = ray.put((uniq_l.astype("U"), rates))
 
     def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "lang": pa.array([], pa.string())})
         if "doc_id" not in batch.column_names or batch.num_rows == 0:
+            return empty
+        # NULL lang drops out here too (twin: inner JOIN USING (lang))
+        batch = batch.filter(pc.is_valid(batch.column("lang")))
+        if batch.num_rows == 0:
             return empty
         ls, rs = ray.get(table_ref)
         d = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -4758,7 +4777,8 @@ def q_lang_rebalance(sf_dir: str):
 
 SQL_LANG_REBALANCE = r"""
 WITH c AS (
-  SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY lang
+  SELECT lang, count(*)::BIGINT AS cnt FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
 ), s AS (
   SELECT sum(sqrt(cnt::DOUBLE) ORDER BY lang) AS ssum,
          (4 * sum(cnt) // 5)::BIGINT AS budget
@@ -4800,18 +4820,15 @@ def q_repetition(sf_dir: str):
         counts = (pa.table({"doc_id": d, "gram": grams})
                   .group_by(["doc_id", "gram"])
                   .aggregate([([], "count_all")]))
+        from mapchete_xarray_ray.nputil import group_reduce
+
         dids = counts.column("doc_id").to_numpy(zero_copy_only=False)
         cnt = counts.column("count_all").to_numpy(
             zero_copy_only=False).astype(np.int64)
-        o = np.argsort(dids, kind="stable")
-        ds_, cs = dids[o], cnt[o]
-        new = np.ones(len(ds_), dtype=bool)
-        new[1:] = ds_[1:] != ds_[:-1]
-        starts = np.flatnonzero(new)
-        top = np.maximum.reduceat(cs, starts)
-        tot = np.add.reduceat(cs, starts)
+        uniq_d, top, tot = group_reduce(dids, (np.maximum, cnt),
+                                        (np.add, cnt))
         return pa.table({
-            "doc_id": pa.array(ds_[starts], pa.int64()),
+            "doc_id": pa.array(uniq_d, pa.int64()),
             "n_bigrams": pa.array(tot, pa.int64()),
             "top_bigram_cnt": pa.array(top, pa.int64()),
             "keep": pa.array((top * 10 <= tot).astype(np.int64)),

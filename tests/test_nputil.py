@@ -35,3 +35,17 @@ def test_group_sum_multi_values_and_empty():
     assert sb.tolist() == [3, 50, 300]
     uk, sa = group_sum(np.empty(0, np.int64), np.empty(0, np.int64))
     assert len(uk) == 0 and len(sa) == 0
+
+
+def test_group_reduce_mixed_ufuncs():
+    from mapchete_xarray_ray.nputil import group_reduce
+
+    k = np.array([7, 2, 7, 2, 5], dtype=np.int64)
+    v = np.array([1, 10, 2, 20, 5], dtype=np.int64)
+    uk, mx, tot = group_reduce(k, (np.maximum, v), (np.add, v))
+    assert uk.tolist() == [2, 5, 7]
+    assert mx.tolist() == [20, 5, 2]
+    assert tot.tolist() == [30, 5, 3]
+    uk, mx = group_reduce(np.empty(0, np.int64),
+                          (np.maximum, np.empty(0, np.int64)))
+    assert len(uk) == 0 and len(mx) == 0

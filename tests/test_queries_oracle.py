@@ -151,3 +151,41 @@ def test_events_late_has_signal_and_matches_sequential(sf_dir):
     assert got2["event_id"].tolist() == want["event_id"].tolist()
     assert got2["ts_us"].tolist() == want["ts_us"].tolist()
     assert got2["late_by_us"].tolist() == want["late_by_us"].tolist()
+
+
+def test_lang_rebalance_null_lang_drops_on_both_sides(tmp_path):
+    """NULL lang must drop out of the rebalance (the twin's inner
+    JOIN USING (lang) semantics), not crash the rate-table build —
+    the shipped fixtures carry no NULLs, so this supplies the edge."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapchete_xarray_ray.pipelines.queries import (
+        REGISTRY,
+        SQL_LANG_REBALANCE,
+        collect_table,
+    )
+
+    n = 40
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(["w " * 5] * n),
+        "lang": pa.array([None if i % 10 == 0 else ("en" if i % 3 else "de")
+                          for i in range(n)], pa.string()),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array(np.full(n, 10, np.int64)),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = collect_table(REGISTRY["lang_rebalance"][0](str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(SQL_LANG_REBALANCE).fetchdf()
+    con.close()
+    g = sorted(zip(got.column("doc_id").to_pylist(),
+                   got.column("lang").to_pylist()))
+    w = sorted(zip(want["doc_id"].tolist(), want["lang"].tolist()))
+    assert g == w
+    assert all(lang is not None for _d, lang in g)
+    assert 0 < len(g) < n
