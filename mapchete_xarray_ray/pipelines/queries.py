@@ -4795,6 +4795,128 @@ WHERE ((d.doc_id * 2654435761) % 2147483647 + 1) / 2147483648.0 < r.rate
 """
 
 
+def q_centroid_classify(sf_dir: str):
+    """Nearest-centroid classification over the embedding corpus — the
+    cheap quality-classifier shape of a training-data pipeline (assign
+    every vector to its closest class prototype, report agreement with
+    the stored label). Entirely SHUFFLE-FREE: pass 1 reduces each
+    batch to a constant (labels x dims) quantized-sum partial
+    (``np.add.at``), the driver folds the bounded partial table
+    (labels x dims x blocks rows) and broadcasts the (L, 64) int64
+    centroid sums + counts; pass 2 is a stateless map computing exact
+    INTEGER dot products (quantized components x quantized sums — no
+    float accumulation anywhere) and scoring ``dot/count`` with one
+    IEEE division, ties to the smallest label. Both engines see
+    bit-identical floats, so the argmax (and the twin) is exact.
+    int64 headroom: |q| <= 1e6, sum_q <= n_label*1e6, dot <= 64*1e12*
+    n_label — safe to ~10^5 vectors/label; past that, drop the
+    quantization scale a decade."""
+    from mapchete_xarray_ray.stages.ann import _embedding_matrix
+
+    DIM, SCALE = 64, 1_000_000
+
+    emb = _read(f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding", "label"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"label": pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "val": pa.array([], pa.int64())})
+        if "vec_id" not in batch.column_names or batch.num_rows == 0:
+            return empty
+        lab = batch.column("label").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        q = np.floor(_embedding_matrix(batch, "embedding")
+                     * SCALE).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), DIM), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnts = np.bincount(inv).astype(np.int64)
+        # dim rows carry component sums; dim=-1 rows carry counts
+        lab_rep = np.repeat(uniq, DIM)
+        dim_rep = np.tile(np.arange(DIM, dtype=np.int64), len(uniq))
+        return pa.table({
+            "label": pa.array(np.concatenate([lab_rep, uniq]), pa.int64()),
+            "dim": pa.array(np.concatenate(
+                [dim_rep, np.full(len(uniq), -1, np.int64)])),
+            "val": pa.array(np.concatenate([sums.ravel(), cnts])),
+        })
+
+    from mapchete_xarray_ray.nputil import group_sum
+
+    part = collect_table(emb.map_batches(partials, batch_format="pyarrow"))
+    lab = part.column("label").to_numpy(zero_copy_only=False)
+    dim = part.column("dim").to_numpy(zero_copy_only=False)
+    val = part.column("val").to_numpy(zero_copy_only=False)
+    key = lab * (DIM + 1) + (dim + 1)  # dim=-1 -> slot 0
+    uk, uv = group_sum(key, val)
+    labels = np.unique(uk // (DIM + 1))
+    sum_mat = np.zeros((len(labels), DIM), dtype=np.int64)
+    counts = np.zeros(len(labels), dtype=np.int64)
+    li = np.searchsorted(labels, uk // (DIM + 1))
+    is_cnt = (uk % (DIM + 1)) == 0
+    counts[li[is_cnt]] = uv[is_cnt]
+    sum_mat[li[~is_cnt], (uk % (DIM + 1))[~is_cnt] - 1] = uv[~is_cnt]
+    cent_ref = ray.put((labels, sum_mat, counts.astype(np.float64)))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "label": pa.array([], pa.int64()),
+                          "pred_label": pa.array([], pa.int64()),
+                          "correct": pa.array([], pa.int64())})
+        if "vec_id" not in batch.column_names or batch.num_rows == 0:
+            return empty
+        labels, sum_mat, cnts_f = ray.get(cent_ref)
+        q = np.floor(_embedding_matrix(batch, "embedding")
+                     * SCALE).astype(np.int64)
+        dots = q @ sum_mat.T                      # exact int64
+        scores = dots.astype(np.float64) / cnts_f[None, :]
+        # labels ascend, np.argmax takes the FIRST max -> ties resolve
+        # to the smallest label, matching the twin's (score DESC,
+        # cand ASC) row_number
+        pred = labels[np.argmax(scores, axis=1)]
+        true = batch.column("label").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "label": pa.array(true, pa.int64()),
+            "pred_label": pa.array(pred, pa.int64()),
+            "correct": pa.array((pred == true).astype(np.int64)),
+        })
+
+    return emb.map_batches(classify, batch_format="pyarrow")
+
+
+SQL_CENTROID_CLASSIFY = """
+WITH q AS (
+  SELECT vec_id, label::BIGINT AS label,
+         unnest(range(64))::BIGINT AS dim,
+         floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)::BIGINT AS qv
+  FROM embeddings
+), c AS (
+  SELECT label, dim, sum(qv)::BIGINT AS sum_q FROM q GROUP BY label, dim
+), n AS (
+  SELECT label::BIGINT AS label, count(*)::BIGINT AS n_vecs
+  FROM embeddings GROUP BY label
+), dots AS (
+  SELECT q.vec_id, q.label, c.label AS cand,
+         sum(q.qv * c.sum_q)::BIGINT AS dot
+  FROM q JOIN c USING (dim)
+  GROUP BY q.vec_id, q.label, c.label
+), best AS (
+  SELECT d.vec_id, d.label, d.cand,
+         row_number() OVER (
+           PARTITION BY d.vec_id
+           ORDER BY CAST(d.dot AS DOUBLE) / CAST(n.n_vecs AS DOUBLE) DESC,
+                    d.cand ASC) AS rn
+  FROM dots d JOIN n ON n.label = d.cand
+)
+SELECT vec_id, label, cand AS pred_label,
+       (CASE WHEN cand = label THEN 1 ELSE 0 END)::BIGINT AS correct
+FROM best WHERE rn = 1
+"""
+
+
 def q_repetition(sf_dir: str):
     """Repetition-based quality metrics — the Gopher-style boilerplate
     filter: per doc, how many times its MOST FREQUENT word 2-gram
@@ -5321,6 +5443,7 @@ REGISTRY: dict[str, tuple] = {
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "lang_rebalance": (q_lang_rebalance, SQL_LANG_REBALANCE),
     "repetition": (q_repetition, SQL_REPETITION),
+    "centroid_classify": (q_centroid_classify, SQL_CENTROID_CLASSIFY),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "top_users_per_type": (q_top_users_per_type, SQL_TOP_USERS_PER_TYPE),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
