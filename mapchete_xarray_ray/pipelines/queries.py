@@ -4065,6 +4065,105 @@ def _lineitem_exact_rank(sf_dir: str, rank_of_n, out_col: str):
                                   out_col: pa.int64()})
 
 
+def q_price_quantile_sketch(sf_dir: str):
+    """Binned quantile sketch — the THIRD mergeable sketch family
+    (KMV: distincts, CMS: frequencies, this: quantiles). One cheap
+    min/max/count scan pins the integer-cents domain, then every batch
+    contributes a constant 4096-bin histogram partial; the merged
+    histogram answers any quantile by cumulative walk with error
+    <= one bin width (~0.025% of the range), never re-touching the
+    data — the property that matters when the exact per-key rank
+    rescan (``lineitem_median``) is too expensive or the stream is
+    gone. ALL arithmetic is integer (cents, bin index by integer
+    mul/div, rank targets by ceil division), so the DuckDB twin
+    reproduces sketch AND estimates bit-exactly. The driver holds two
+    bounded tables: 3 scalars, then 4096 counters."""
+    B = 4096
+    QS = (500, 950, 990)  # permille
+
+    li = _read(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+
+    def cents_of(batch: pa.Table) -> np.ndarray:
+        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return np.floor(p * 100).astype(np.int64)
+
+    def mmc(batch: pa.Table) -> pa.Table:
+        if ("l_extendedprice" not in batch.column_names
+                or batch.num_rows == 0):
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        c = cents_of(batch)
+        return pa.table({"mn": pa.array([int(c.min())], pa.int64()),
+                         "mx": pa.array([int(c.max())], pa.int64()),
+                         "n": pa.array([len(c)], pa.int64())})
+
+    part = collect_table(li.map_batches(mmc, batch_format="pyarrow"))
+    mn = int(part.column("mn").to_numpy(zero_copy_only=False).min())
+    mx = int(part.column("mx").to_numpy(zero_copy_only=False).max())
+    n = int(part.column("n").to_numpy(zero_copy_only=False).sum())
+    width = mx - mn + 1
+
+    def bins(batch: pa.Table) -> pa.Table:
+        from mapchete_xarray_ray.nputil import group_sum
+
+        if ("l_extendedprice" not in batch.column_names
+                or batch.num_rows == 0):
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        c = cents_of(batch)
+        b = (c - mn) * B // width
+        uniq, cnt = group_sum(b, np.ones(len(b), np.int64))
+        return pa.table({"bin": pa.array(uniq, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    from mapchete_xarray_ray.nputil import group_sum
+
+    hist = collect_table(li.map_batches(bins, batch_format="pyarrow"))
+    ub, uc = group_sum(hist.column("bin").to_numpy(zero_copy_only=False),
+                       hist.column("cnt").to_numpy(zero_copy_only=False))
+    cum = np.cumsum(uc)
+    rows = []
+    for q in QS:
+        # ceil(q*n/1000) with a POSITIVE numerator: DuckDB // truncates
+        # toward zero while python floors, so -(-x // 1000) diverges on
+        # the two engines — (x + 999) // 1000 is floor==trunc-safe
+        target = (q * n + 999) // 1000
+        bin_ix = int(ub[np.searchsorted(cum, target)])
+        rows.append((q, target, mn + bin_ix * width // B))
+    return pa.table({
+        "q_permille": pa.array([r[0] for r in rows], pa.int64()),
+        "rank_target": pa.array([r[1] for r in rows], pa.int64()),
+        "est_cents": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+SQL_PRICE_QUANTILE_SKETCH = """
+WITH p AS (
+  SELECT floor(l_extendedprice * 100)::BIGINT AS cents FROM lineitem
+), mm AS (
+  SELECT min(cents) AS mn, max(cents) AS mx,
+         (max(cents) - min(cents) + 1) AS width, count(*)::BIGINT AS n
+  FROM p
+), h AS (
+  SELECT ((cents - mn) * 4096) // width AS bin, count(*)::BIGINT AS cnt
+  FROM p, mm GROUP BY 1
+), c AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM h
+), qs AS (
+  SELECT unnest([500, 950, 990])::BIGINT AS q_permille
+), t AS (
+  SELECT q_permille, (q_permille * n + 999) // 1000 AS rank_target
+  FROM qs, mm
+)
+SELECT t.q_permille,
+       t.rank_target::BIGINT AS rank_target,
+       (mm.mn + min(c.bin) * mm.width // 4096)::BIGINT AS est_cents
+FROM t JOIN c ON c.cum >= t.rank_target, mm
+GROUP BY t.q_permille, t.rank_target, mm.mn, mm.width
+"""
+
+
 def q_lineitem_median(sf_dir: str):
     """Exact lower median (rank (n+1)//2) per key — see
     :func:`_lineitem_exact_rank`."""
@@ -5444,6 +5543,8 @@ REGISTRY: dict[str, tuple] = {
     "lang_rebalance": (q_lang_rebalance, SQL_LANG_REBALANCE),
     "repetition": (q_repetition, SQL_REPETITION),
     "centroid_classify": (q_centroid_classify, SQL_CENTROID_CLASSIFY),
+    "price_quantile_sketch": (q_price_quantile_sketch,
+                              SQL_PRICE_QUANTILE_SKETCH),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "top_users_per_type": (q_top_users_per_type, SQL_TOP_USERS_PER_TYPE),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),

@@ -189,3 +189,26 @@ def test_lang_rebalance_null_lang_drops_on_both_sides(tmp_path):
     assert g == w
     assert all(lang is not None for _d, lang in g)
     assert 0 < len(g) < n
+
+
+def test_price_quantile_sketch_within_one_bin(sf_dir):
+    """The binned sketch's guarantee: every estimate is a bin lower
+    bound at most one bin width below the exact rank-target value."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapchete_xarray_ray.pipelines.queries import REGISTRY, collect_table
+
+    got = collect_table(REGISTRY["price_quantile_sketch"][0](sf_dir))
+    cents = np.floor(pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice"]).column("l_extendedprice")
+        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+    cents.sort()
+    binw = (int(cents.max()) - int(cents.min()) + 1) / 4096
+    for q, target, est in zip(got.column("q_permille").to_pylist(),
+                              got.column("rank_target").to_pylist(),
+                              got.column("est_cents").to_pylist()):
+        exact = int(cents[target - 1])
+        assert est <= exact, (q, est, exact)
+        assert exact - est <= binw + 1, (q, est, exact, binw)
