@@ -231,3 +231,56 @@ def test_cron_expansion_matches_minute_scan(data):
             want.append(t)
         t += timedelta(minutes=1)
     assert got == want
+
+
+@given(data=st.data())
+@settings(max_examples=100, deadline=None)
+def test_group_reduce_matches_python_fold(data):
+    from mapchete_xarray_ray.nputil import group_reduce
+
+    n = data.draw(st.integers(0, 60))
+    keys = np.array(data.draw(st.lists(
+        st.integers(-5, 5), min_size=n, max_size=n)), dtype=np.int64)
+    vals = np.array(data.draw(st.lists(
+        st.integers(-1000, 1000), min_size=n, max_size=n)), dtype=np.int64)
+    uk, mx, tot = group_reduce(keys, (np.maximum, vals), (np.add, vals))
+    want = {}
+    for k, v in zip(keys.tolist(), vals.tolist()):
+        m, s = want.get(k, (None, 0))
+        want[k] = (v if m is None else max(m, v), s + v)
+    assert uk.tolist() == sorted(want)
+    assert mx.tolist() == [want[k][0] for k in sorted(want)]
+    assert tot.tolist() == [want[k][1] for k in sorted(want)]
+
+
+@given(data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_doc_gram_pairs_matches_python_oracle(data):
+    import pyarrow as pa
+
+    from mapchete_xarray_ray.pipelines.queries import _doc_gram_pairs
+
+    WORDS = ["a", "bb", "ccc", "dd"]
+    n_docs = data.draw(st.integers(0, 8))
+    texts, ids = [], []
+    for i in range(n_docs):
+        toks = data.draw(st.lists(st.sampled_from(WORDS), max_size=7))
+        pad = data.draw(st.sampled_from(["", " ", "\t", "  "]))
+        texts.append(pad + " ".join(toks) + pad)
+        ids.append(i)
+    n = data.draw(st.integers(1, 4))
+    batch = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    for distinct in (True, False):
+        d, g = _doc_gram_pairs(batch, n, distinct=distinct)
+        got = list(zip(d.to_pylist(), g.to_pylist()))
+        want = []
+        for i, t in zip(ids, texts):
+            toks = t.strip(" \t\n\x0b\f\r").split()
+            if not toks or toks == [""]:
+                continue
+            grams = [" ".join(toks[j:j + n])
+                     for j in range(len(toks) - n + 1)]
+            want += [(i, x) for x in
+                     (dict.fromkeys(grams) if distinct else grams)]
+        assert sorted(got) == sorted(want), (n, distinct)
