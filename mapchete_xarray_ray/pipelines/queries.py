@@ -4071,8 +4071,9 @@ def q_price_quantile_sketch(sf_dir: str):
     min/max/count scan pins the integer-cents domain, then every batch
     contributes a constant 4096-bin histogram partial; the merged
     histogram answers any quantile by cumulative walk with error
-    <= one bin width (~0.025% of the range), never re-touching the
-    data — the property that matters when the exact per-key rank
+    <= one bin width + 1 cent (the bin's true lower boundary is
+    fractional and the estimate floors it; ~0.025% of the range —
+    the bound the pytest pins), never re-touching the data — the property that matters when the exact per-key rank
     rescan (``lineitem_median``) is too expensive or the stream is
     gone. ALL arithmetic is integer (cents, bin index by integer
     mul/div, rank targets by ceil division), so the DuckDB twin
@@ -4098,7 +4099,13 @@ def q_price_quantile_sketch(sf_dir: str):
                          "mx": pa.array([int(c.max())], pa.int64()),
                          "n": pa.array([len(c)], pa.int64())})
 
+    EMPTY_OUT = pa.table({"q_permille": pa.array([], pa.int64()),
+                          "rank_target": pa.array([], pa.int64()),
+                          "est_cents": pa.array([], pa.int64())})
+
     part = collect_table(li.map_batches(mmc, batch_format="pyarrow"))
+    if part.num_rows == 0:
+        return EMPTY_OUT
     mn = int(part.column("mn").to_numpy(zero_copy_only=False).min())
     mx = int(part.column("mx").to_numpy(zero_copy_only=False).max())
     n = int(part.column("n").to_numpy(zero_copy_only=False).sum())
@@ -4920,7 +4927,8 @@ def q_centroid_classify(sf_dir: str):
     def partials(batch: pa.Table) -> pa.Table:
         empty = pa.table({"label": pa.array([], pa.int64()),
                           "dim": pa.array([], pa.int64()),
-                          "val": pa.array([], pa.int64())})
+                          "sum_q": pa.array([], pa.int64()),
+                          "n_vecs": pa.array([], pa.int64())})
         if "vec_id" not in batch.column_names or batch.num_rows == 0:
             return empty
         lab = batch.column("label").cast(pa.int64()).to_numpy(
@@ -4931,31 +4939,39 @@ def q_centroid_classify(sf_dir: str):
         sums = np.zeros((len(uniq), DIM), dtype=np.int64)
         np.add.at(sums, inv, q)
         cnts = np.bincount(inv).astype(np.int64)
-        # dim rows carry component sums; dim=-1 rows carry counts
-        lab_rep = np.repeat(uniq, DIM)
-        dim_rep = np.tile(np.arange(DIM, dtype=np.int64), len(uniq))
+        # the count rides on every dim row (q_lang_centroid's shape) —
+        # summing it across batches per (label, dim) stays the label
+        # count, readable off any one dim
         return pa.table({
-            "label": pa.array(np.concatenate([lab_rep, uniq]), pa.int64()),
-            "dim": pa.array(np.concatenate(
-                [dim_rep, np.full(len(uniq), -1, np.int64)])),
-            "val": pa.array(np.concatenate([sums.ravel(), cnts])),
+            "label": pa.array(np.repeat(uniq, DIM), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(DIM, dtype=np.int64),
+                                    len(uniq))),
+            "sum_q": pa.array(sums.ravel()),
+            "n_vecs": pa.array(np.repeat(cnts, DIM)),
         })
 
     from mapchete_xarray_ray.nputil import group_sum
 
     part = collect_table(emb.map_batches(partials, batch_format="pyarrow"))
+    if "label" not in part.column_names or part.num_rows == 0:
+        # empty corpus -> zero-block read; broadcast an empty table so
+        # classify's len(labels)==0 guard emits the empty schema
+        part = pa.table({"label": pa.array([], pa.int64()),
+                         "dim": pa.array([], pa.int64()),
+                         "sum_q": pa.array([], pa.int64()),
+                         "n_vecs": pa.array([], pa.int64())})
     lab = part.column("label").to_numpy(zero_copy_only=False)
     dim = part.column("dim").to_numpy(zero_copy_only=False)
-    val = part.column("val").to_numpy(zero_copy_only=False)
-    key = lab * (DIM + 1) + (dim + 1)  # dim=-1 -> slot 0
-    uk, uv = group_sum(key, val)
-    labels = np.unique(uk // (DIM + 1))
+    uk, sum_q, n_vecs = group_sum(
+        lab * DIM + dim,
+        part.column("sum_q").to_numpy(zero_copy_only=False),
+        part.column("n_vecs").to_numpy(zero_copy_only=False))
+    labels = np.unique(uk // DIM)
     sum_mat = np.zeros((len(labels), DIM), dtype=np.int64)
     counts = np.zeros(len(labels), dtype=np.int64)
-    li = np.searchsorted(labels, uk // (DIM + 1))
-    is_cnt = (uk % (DIM + 1)) == 0
-    counts[li[is_cnt]] = uv[is_cnt]
-    sum_mat[li[~is_cnt], (uk % (DIM + 1))[~is_cnt] - 1] = uv[~is_cnt]
+    li = np.searchsorted(labels, uk // DIM)
+    sum_mat[li, uk % DIM] = sum_q
+    counts[li[uk % DIM == 0]] = n_vecs[uk % DIM == 0]
     cent_ref = ray.put((labels, sum_mat, counts.astype(np.float64)))
 
     def classify(batch: pa.Table) -> pa.Table:
@@ -4966,6 +4982,8 @@ def q_centroid_classify(sf_dir: str):
         if "vec_id" not in batch.column_names or batch.num_rows == 0:
             return empty
         labels, sum_mat, cnts_f = ray.get(cent_ref)
+        if len(labels) == 0:  # empty corpus -> nothing to classify
+            return empty
         q = np.floor(_embedding_matrix(batch, "embedding")
                      * SCALE).astype(np.int64)
         dots = q @ sum_mat.T                      # exact int64

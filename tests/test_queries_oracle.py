@@ -212,3 +212,24 @@ def test_price_quantile_sketch_within_one_bin(sf_dir):
         exact = int(cents[target - 1])
         assert est <= exact, (q, est, exact)
         assert exact - est <= binw + 1, (q, est, exact, binw)
+
+
+def test_empty_tables_yield_empty_results(tmp_path):
+    """Zero-row inputs produce zero-block reads; the driver folds in
+    centroid_classify / price_quantile_sketch must emit the empty
+    schema instead of crashing on zero-size reductions."""
+    import pyarrow.parquet as pq
+
+    from mapchete_xarray_ray.pipelines.queries import REGISTRY, collect_table
+
+    pq.write_table(pa.table({"l_extendedprice": pa.array([], pa.float64())}),
+                   str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+        "label": pa.array([], pa.int32())}),
+        str(tmp_path / "embeddings.parquet"))
+    r1 = collect_table(REGISTRY["price_quantile_sketch"][0](str(tmp_path)))
+    r2 = collect_table(REGISTRY["centroid_classify"][0](str(tmp_path)))
+    assert r1.num_rows == 0
+    assert r2.num_rows == 0
