@@ -5034,6 +5034,43 @@ FROM best WHERE rn = 1
 """
 
 
+def q_model_score(sf_dir: str):
+    """Batched model inference as an ACTOR-POOL stage — the quality-
+    classifier scoring pass of a curation pipeline. The class (not a
+    function) goes to ``map_batches(QualityModelStage, concurrency=2,
+    batch_size=...)``: the checkpoint loads once per actor in
+    ``__init__``, every ``__call__`` scores a whole Arrow batch with
+    one integer matmul. Map-only, no exchange; at 100 TB this stage
+    scales with read bandwidth x actor count, and ``concurrency`` /
+    ``num_cpus`` size the pool. The bundled head is deterministic
+    integer arithmetic (see ``QualityModelStage._load_weights``), so
+    the scores and keep flags sit under the driver hash — the twin
+    inlines the same weights."""
+    from mapchete_xarray_ray.stages.text import QualityModelStage
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        QualityModelStage, concurrency=2, batch_size=512,
+        batch_format="pyarrow")
+
+
+SQL_MODEL_SCORE = r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         array_length(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+'))::BIGINT AS n_tokens,
+         len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS n_punct,
+         len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits
+  FROM documents
+)
+SELECT doc_id,
+       (2*n_chars - 11*n_tokens + 7*n_punct - 3*n_digits + 5)::BIGINT
+         AS score,
+       (CASE WHEN 2*n_chars - 11*n_tokens + 7*n_punct - 3*n_digits + 5 > 0
+             THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM f
+"""
+
+
 def q_repetition(sf_dir: str):
     """Repetition-based quality metrics — the Gopher-style boilerplate
     filter: per doc, how many times its MOST FREQUENT word 2-gram
@@ -5560,6 +5597,7 @@ REGISTRY: dict[str, tuple] = {
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "lang_rebalance": (q_lang_rebalance, SQL_LANG_REBALANCE),
     "repetition": (q_repetition, SQL_REPETITION),
+    "model_score": (q_model_score, SQL_MODEL_SCORE),
     "centroid_classify": (q_centroid_classify, SQL_CENTROID_CLASSIFY),
     "price_quantile_sketch": (q_price_quantile_sketch,
                               SQL_PRICE_QUANTILE_SKETCH),

@@ -250,3 +250,52 @@ def bpe_token_stage(batch: pa.Table, col: str = "text",
     out["n_numbers"] = pa.array(numbers)
     out["n_punct"] = pa.array(puncts)
     return pa.table(out)
+
+
+# --- batched model inference (actor-pool stage) ---------------------------
+
+class QualityModelStage:
+    """Batched "model" inference as an ACTOR-POOL stage — the shape a
+    real quality classifier (fastText, a distilled transformer) takes
+    in this engine: pass the CLASS to ``map_batches(QualityModelStage,
+    concurrency=N, batch_size=B)`` so the checkpoint loads ONCE per
+    actor in ``__init__`` (never per batch), and ``__call__`` scores
+    whole Arrow batches vectorized. The bundled model is a
+    deterministic integer-weight linear head over the quality features
+    (weights derived from a fixed seed in ``_load_weights`` — the seam
+    where a real checkpoint read goes), so the scores are bit-exact
+    under the driver hash; swapping in a real model changes ONLY
+    ``_load_weights`` and the dot product.
+    """
+
+    #: feature order the head is trained against
+    FEATURES = ("n_chars", "n_tokens", "n_punct", "n_digits")
+
+    @staticmethod
+    def _load_weights() -> tuple[np.ndarray, int]:
+        """Deterministic stand-in for a checkpoint load. The bundled
+        head is ``2*n_chars - 11*n_tokens + 7*n_punct - 3*n_digits
+        + 5`` — i.e. "keep docs averaging >= 5.5 chars/token, punct
+        as a sentence-structure bonus, digit soup penalized" — which
+        splits the fixture corpus ~60/40 so the keep flag carries
+        signal under the driver hash."""
+        return np.array([2, -11, 7, -3], dtype=np.int64), 5
+
+    def __init__(self):
+        self.w, self.bias = self._load_weights()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.int64()),
+                          "keep": pa.array([], pa.int64())})
+        if "doc_id" not in batch.column_names or batch.num_rows == 0:
+            return empty
+        feats = quality_stage(batch)
+        x = np.stack([feats.column(f).to_numpy(zero_copy_only=False)
+                      for f in self.FEATURES], axis=1)
+        score = x @ self.w + self.bias
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "score": pa.array(score, pa.int64()),
+            "keep": pa.array((score > 0).astype(np.int64)),
+        })
