@@ -204,6 +204,32 @@ def _encode_chunk(arr: np.ndarray, compressor: tuple[str, int] | None) -> bytes:
     return lzma.compress(raw, format=lzma.FORMAT_XZ, preset=level)
 
 
+def load_consolidated(path: str) -> dict | None:
+    """One GET for ALL archive metadata: the zarr v2 consolidated
+    ``.zmetadata`` blob (the reference always opens with
+    ``consolidated=True``, _input.py:55,147 / _output.py:102 — on
+    remote stores this is the difference between 1 round trip and one
+    per band/axis). Returns the key -> parsed-object map, or ``None``
+    for archives written without consolidation."""
+    buf = _get_bytes(os.path.join(path, ".zmetadata"))
+    if buf is None:
+        return None
+    doc = json.loads(buf)
+    meta = doc.get("metadata") if isinstance(doc, dict) else None
+    return meta if isinstance(meta, dict) else None
+
+
+def read_meta_json(path: str, key: str,
+                   consolidated: dict | None = None):
+    """Metadata lookup, consolidated map first, per-key GET fallback
+    (archives from other writers may lack ``.zmetadata``). Returns the
+    parsed JSON object or ``None``."""
+    if consolidated is not None and key in consolidated:
+        return consolidated[key]
+    buf = _get_bytes(os.path.join(path, key))
+    return None if buf is None else json.loads(buf)
+
+
 def _decode_chunk(buf: bytes, shape, dtype,
                   compressor: tuple[str, int] | None) -> np.ndarray:
     if compressor is not None:
@@ -246,6 +272,17 @@ class ZarrTileStore:
         # chunks [8,...]), so reference-written chunk files decode here
         self.time_chunk = spec.time_chunksize if self.has_time else 0
         self._layout_synced = False
+        self._cmeta: dict | None = None
+        self._cmeta_loaded = False
+
+    def _meta_json(self, key: str):
+        """Archive metadata lookup through the cached consolidated map
+        (ONE ``.zmetadata`` GET serves .zattrs + every band's .zarray),
+        with per-key fallback."""
+        if not self._cmeta_loaded:
+            self._cmeta_loaded = True
+            self._cmeta = load_consolidated(self.path)
+        return read_meta_json(self.path, key, self._cmeta)
 
     def _sync_time_chunk(self) -> None:
         """Align the decode layout with the STORED ``.zarray``: an
@@ -257,10 +294,15 @@ class ZarrTileStore:
         if self._layout_synced:
             return
         self._layout_synced = True
-        buf = _get_bytes(os.path.join(self.path, self.spec.band_names[0],
-                                      ".zarray"))
-        if buf is not None:
-            meta = json.loads(buf)
+        # decode layout: the PER-KEY .zarray is authoritative — a tool
+        # editing an archive in place need not re-consolidate, and
+        # mis-decoding chunk bytes is worse than one extra GET; the
+        # consolidated map only serves consolidated-only archives
+        key = f"{self.spec.band_names[0]}/.zarray"
+        meta = read_meta_json(self.path, key)
+        if meta is None:
+            meta = self._meta_json(key)
+        if meta is not None:
             chunks = meta.get("chunks")
             if (self.has_time and chunks and len(chunks) == 3
                     and int(chunks[0]) > 0):
@@ -317,6 +359,9 @@ class ZarrTileStore:
 
             _put_json(os.path.join(self.path, ".zmetadata"),
                       {"zarr_consolidated_format": 1, "metadata": consolidated})
+            # the archive's metadata just changed under us — drop any
+            # cached (possibly absent) consolidated map
+            self._cmeta_loaded = False
         except BaseException:
             # cleanup leftovers (reference _output.py:707-710)
             _rmtree(self.path)
@@ -375,13 +420,13 @@ class ZarrTileStore:
     # --- S2: prepare (open-or-create + metadata compat) ------------------
     def prepare(self) -> None:
         if _exists(self.path):
-            buf = _get_bytes(os.path.join(self.path, ".zattrs"))
-            if buf is None:
+            attrs = self._meta_json(".zattrs")
+            if attrs is None:
                 raise TypeError(
                     f"zarr archive at {self.path} exists but does not hold "
                     "mapchete metadata"
                 )
-            stored = json.loads(buf).get("mapchete")
+            stored = attrs.get("mapchete")
             if stored is None:
                 raise TypeError(
                     f"zarr archive at {self.path} exists but does not hold "

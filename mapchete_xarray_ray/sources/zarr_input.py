@@ -31,12 +31,17 @@ from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
 def spec_from_archive(path: str) -> JobSpec:
     """Rebuild a JobSpec from an archive's stored metadata (driver-side,
     once; the result is broadcast into task closures)."""
-    from mapchete_xarray_ray.sinks.zarr import _get_bytes
+    from mapchete_xarray_ray.sinks.zarr import (
+        load_consolidated,
+        read_meta_json,
+    )
 
-    buf = _get_bytes(os.path.join(path, ".zattrs"))
-    if buf is None:
+    # consolidated-first: one .zmetadata GET instead of per-key reads
+    # (the reference's open_zarr(consolidated=True), _input.py:55)
+    attrs = read_meta_json(path, ".zattrs", load_consolidated(path))
+    if attrs is None:
         raise TypeError(f"archive at {path} does not hold mapchete metadata")
-    meta = json.loads(buf).get("mapchete")
+    meta = attrs.get("mapchete")
     if meta is None:
         raise TypeError(f"archive at {path} does not hold mapchete metadata")
     drv, pyr, delim = meta["driver"], meta["pyramid"], meta["delimiters"]

@@ -224,3 +224,35 @@ def test_pyramid_time_axis_archive(tmp_path):
         want = sum(int(written[rc][0, t].sum())
                    for rc in [(0, 0), (0, 1), (1, 0), (1, 1)])
         assert int(parent[0, t].astype(np.int64).sum()) == want, t
+
+
+def test_consolidated_metadata_serves_every_open(archive, tmp_path):
+    """All metadata resolves through the single .zmetadata GET (the
+    reference's consolidated=True open): with every per-key metadata
+    file deleted, spec_from_archive, prepare, and the stored-layout
+    sync must still work; with .zmetadata deleted instead, the
+    per-key fallback must serve archives from non-consolidating
+    writers."""
+    import os
+    import shutil
+    from dataclasses import replace
+
+    from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+
+    src = archive.path
+    for variant in ("consolidated_only.zarr", "per_key_only.zarr"):
+        dst = str(tmp_path / variant)
+        shutil.copytree(src, dst)
+        if variant == "consolidated_only":
+            os.remove(os.path.join(dst, ".zattrs"))
+            for band in archive.band_names:
+                os.remove(os.path.join(dst, band, ".zarray"))
+        else:
+            os.remove(os.path.join(dst, ".zmetadata"))
+        spec2 = spec_from_archive(dst)
+        assert spec2.band_names == archive.band_names
+        spec2 = replace(spec2, path=dst)
+        store = ZarrTileStore(spec2)
+        store.prepare()           # metadata-compat check passes
+        store._sync_time_chunk()  # stored-layout sync finds .zarray
+        assert store.compressor is not None  # stored zlib config found
