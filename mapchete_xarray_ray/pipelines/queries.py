@@ -5034,6 +5034,112 @@ FROM best WHERE rn = 1
 """
 
 
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer TRAINING on the engine — 3 rounds of the
+    byte-pair-encoding merge loop: count every adjacent symbol pair
+    across the corpus, merge the most frequent (ties to the
+    lexicographically smallest pair — utf8 byte order == codepoint
+    order, so python and DuckDB agree), repeat with the merge applied.
+    Each round is ONE distributed map pass (tokenize, apply the
+    accumulated merges in order via vectorized literal replace —
+    python str.replace, Arrow replace_substring and DuckDB replace all
+    substitute non-overlapping left-to-right, so 'aaa' merges
+    identically everywhere) followed by a driver fold of pair-count
+    partials — the fold table is bounded by |alphabet|^2, never
+    corpus-sized, which is exactly why BPE training streams at any
+    scale. Merged pairs become private-use codepoints (U+E000+r) so
+    every symbol stays one codepoint and round r+1's pairs are plain
+    2-codepoint slices. Exact 3-round chained-CTE DuckDB twin (the
+    pagerank pattern)."""
+    import pyarrow.compute as pc
+
+    from mapchete_xarray_ray.stages.text import trim_ws
+
+    ROUNDS = 3
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    merges: list[tuple[str, str]] = []   # (pair, merged symbol), in order
+
+    def pair_counts(merge_list):
+        def fn(batch: pa.Table) -> pa.Table:
+            empty = pa.table({"pair": pa.array([], pa.string()),
+                              "cnt": pa.array([], pa.int64())})
+            if "text" not in batch.column_names or batch.num_rows == 0:
+                return empty
+            trimmed = trim_ws(batch.column("text"))
+            keep = pc.not_equal(trimmed, "")
+            toks = pc.split_pattern_regex(trimmed.filter(keep), r"\s+")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            words = toks.flatten()
+            for pair, sym in merge_list:
+                words = pc.replace_substring(words, pattern=pair,
+                                             replacement=sym)
+            max_len = int(pc.max(pc.utf8_length(words)).as_py() or 0)
+            parts = []
+            for i in range(max(max_len - 1, 0)):
+                s = pc.utf8_slice_codeunits(words, i, i + 2)
+                parts.append(s.filter(pc.equal(pc.utf8_length(s), 2)))
+            if not parts:
+                return empty
+            g = (pa.table({"pair": pa.concat_arrays(
+                    [p.combine_chunks() if isinstance(p, pa.ChunkedArray)
+                     else p for p in parts])})
+                 .group_by("pair").aggregate([([], "count_all")]))
+            return pa.table({"pair": g.column("pair"),
+                             "cnt": g.column("count_all").cast(pa.int64())})
+
+        return fn
+
+    out_rows = []
+    for r in range(ROUNDS):
+        part = collect_table(docs.map_batches(pair_counts(list(merges)),
+                                              batch_format="pyarrow"))
+        folded = (part.group_by("pair")
+                  .aggregate([("cnt", "sum")]))
+        pairs = folded.column("pair").to_numpy(zero_copy_only=False)
+        cnts = folded.column("cnt_sum").to_numpy(zero_copy_only=False)
+        if len(pairs) == 0:
+            break
+        best = np.lexsort((pairs, -cnts))[0]
+        out_rows.append((r, str(pairs[best]), int(cnts[best])))
+        merges.append((str(pairs[best]), chr(0xE000 + r)))
+
+    return pa.table({
+        "round": pa.array([r for r, _p, _c in out_rows], pa.int64()),
+        "pair": pa.array([p for _r, p, _c in out_rows], pa.string()),
+        "cnt": pa.array([c for _r, _p, c in out_rows], pa.int64()),
+    })
+
+
+SQL_BPE_MERGES = r"""
+WITH w0 AS (
+  SELECT unnest(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+')) AS w
+  FROM documents
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
+), p0 AS (
+  SELECT substr(w, i, 2) AS pair, count(*)::BIGINT AS cnt
+  FROM w0, LATERAL (SELECT unnest(generate_series(1, length(w)-1)) AS i) t
+  GROUP BY 1
+), m0 AS (SELECT pair, cnt FROM p0 ORDER BY cnt DESC, pair ASC LIMIT 1),
+w1 AS (SELECT replace(w, (SELECT pair FROM m0), chr(57344)) AS w FROM w0),
+p1 AS (
+  SELECT substr(w, i, 2) AS pair, count(*)::BIGINT AS cnt
+  FROM w1, LATERAL (SELECT unnest(generate_series(1, length(w)-1)) AS i) t
+  GROUP BY 1
+), m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+w2 AS (SELECT replace(w, (SELECT pair FROM m1), chr(57345)) AS w FROM w1),
+p2 AS (
+  SELECT substr(w, i, 2) AS pair, count(*)::BIGINT AS cnt
+  FROM w2, LATERAL (SELECT unnest(generate_series(1, length(w)-1)) AS i) t
+  GROUP BY 1
+), m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1)
+SELECT 0::BIGINT AS round, pair, cnt FROM m0
+UNION ALL SELECT 1::BIGINT, pair, cnt FROM m1
+UNION ALL SELECT 2::BIGINT, pair, cnt FROM m2
+"""
+
+
 def q_model_score(sf_dir: str):
     """Batched model inference as an ACTOR-POOL stage — the quality-
     classifier scoring pass of a curation pipeline. The class (not a
@@ -5598,6 +5704,7 @@ REGISTRY: dict[str, tuple] = {
     "lang_rebalance": (q_lang_rebalance, SQL_LANG_REBALANCE),
     "repetition": (q_repetition, SQL_REPETITION),
     "model_score": (q_model_score, SQL_MODEL_SCORE),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "centroid_classify": (q_centroid_classify, SQL_CENTROID_CLASSIFY),
     "price_quantile_sketch": (q_price_quantile_sketch,
                               SQL_PRICE_QUANTILE_SKETCH),

@@ -233,3 +233,35 @@ def test_empty_tables_yield_empty_results(tmp_path):
     r2 = collect_table(REGISTRY["centroid_classify"][0](str(tmp_path)))
     assert r1.num_rows == 0
     assert r2.num_rows == 0
+
+
+def test_bpe_merges_overlapping_runs_match_duckdb(tmp_path):
+    """The merge loop's exactness hinges on all three engines replacing
+    non-overlapping left-to-right ('aaaa' + merge aa->X == 'XX', never
+    'aXa'); the fixture corpus has no such runs, so supply them."""
+    import pyarrow.parquet as pq
+
+    from mapchete_xarray_ray.pipelines.queries import (
+        REGISTRY,
+        SQL_BPE_MERGES,
+        collect_table,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["aaa aaa aaaa", "aab aaab", "  "]),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = collect_table(REGISTRY["bpe_merges"][0](str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(SQL_BPE_MERGES).fetchall()
+    con.close()
+    g = list(zip(got.column("round").to_pylist(),
+                 got.column("pair").to_pylist(),
+                 got.column("cnt").to_pylist()))
+    assert g == [tuple(r) for r in want]
+    # round 0 merges the dominant 'aa'; 'aaaa' must count it twice
+    # (left-to-right non-overlap), visible in the round-1 alphabet
+    assert g[0][1] == "aa"
