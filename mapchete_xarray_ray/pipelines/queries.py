@@ -5057,7 +5057,7 @@ def q_bpe_merges(sf_dir: str):
 
     ROUNDS = 3
 
-    docs = _docs(sf_dir, ["doc_id", "text"])
+    docs = _docs(sf_dir, ["text"])
     merges: list[tuple[str, str]] = []   # (pair, merged symbol), in order
 
     def pair_counts(merge_list):
@@ -5075,11 +5075,24 @@ def q_bpe_merges(sf_dir: str):
             for pair, sym in merge_list:
                 words = pc.replace_substring(words, pattern=pair,
                                              replacement=sym)
-            max_len = int(pc.max(pc.utf8_length(words)).as_py() or 0)
+            # sort words longest-first ONCE so window i only slices the
+            # prefix of words long enough to have a pair there — total
+            # slice work is O(total chars), not O(max_len x n_words)
+            # (one pathological unbroken token must not multiply the
+            # cost of every short word in the batch)
+            lens = pc.utf8_length(words).to_numpy(zero_copy_only=False)
+            order = np.argsort(-lens, kind="stable")
+            words = words.take(pa.array(order))
+            lens_desc = lens[order]
+            max_len = int(lens_desc[0]) if len(lens_desc) else 0
             parts = []
             for i in range(max(max_len - 1, 0)):
-                s = pc.utf8_slice_codeunits(words, i, i + 2)
-                parts.append(s.filter(pc.equal(pc.utf8_length(s), 2)))
+                # words with length >= i+2 form a prefix of the sort
+                k = int(np.searchsorted(-lens_desc, -(i + 2), side="right"))
+                if k == 0:
+                    break
+                parts.append(pc.utf8_slice_codeunits(
+                    words.slice(0, k), i, i + 2))
             if not parts:
                 return empty
             g = (pa.table({"pair": pa.concat_arrays(

@@ -205,29 +205,36 @@ def _encode_chunk(arr: np.ndarray, compressor: tuple[str, int] | None) -> bytes:
 
 
 def load_consolidated(path: str) -> dict | None:
-    """One GET for ALL archive metadata: the zarr v2 consolidated
-    ``.zmetadata`` blob (the reference always opens with
-    ``consolidated=True``, _input.py:55,147 / _output.py:102 — on
-    remote stores this is the difference between 1 round trip and one
-    per band/axis). Returns the key -> parsed-object map, or ``None``
-    for archives written without consolidation."""
+    """The zarr v2 consolidated ``.zmetadata`` blob (the reference
+    always opens with ``consolidated=True``, _input.py:55,147 /
+    _output.py:102): one GET holding every metadata key. Returns the
+    key -> parsed-object map, or ``None`` when absent OR unparseable —
+    a torn ``.zmetadata`` from a non-atomic writer must degrade to the
+    per-key files, not fail the open."""
     buf = _get_bytes(os.path.join(path, ".zmetadata"))
     if buf is None:
         return None
-    doc = json.loads(buf)
+    try:
+        doc = json.loads(buf)
+    except ValueError:
+        return None
     meta = doc.get("metadata") if isinstance(doc, dict) else None
     return meta if isinstance(meta, dict) else None
 
 
 def read_meta_json(path: str, key: str,
                    consolidated: dict | None = None):
-    """Metadata lookup, consolidated map first, per-key GET fallback
-    (archives from other writers may lack ``.zmetadata``). Returns the
-    parsed JSON object or ``None``."""
-    if consolidated is not None and key in consolidated:
-        return consolidated[key]
+    """Metadata lookup with ONE coherent policy repo-wide: the PER-KEY
+    file is authoritative (a tool editing an archive in place need not
+    re-consolidate — stale ``.zmetadata`` must never override it), and
+    the consolidated map serves archives where the per-key file is
+    absent. Returns the parsed JSON object or ``None``."""
     buf = _get_bytes(os.path.join(path, key))
-    return None if buf is None else json.loads(buf)
+    if buf is not None:
+        return json.loads(buf)
+    if consolidated is not None:
+        return consolidated.get(key)
+    return None
 
 
 def _decode_chunk(buf: bytes, shape, dtype,
@@ -276,13 +283,17 @@ class ZarrTileStore:
         self._cmeta_loaded = False
 
     def _meta_json(self, key: str):
-        """Archive metadata lookup through the cached consolidated map
-        (ONE ``.zmetadata`` GET serves .zattrs + every band's .zarray),
-        with per-key fallback."""
+        """Archive metadata lookup: per-key file first (authoritative —
+        see read_meta_json), then the consolidated map, loaded lazily
+        at most once per store so consolidated-only archives cost one
+        extra GET total, not one per key."""
+        buf = _get_bytes(os.path.join(self.path, key))
+        if buf is not None:
+            return json.loads(buf)
         if not self._cmeta_loaded:
             self._cmeta_loaded = True
             self._cmeta = load_consolidated(self.path)
-        return read_meta_json(self.path, key, self._cmeta)
+        return None if self._cmeta is None else self._cmeta.get(key)
 
     def _sync_time_chunk(self) -> None:
         """Align the decode layout with the STORED ``.zarray``: an
@@ -294,14 +305,7 @@ class ZarrTileStore:
         if self._layout_synced:
             return
         self._layout_synced = True
-        # decode layout: the PER-KEY .zarray is authoritative — a tool
-        # editing an archive in place need not re-consolidate, and
-        # mis-decoding chunk bytes is worse than one extra GET; the
-        # consolidated map only serves consolidated-only archives
-        key = f"{self.spec.band_names[0]}/.zarray"
-        meta = read_meta_json(self.path, key)
-        if meta is None:
-            meta = self._meta_json(key)
+        meta = self._meta_json(f"{self.spec.band_names[0]}/.zarray")
         if meta is not None:
             chunks = meta.get("chunks")
             if (self.has_time and chunks and len(chunks) == 3

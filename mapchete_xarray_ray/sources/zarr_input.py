@@ -17,8 +17,6 @@
 
 from __future__ import annotations
 
-import json
-import os
 
 import numpy as np
 import pyarrow as pa
@@ -36,9 +34,13 @@ def spec_from_archive(path: str) -> JobSpec:
         read_meta_json,
     )
 
-    # consolidated-first: one .zmetadata GET instead of per-key reads
-    # (the reference's open_zarr(consolidated=True), _input.py:55)
-    attrs = read_meta_json(path, ".zattrs", load_consolidated(path))
+    # per-key .zattrs is authoritative; the consolidated .zmetadata map
+    # (the reference's open_zarr(consolidated=True), _input.py:55) is
+    # loaded only when the per-key file is absent
+    attrs = read_meta_json(path, ".zattrs")
+    if attrs is None:
+        cmeta = load_consolidated(path)
+        attrs = None if cmeta is None else cmeta.get(".zattrs")
     if attrs is None:
         raise TypeError(f"archive at {path} does not hold mapchete metadata")
     meta = attrs.get("mapchete")

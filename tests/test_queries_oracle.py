@@ -258,10 +258,12 @@ def test_bpe_merges_overlapping_runs_match_duckdb(tmp_path):
                 f"read_parquet('{tmp_path}/documents.parquet')")
     want = con.execute(SQL_BPE_MERGES).fetchall()
     con.close()
-    g = list(zip(got.column("round").to_pylist(),
-                 got.column("pair").to_pylist(),
-                 got.column("cnt").to_pylist()))
-    assert g == [tuple(r) for r in want]
+    g = sorted(zip(got.column("round").to_pylist(),
+                   got.column("pair").to_pylist(),
+                   got.column("cnt").to_pylist()))
+    # sort both sides by round: SQL does not guarantee UNION ALL
+    # branch order (the driver's hash compare sorts rows too)
+    assert g == sorted(tuple(r) for r in want)
     # round 0 merges the dominant 'aa'; 'aaaa' must count it twice
     # (left-to-right non-overlap), visible in the round-1 alphabet
     assert g[0][1] == "aa"
