@@ -5034,28 +5034,33 @@ FROM best WHERE rn = 1
 """
 
 
-def q_bpe_merges(sf_dir: str):
-    """BPE tokenizer TRAINING on the engine — 3 rounds of the
-    byte-pair-encoding merge loop: count every adjacent symbol pair
-    across the corpus, merge the most frequent (ties to the
-    lexicographically smallest pair — utf8 byte order == codepoint
-    order, so python and DuckDB agree), repeat with the merge applied.
-    Each round is ONE distributed map pass (tokenize, apply the
-    accumulated merges in order via vectorized literal replace —
-    python str.replace, Arrow replace_substring and DuckDB replace all
-    substitute non-overlapping left-to-right, so 'aaa' merges
-    identically everywhere) followed by a driver fold of pair-count
-    partials — the fold table is bounded by |alphabet|^2, never
-    corpus-sized, which is exactly why BPE training streams at any
-    scale. Merged pairs become private-use codepoints (U+E000+r) so
-    every symbol stays one codepoint and round r+1's pairs are plain
-    2-codepoint slices. Exact 3-round chained-CTE DuckDB twin (the
-    pagerank pattern)."""
+def _tokenize_words(batch: pa.Table, merge_list):
+    """Whitespace words of a batch with the accumulated BPE merges
+    applied in order (vectorized literal replace). Returns the flat
+    word array and the per-row word counts (for per-doc folds)."""
     import pyarrow.compute as pc
 
     from mapchete_xarray_ray.stages.text import trim_ws
 
-    ROUNDS = 3
+    trimmed = trim_ws(batch.column("text"))
+    keep = pc.not_equal(trimmed, "")
+    toks = pc.split_pattern_regex(trimmed.filter(keep), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    words = toks.flatten()
+    for pair, sym in merge_list:
+        words = pc.replace_substring(words, pattern=pair, replacement=sym)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return keep, words, np.diff(offs)
+
+
+def _learn_bpe(sf_dir: str, rounds: int = 3):
+    """The BPE merge loop shared by q_bpe_merges / q_bpe_encode: per
+    round, ONE distributed map pass counts adjacent symbol pairs under
+    the merges learned so far, and the driver folds a table bounded by
+    |alphabet|^2. Returns (rows, merges): (round, pair, cnt) rows and
+    the ordered (pair, symbol) merge list."""
+    import pyarrow.compute as pc
 
     docs = _docs(sf_dir, ["text"])
     merges: list[tuple[str, str]] = []   # (pair, merged symbol), in order
@@ -5066,15 +5071,7 @@ def q_bpe_merges(sf_dir: str):
                               "cnt": pa.array([], pa.int64())})
             if "text" not in batch.column_names or batch.num_rows == 0:
                 return empty
-            trimmed = trim_ws(batch.column("text"))
-            keep = pc.not_equal(trimmed, "")
-            toks = pc.split_pattern_regex(trimmed.filter(keep), r"\s+")
-            if isinstance(toks, pa.ChunkedArray):
-                toks = toks.combine_chunks()
-            words = toks.flatten()
-            for pair, sym in merge_list:
-                words = pc.replace_substring(words, pattern=pair,
-                                             replacement=sym)
+            _keep, words, _nw = _tokenize_words(batch, merge_list)
             # sort words longest-first ONCE so window i only slices the
             # prefix of words long enough to have a pair there — total
             # slice work is O(total chars), not O(max_len x n_words)
@@ -5105,7 +5102,7 @@ def q_bpe_merges(sf_dir: str):
         return fn
 
     out_rows = []
-    for r in range(ROUNDS):
+    for r in range(rounds):
         part = collect_table(docs.map_batches(pair_counts(list(merges)),
                                               batch_format="pyarrow"))
         folded = (part.group_by("pair")
@@ -5117,12 +5114,75 @@ def q_bpe_merges(sf_dir: str):
         best = np.lexsort((pairs, -cnts))[0]
         out_rows.append((r, str(pairs[best]), int(cnts[best])))
         merges.append((str(pairs[best]), chr(0xE000 + r)))
+    return out_rows, merges
 
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer TRAINING on the engine — 3 rounds of the
+    byte-pair-encoding merge loop: count every adjacent symbol pair
+    across the corpus, merge the most frequent (ties to the
+    lexicographically smallest pair — utf8 byte order == codepoint
+    order, so python and DuckDB agree), repeat with the merge applied.
+    Each round is ONE distributed map pass (tokenize, apply the
+    accumulated merges in order via vectorized literal replace —
+    python str.replace, Arrow replace_substring and DuckDB replace all
+    substitute non-overlapping left-to-right, so 'aaa' merges
+    identically everywhere) followed by a driver fold of pair-count
+    partials — the fold table is bounded by |alphabet|^2, never
+    corpus-sized, which is exactly why BPE training streams at any
+    scale. Merged pairs become private-use codepoints (U+E000+r) so
+    every symbol stays one codepoint and round r+1's pairs are plain
+    2-codepoint slices. Exact 3-round chained-CTE DuckDB twin (the
+    pagerank pattern)."""
+    rows, _merges = _learn_bpe(sf_dir, 3)
     return pa.table({
-        "round": pa.array([r for r, _p, _c in out_rows], pa.int64()),
-        "pair": pa.array([p for _r, p, _c in out_rows], pa.string()),
-        "cnt": pa.array([c for _r, _p, c in out_rows], pa.int64()),
+        "round": pa.array([r for r, _p, _c in rows], pa.int64()),
+        "pair": pa.array([p for _r, p, _c in rows], pa.string()),
+        "cnt": pa.array([c for _r, _p, c in rows], pa.int64()),
     })
+
+
+def q_bpe_encode(sf_dir: str):
+    """Tokenizer TRAINING + APPLICATION composed: learn the 3 BPE
+    merges (see ``_learn_bpe``), then one more map pass encodes every
+    document under the learned tokenizer and reports its token-budget
+    numbers — whitespace token count, total symbol count after merges
+    (what the doc costs in context-window space), and raw codepoint
+    count. The application pass is map-only (tokenize, 3 vectorized
+    replaces, one per-doc segment sum via reduceat); the per-doc fold
+    never leaves the batch because each row is one whole document.
+    Exact DuckDB twin: the training CTE chain extended by one more
+    replace and a per-doc GROUP BY."""
+    _rows, merges = _learn_bpe(sf_dir, 3)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "n_symbols": pa.array([], pa.int64()),
+                          "n_raw_chars": pa.array([], pa.int64())})
+        if "text" not in batch.column_names or batch.num_rows == 0:
+            return empty
+        keep, words, n_words = _tokenize_words(batch, merges)
+        _keep2, raw_words, _nw2 = _tokenize_words(batch, [])
+        doc = batch.column("doc_id").filter(keep)
+        if len(doc) == 0:
+            return empty
+        sym = pc.utf8_length(words).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        raw = pc.utf8_length(raw_words).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(n_words)[:-1]))
+        return pa.table({
+            "doc_id": doc.cast(pa.int64()),
+            "n_tokens": pa.array(n_words, pa.int64()),
+            "n_symbols": pa.array(np.add.reduceat(sym, starts), pa.int64()),
+            "n_raw_chars": pa.array(np.add.reduceat(raw, starts), pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow")
 
 
 SQL_BPE_MERGES = r"""
@@ -5150,6 +5210,40 @@ p2 AS (
 SELECT 0::BIGINT AS round, pair, cnt FROM m0
 UNION ALL SELECT 1::BIGINT, pair, cnt FROM m1
 UNION ALL SELECT 2::BIGINT, pair, cnt FROM m2
+"""
+
+
+SQL_BPE_ENCODE = r"""
+WITH w0 AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+')) AS w
+  FROM documents
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
+), p0 AS (
+  SELECT substr(w, i, 2) AS pair, count(*)::BIGINT AS cnt
+  FROM w0, LATERAL (SELECT unnest(generate_series(1, length(w)-1)) AS i) t
+  GROUP BY 1
+), m0 AS (SELECT pair FROM p0 ORDER BY cnt DESC, pair ASC LIMIT 1),
+w1 AS (SELECT doc_id, replace(w, (SELECT pair FROM m0), chr(57344)) AS w FROM w0),
+p1 AS (
+  SELECT substr(w, i, 2) AS pair, count(*)::BIGINT AS cnt
+  FROM w1, LATERAL (SELECT unnest(generate_series(1, length(w)-1)) AS i) t
+  GROUP BY 1
+), m1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+w2 AS (SELECT doc_id, replace(w, (SELECT pair FROM m1), chr(57345)) AS w FROM w1),
+p2 AS (
+  SELECT substr(w, i, 2) AS pair, count(*)::BIGINT AS cnt
+  FROM w2, LATERAL (SELECT unnest(generate_series(1, length(w)-1)) AS i) t
+  GROUP BY 1
+), m2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+w3 AS (SELECT doc_id, replace(w, (SELECT pair FROM m2), chr(57346)) AS w FROM w2),
+r AS (
+  SELECT doc_id, sum(length(w))::BIGINT AS n_raw_chars FROM w0 GROUP BY doc_id
+)
+SELECT w3.doc_id, count(*)::BIGINT AS n_tokens,
+       sum(length(w3.w))::BIGINT AS n_symbols,
+       max(r.n_raw_chars)::BIGINT AS n_raw_chars
+FROM w3 JOIN r USING (doc_id)
+GROUP BY w3.doc_id
 """
 
 
@@ -5718,6 +5812,7 @@ REGISTRY: dict[str, tuple] = {
     "repetition": (q_repetition, SQL_REPETITION),
     "model_score": (q_model_score, SQL_MODEL_SCORE),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "centroid_classify": (q_centroid_classify, SQL_CENTROID_CLASSIFY),
     "price_quantile_sketch": (q_price_quantile_sketch,
                               SQL_PRICE_QUANTILE_SKETCH),
