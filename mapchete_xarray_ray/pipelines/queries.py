@@ -5036,8 +5036,10 @@ FROM best WHERE rn = 1
 
 def _tokenize_words(batch: pa.Table, merge_list):
     """Whitespace words of a batch with the accumulated BPE merges
-    applied in order (vectorized literal replace). Returns the flat
-    word array and the per-row word counts (for per-doc folds)."""
+    applied in order (vectorized literal replace). Tokenizes ONCE and
+    returns ``(keep, words, n_words_per_row, raw_lens)`` — the
+    pre-merge codepoint lengths come from the same pass so callers
+    never re-run the regex split just to measure the raw words."""
     import pyarrow.compute as pc
 
     from mapchete_xarray_ray.stages.text import trim_ws
@@ -5048,10 +5050,12 @@ def _tokenize_words(batch: pa.Table, merge_list):
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     words = toks.flatten()
+    raw_lens = pc.utf8_length(words).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
     for pair, sym in merge_list:
         words = pc.replace_substring(words, pattern=pair, replacement=sym)
     offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    return keep, words, np.diff(offs)
+    return keep, words, np.diff(offs), raw_lens
 
 
 def _learn_bpe(sf_dir: str, rounds: int = 3):
@@ -5071,7 +5075,7 @@ def _learn_bpe(sf_dir: str, rounds: int = 3):
                               "cnt": pa.array([], pa.int64())})
             if "text" not in batch.column_names or batch.num_rows == 0:
                 return empty
-            _keep, words, _nw = _tokenize_words(batch, merge_list)
+            _keep, words, _nw, _raw = _tokenize_words(batch, merge_list)
             # sort words longest-first ONCE so window i only slices the
             # prefix of words long enough to have a pair there — total
             # slice work is O(total chars), not O(max_len x n_words)
@@ -5164,14 +5168,11 @@ def q_bpe_encode(sf_dir: str):
                           "n_raw_chars": pa.array([], pa.int64())})
         if "text" not in batch.column_names or batch.num_rows == 0:
             return empty
-        keep, words, n_words = _tokenize_words(batch, merges)
-        _keep2, raw_words, _nw2 = _tokenize_words(batch, [])
+        keep, words, n_words, raw = _tokenize_words(batch, merges)
         doc = batch.column("doc_id").filter(keep)
         if len(doc) == 0:
             return empty
         sym = pc.utf8_length(words).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        raw = pc.utf8_length(raw_words).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         starts = np.concatenate(([0], np.cumsum(n_words)[:-1]))
         return pa.table({
@@ -5185,58 +5186,41 @@ def q_bpe_encode(sf_dir: str):
         encode, batch_format="pyarrow")
 
 
-SQL_BPE_MERGES = r"""
-WITH w0 AS (
-  SELECT unnest(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+')) AS w
+def _bpe_chain_sql(with_doc_id: bool) -> str:
+    """ONE source of truth for the 3-round BPE training CTE chain
+    shared by SQL_BPE_MERGES and SQL_BPE_ENCODE (parameterized only on
+    whether w-CTEs carry doc_id). ``coalesce((SELECT pair FROM mN),
+    '')`` makes an exhausted round a NO-OP replace — DuckDB
+    ``replace(w, '', x)`` returns ``w`` — matching ``_learn_bpe``'s
+    early break on a corpus with no mergeable pairs left (a bare NULL
+    pattern would NULL every word instead)."""
+    dc = "doc_id, " if with_doc_id else ""
+    out = [r"""WITH w0 AS (
+  SELECT """ + dc + r"""unnest(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+')) AS w
   FROM documents
   WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
-), p0 AS (
+)"""]
+    for r_ in range(3):
+        out.append(f""", p{r_} AS (
   SELECT substr(w, i, 2) AS pair, count(*)::BIGINT AS cnt
-  FROM w0, LATERAL (SELECT unnest(generate_series(1, length(w)-1)) AS i) t
+  FROM w{r_}, LATERAL (SELECT unnest(generate_series(1, length(w)-1)) AS i) t
   GROUP BY 1
-), m0 AS (SELECT pair, cnt FROM p0 ORDER BY cnt DESC, pair ASC LIMIT 1),
-w1 AS (SELECT replace(w, (SELECT pair FROM m0), chr(57344)) AS w FROM w0),
-p1 AS (
-  SELECT substr(w, i, 2) AS pair, count(*)::BIGINT AS cnt
-  FROM w1, LATERAL (SELECT unnest(generate_series(1, length(w)-1)) AS i) t
-  GROUP BY 1
-), m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
-w2 AS (SELECT replace(w, (SELECT pair FROM m1), chr(57345)) AS w FROM w1),
-p2 AS (
-  SELECT substr(w, i, 2) AS pair, count(*)::BIGINT AS cnt
-  FROM w2, LATERAL (SELECT unnest(generate_series(1, length(w)-1)) AS i) t
-  GROUP BY 1
-), m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1)
+), m{r_} AS (SELECT pair, cnt FROM p{r_} ORDER BY cnt DESC, pair ASC LIMIT 1)
+, w{r_ + 1} AS (SELECT {dc}replace(w,
+    coalesce((SELECT pair FROM m{r_}), ''), chr({57344 + r_})) AS w
+  FROM w{r_})""")
+    return "".join(out)
+
+
+SQL_BPE_MERGES = _bpe_chain_sql(False) + """
 SELECT 0::BIGINT AS round, pair, cnt FROM m0
 UNION ALL SELECT 1::BIGINT, pair, cnt FROM m1
 UNION ALL SELECT 2::BIGINT, pair, cnt FROM m2
 """
 
 
-SQL_BPE_ENCODE = r"""
-WITH w0 AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+')) AS w
-  FROM documents
-  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
-), p0 AS (
-  SELECT substr(w, i, 2) AS pair, count(*)::BIGINT AS cnt
-  FROM w0, LATERAL (SELECT unnest(generate_series(1, length(w)-1)) AS i) t
-  GROUP BY 1
-), m0 AS (SELECT pair FROM p0 ORDER BY cnt DESC, pair ASC LIMIT 1),
-w1 AS (SELECT doc_id, replace(w, (SELECT pair FROM m0), chr(57344)) AS w FROM w0),
-p1 AS (
-  SELECT substr(w, i, 2) AS pair, count(*)::BIGINT AS cnt
-  FROM w1, LATERAL (SELECT unnest(generate_series(1, length(w)-1)) AS i) t
-  GROUP BY 1
-), m1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
-w2 AS (SELECT doc_id, replace(w, (SELECT pair FROM m1), chr(57345)) AS w FROM w1),
-p2 AS (
-  SELECT substr(w, i, 2) AS pair, count(*)::BIGINT AS cnt
-  FROM w2, LATERAL (SELECT unnest(generate_series(1, length(w)-1)) AS i) t
-  GROUP BY 1
-), m2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
-w3 AS (SELECT doc_id, replace(w, (SELECT pair FROM m2), chr(57346)) AS w FROM w2),
-r AS (
+SQL_BPE_ENCODE = _bpe_chain_sql(True) + """
+, r AS (
   SELECT doc_id, sum(length(w))::BIGINT AS n_raw_chars FROM w0 GROUP BY doc_id
 )
 SELECT w3.doc_id, count(*)::BIGINT AS n_tokens,

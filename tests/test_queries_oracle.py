@@ -267,3 +267,46 @@ def test_bpe_merges_overlapping_runs_match_duckdb(tmp_path):
     # round 0 merges the dominant 'aa'; 'aaaa' must count it twice
     # (left-to-right non-overlap), visible in the round-1 alphabet
     assert g[0][1] == "aa"
+
+
+def test_bpe_exhausted_rounds_match_duckdb(tmp_path):
+    """A corpus whose mergeable pairs run out before round 3: python's
+    _learn_bpe breaks early, and the SQL chain's coalesce-to-'' must
+    make the remaining replaces no-ops instead of NULLing every word
+    (replace(w, NULL, x) is NULL in DuckDB)."""
+    import pyarrow.parquet as pq
+
+    from mapchete_xarray_ray.pipelines.queries import (
+        REGISTRY,
+        SQL_BPE_ENCODE,
+        SQL_BPE_MERGES,
+        collect_table,
+    )
+
+    # round 0 merges 'ab'; afterwards words are single symbols ->
+    # rounds 1 and 2 find nothing
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["ab ab", "ab", "a"]),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+
+    got_m = collect_table(REGISTRY["bpe_merges"][0](str(tmp_path)))
+    want_m = con.execute(SQL_BPE_MERGES).fetchall()
+    assert sorted(zip(got_m.column("round").to_pylist(),
+                      got_m.column("pair").to_pylist(),
+                      got_m.column("cnt").to_pylist())) \
+        == sorted(tuple(r) for r in want_m) == [(0, "ab", 3)]
+
+    got_e = collect_table(REGISTRY["bpe_encode"][0](str(tmp_path)))
+    want_e = sorted(con.execute(SQL_BPE_ENCODE).fetchall())
+    con.close()
+    g = sorted(zip(got_e.column("doc_id").to_pylist(),
+                   got_e.column("n_tokens").to_pylist(),
+                   got_e.column("n_symbols").to_pylist(),
+                   got_e.column("n_raw_chars").to_pylist()))
+    assert g == [tuple(r) for r in want_e]
+    assert g == [(0, 2, 2, 4), (1, 1, 1, 2), (2, 1, 1, 1)]
