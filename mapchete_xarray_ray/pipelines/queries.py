@@ -5732,60 +5732,10 @@ FROM events GROUP BY event_type
 # --- registry ------------------------------------------------------------
 
 REGISTRY: dict[str, tuple] = {
-    "tile_assign": (q_tile_assign, SQL_TILE_ASSIGN),
-    "tile_density": (q_tile_density, SQL_TILE_DENSITY),
-    "cell_parent_rollup": (q_cell_parent_rollup, SQL_CELL_PARENT_ROLLUP),
-    "rasterize_roundtrip": (q_rasterize_roundtrip, SQL_RASTERIZE_ROUNDTRIP),
-    "pip_join": (q_pip_join, SQL_PIP_JOIN),
-    "knn": (q_knn, SQL_KNN),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "lang_id": (q_lang_id, _langid_sql()),
-    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
-    "minhash_neardup": (q_minhash_neardup, None),
-    "dedup_clusters": (q_dedup_clusters, None),
-    "simhash": (q_simhash, SQL_SIMHASH),
-    "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP),
-    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
-    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
-    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
-    "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
-    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
-    "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
-    "emb_dedup_clusters": (q_emb_dedup_clusters, SQL_EMB_DEDUP_CLUSTERS),
-    "distinct_users_sketch": (q_distinct_users_sketch,
-                              SQL_DISTINCT_USERS_SKETCH),
-    "heavy_hitters_cms": (q_heavy_hitters_cms, SQL_HEAVY_HITTERS_CMS),
-    "sample": (q_sample, SQL_SAMPLE),
-    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "ann_ivf": (q_ann_ivf, None),
-    "ann_lsh": (q_ann_lsh, None),
-    "ann_pq": (q_ann_pq, None),
-    "image_features": (q_image_features, SQL_IMAGE_FEATURES),
-    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
-    "orders_by_nation": (q_orders_by_nation, SQL_ORDERS_BY_NATION),
-    "top_users": (q_top_users, SQL_TOP_USERS),
-    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
-    "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
-    "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
-    "store_roundtrip": (q_store_roundtrip, SQL_RASTERIZE_ROUNDTRIP),
-    "store_roundtrip_prepart": (q_store_roundtrip_prepart,
-                                SQL_RASTERIZE_ROUNDTRIP),
-    "orders_lineitem_join": (q_orders_lineitem_join, SQL_ORDERS_LINEITEM_JOIN),
-    "orders_lineitem_join_native": (q_orders_lineitem_join_native,
-                                    SQL_ORDERS_LINEITEM_JOIN),
-    "urgent_revenue_bloom": (q_urgent_revenue_bloom,
-                             SQL_URGENT_REVENUE_BLOOM),
-    "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
-    "pyramid_roundtrip": (q_pyramid_roundtrip, SQL_PYRAMID_ROUNDTRIP),
-    "lineitem_median": (q_lineitem_median, SQL_LINEITEM_MEDIAN),
-    "lineitem_p95": (q_lineitem_p95, SQL_LINEITEM_P95),
-    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
-    "store_roundtrip_time": (q_store_roundtrip_time, SQL_STORE_ROUNDTRIP_TIME),
-    "emb_neardup_lsh": (q_emb_neardup_lsh, None),
-    "corpus_curation": (q_corpus_curation, _curation_sql()),
+    # Ordering is deliberate: the driver's correctness gate samples the
+    # FIRST 50 entries, so queries that still need a driver witness
+    # (never checked, or no_oracle last round) come first; r3-green
+    # queries with existing CORRECTNESS rows sit at the back.
     "export_roundtrip": (q_export_roundtrip, _curation_sql(with_text=True)),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "top_terms_df": (q_top_terms_df, SQL_TOP_TERMS_DF),
@@ -5821,6 +5771,60 @@ REGISTRY: dict[str, tuple] = {
     "funnel": (q_funnel, SQL_FUNNEL),
     "retention": (q_retention, SQL_RETENTION),
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "minhash_neardup": (q_minhash_neardup, None),
+    "dedup_clusters": (q_dedup_clusters, None),
+    "emb_neardup_lsh": (q_emb_neardup_lsh, None),
+    "ann_lsh": (q_ann_lsh, None),
+    "ann_ivf": (q_ann_ivf, None),
+    "ann_pq": (q_ann_pq, None),
+    "store_roundtrip": (q_store_roundtrip, SQL_RASTERIZE_ROUNDTRIP),
+    "pyramid_roundtrip": (q_pyramid_roundtrip, SQL_PYRAMID_ROUNDTRIP),
+    "tile_assign": (q_tile_assign, SQL_TILE_ASSIGN),
+    "pip_join": (q_pip_join, SQL_PIP_JOIN),
+    "knn": (q_knn, SQL_KNN),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP),
+    "emb_dedup_clusters": (q_emb_dedup_clusters, SQL_EMB_DEDUP_CLUSTERS),
+    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "orders_lineitem_join": (q_orders_lineitem_join, SQL_ORDERS_LINEITEM_JOIN),
+    "corpus_curation": (q_corpus_curation, _curation_sql()),
+    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "tile_density": (q_tile_density, SQL_TILE_DENSITY),
+    "cell_parent_rollup": (q_cell_parent_rollup, SQL_CELL_PARENT_ROLLUP),
+    "rasterize_roundtrip": (q_rasterize_roundtrip, SQL_RASTERIZE_ROUNDTRIP),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": (q_lang_id, _langid_sql()),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
+    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
+    "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
+    "distinct_users_sketch": (q_distinct_users_sketch,
+                              SQL_DISTINCT_USERS_SKETCH),
+    "heavy_hitters_cms": (q_heavy_hitters_cms, SQL_HEAVY_HITTERS_CMS),
+    "sample": (q_sample, SQL_SAMPLE),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "image_features": (q_image_features, SQL_IMAGE_FEATURES),
+    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+    "orders_by_nation": (q_orders_by_nation, SQL_ORDERS_BY_NATION),
+    "top_users": (q_top_users, SQL_TOP_USERS),
+    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
+    "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
+    "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
+    "store_roundtrip_prepart": (q_store_roundtrip_prepart,
+                                SQL_RASTERIZE_ROUNDTRIP),
+    "orders_lineitem_join_native": (q_orders_lineitem_join_native,
+                                    SQL_ORDERS_LINEITEM_JOIN),
+    "urgent_revenue_bloom": (q_urgent_revenue_bloom,
+                             SQL_URGENT_REVENUE_BLOOM),
+    "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
+    "lineitem_median": (q_lineitem_median, SQL_LINEITEM_MEDIAN),
+    "lineitem_p95": (q_lineitem_p95, SQL_LINEITEM_P95),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    "store_roundtrip_time": (q_store_roundtrip_time, SQL_STORE_ROUNDTRIP_TIME),
 }
 
 
