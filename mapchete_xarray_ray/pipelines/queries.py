@@ -805,7 +805,7 @@ def _minhash_pairs_ds(sf_dir: str) -> "ray.data.MaterializedDataset":
         attach_pair_values,
         candidate_pairs_bucketed,
         dedup_pairs_ds,
-        jaccard,
+        jaccard_ge,
         minhash_stage,
         paired_values,
         unpack_pids,
@@ -833,7 +833,7 @@ def _minhash_pairs_ds(sf_dir: str) -> "ray.data.MaterializedDataset":
         pu, ta, tb = paired_values(group, "text")
         ta = ta.to_numpy(zero_copy_only=False)
         tb = tb.to_numpy(zero_copy_only=False)
-        keep = np.fromiter((jaccard(x, y) >= 0.5 for x, y in zip(ta, tb)),
+        keep = np.fromiter((jaccard_ge(x, y) for x, y in zip(ta, tb)),
                            dtype=bool, count=len(pu))
         ia, ib = unpack_pids(pu[keep])
         return pa.table({"id_a": pa.array(ia, pa.int64()),
@@ -850,8 +850,11 @@ def _minhash_pairs_ds(sf_dir: str) -> "ray.data.MaterializedDataset":
 def q_minhash_neardup(sf_dir: str):
     """MinHash+LSH near-dup pairs with exact-Jaccard verify >= 0.5.
 
-    Not SQL-expressible (rows-only driver check); pair-exactness vs a
-    sequential brute-force oracle is tested in tests/test_dedup.py.
+    SQL-exact since the shingle hash moved to FNV-1a (see
+    ``_minhash_ctes``): the DuckDB twin reproduces signatures, band
+    hashes, LSH candidates and the integer-threshold verify
+    bit-for-bit. Pair-exactness vs a sequential brute-force oracle is
+    additionally tested in tests/test_dedup.py.
     """
     return _schema_finalize(_minhash_pairs_ds(sf_dir),
                             {"id_a": pa.int64(), "id_b": pa.int64()})
@@ -864,14 +867,122 @@ def q_dedup_clusters(sf_dir: str):
     sees only a per-round changed count) -> (doc_id, cluster_id) with
     the smallest doc as the canonical keeper. Docs in no pair are
     implicitly their own singleton cluster (omitted — the output lists
-    only docs affected by dedup). Rows-only; the component labelling is
-    verified against a union-find oracle in tests/test_dedup.py."""
+    only docs affected by dedup). SQL-exact: the recursive-CTE twin
+    closes the same verified pair set (``SQL_DEDUP_CLUSTERS``); the
+    component labelling is additionally verified against a union-find
+    oracle in tests/test_dedup.py."""
     from mapchete_xarray_ray.stages.dedup import connected_components_ds
 
     pairs = _minhash_pairs_ds(sf_dir)
     return _schema_finalize(connected_components_ds(pairs),
                             {"doc_id": pa.int64(),
                              "cluster_id": pa.int64()})
+
+
+def _minhash_ctes() -> str:
+    """Shared CTE chain reproducing the ENGINE's full MinHash+LSH
+    near-dup chain in DuckDB, bit-for-bit (stages/dedup.py):
+
+    - word-3-gram shingles over the same whitespace class as python
+      ``str.split`` (docs under 3 words contribute the whole text,
+      empty docs the empty string);
+    - FNV-1a64 gram hash in HUGEINT lambdas (each DISTINCT gram string
+      hashed once, joined back to its postings);
+    - 64 minhash permutations ``((h*a) mod 2^64 + b) mod 2^64 mod
+      (2^61-1)`` with the engine's PERM_A/PERM_B constants inlined as
+      literals (single source of truth: imported here, not copied);
+    - 16 bands x 4 rows, band hash = the engine's wrap-mul/xor fold in
+      p-order (``list_reduce`` over ``list(mh ORDER BY p)``);
+    - LSH candidates = distinct (id_a < id_b) sharing any band, then
+      the exact-Jaccard verify as the INTEGER cross-compare
+      ``2*inter >= union`` over distinct gram-hash sets — the same
+      test ``jaccard_ge`` applies engine-side, so no float-threshold
+      edge exists on either side.
+    """
+    from mapchete_xarray_ray.stages.dedup import (
+        _N_PERM, _ROWS_PER_BAND, PERM_A, PERM_B)
+    perm_rows = ",\n      ".join(
+        f"({p}, {int(PERM_A[p])}::HUGEINT, {int(PERM_B[p])}::HUGEINT)"
+        for p in range(_N_PERM))
+    two64 = "18446744073709551616::HUGEINT"
+    mersenne = "2305843009213693951::HUGEINT"  # 2^61 - 1
+    return rf"""mh_words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r\x1c-\x1f]+'),
+                       w -> w <> '') AS ws
+    FROM documents
+), mh_grams AS (
+    SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+    FROM mh_words, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)
+    WHERE len(ws) >= 3
+    UNION ALL
+    SELECT doc_id, coalesce(array_to_string(ws, ' '), '') AS gram
+    FROM mh_words WHERE len(ws) < 3
+), mh_dg AS (
+    SELECT DISTINCT doc_id, gram FROM mh_grams
+), mh_gh AS (
+    SELECT gram,
+           list_reduce(list_prepend(14695981039346656037::HUGEINT,
+               list_transform(range(1, length(gram) + 1),
+                              i -> ascii(substr(gram, i, 1))::HUGEINT)),
+               (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+                         % {two64}) AS h
+    FROM (SELECT DISTINCT gram FROM mh_dg)
+), mh_dh AS (
+    SELECT DISTINCT doc_id, h FROM mh_dg JOIN mh_gh USING (gram)
+), mh_sizes AS (
+    SELECT doc_id, count(*) AS n FROM mh_dh GROUP BY doc_id
+), mh_perms AS (
+    SELECT * FROM (VALUES
+      {perm_rows}) AS t(p, a, b)
+), mh_sig AS (
+    SELECT doc_id, p,
+           min(((h * a) % {two64} + b) % {two64} % {mersenne}) AS mh
+    FROM mh_dh, mh_perms GROUP BY doc_id, p
+), mh_band AS (
+    SELECT doc_id, (p // {_ROWS_PER_BAND})::BIGINT AS band_id,
+           list_reduce(list(mh ORDER BY p),
+               (acc, v) -> xor((acc * 1099511628211::HUGEINT)
+                               % {two64}, v)) AS bh
+    FROM mh_sig GROUP BY doc_id, band_id
+), mh_cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM mh_band a JOIN mh_band b
+      ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+), mh_inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS i
+    FROM mh_cand c
+    JOIN mh_dh x ON x.doc_id = c.id_a
+    JOIN mh_dh y ON y.doc_id = c.id_b AND y.h = x.h
+    GROUP BY c.id_a, c.id_b
+), mh_pairs AS (
+    SELECT c.id_a, c.id_b
+    FROM mh_cand c
+    JOIN mh_sizes sa ON sa.doc_id = c.id_a
+    JOIN mh_sizes sb ON sb.doc_id = c.id_b
+    LEFT JOIN mh_inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    WHERE 2 * coalesce(i.i, 0) >= sa.n + sb.n - coalesce(i.i, 0)
+)"""
+
+
+SQL_MINHASH_NEARDUP = f"""WITH {_minhash_ctes()}
+SELECT id_a, id_b FROM mh_pairs
+"""
+
+# Min-label closure over the verified pair set (the same recursive-CTE
+# pattern as SQL_EMB_DEDUP_CLUSTERS): every doc that appears in a pair
+# gets the smallest doc_id of its connected component.
+SQL_DEDUP_CLUSTERS = f"""WITH RECURSIVE {_minhash_ctes()},
+mh_edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+             UNION ALL SELECT id_b, id_a FROM mh_pairs),
+mh_reach(src, dst) AS (
+  SELECT src, dst FROM mh_edges
+  UNION
+  SELECT r.src, e.dst FROM mh_reach r JOIN mh_edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster_id
+FROM mh_reach GROUP BY src
+"""
 
 
 # Shared CTE chain computing the per-doc SimHash signature in DuckDB:
@@ -5771,8 +5882,8 @@ REGISTRY: dict[str, tuple] = {
     "funnel": (q_funnel, SQL_FUNNEL),
     "retention": (q_retention, SQL_RETENTION),
     "pagerank": (q_pagerank, SQL_PAGERANK),
-    "minhash_neardup": (q_minhash_neardup, None),
-    "dedup_clusters": (q_dedup_clusters, None),
+    "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "emb_neardup_lsh": (q_emb_neardup_lsh, None),
     "ann_lsh": (q_ann_lsh, None),
     "ann_ivf": (q_ann_ivf, None),

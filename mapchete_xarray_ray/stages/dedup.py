@@ -37,13 +37,21 @@ PERM_B = _RNG.integers(0, _MERSENNE, size=_N_PERM, dtype=np.uint64)
 
 
 def shingle_hashes(text: str, width: int = 3) -> np.ndarray:
-    """Word-``width``-gram shingles -> uint64 hashes (deterministic)."""
+    """Word-``width``-gram shingles -> uint64 hashes (deterministic).
+
+    Gram hash is :func:`fnv1a64` (NOT pandas' hash_array) so the whole
+    MinHash chain — signatures, band hashes, LSH candidates, the exact
+    Jaccard verify — is reproducible in ANSI SQL (DuckDB HUGEINT
+    lambdas; see ``_minhash_ctes`` in pipelines/queries.py), putting
+    ``minhash_neardup``/``dedup_clusters`` under the driver's exact
+    hash check. Same ASCII parity domain as SimHash (fnv1a64
+    docstring)."""
     words = text.split()
     if len(words) < width:
         grams = [" ".join(words)] if words else [""]
     else:
         grams = [" ".join(words[i:i + width]) for i in range(len(words) - width + 1)]
-    return stable_hash64(np.array(grams, dtype=object))
+    return fnv1a64(grams)
 
 
 def minhash_signature(text: str) -> np.ndarray:
@@ -74,7 +82,7 @@ def batch_minhash_signatures(texts: list[str]) -> np.ndarray:
         else:
             grams.extend(" ".join(words[j:j + 3]) for j in range(len(words) - 2))
         offsets[i + 1] = len(grams)
-    h = stable_hash64(np.array(grams, dtype=object))
+    h = fnv1a64(grams)
     sigs = np.empty((len(texts), _N_PERM), dtype=np.uint64)
     starts = offsets[:-1]
     for p in range(_N_PERM):
@@ -107,6 +115,20 @@ def jaccard(a: str, b: str, width: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def jaccard_ge(a: str, b: str, num: int = 1, den: int = 2,
+               width: int = 3) -> bool:
+    """Integer-exact threshold test |A∩B|/|A∪B| >= num/den over the
+    distinct shingle-hash sets: ``den*inter >= num*union`` sidesteps
+    the float-division threshold edge, so the DuckDB twin's integer
+    cross-compare (``_minhash_ctes`` in pipelines/queries.py) decides
+    identically on every pair."""
+    sa = set(shingle_hashes(a, width).tolist())
+    sb = set(shingle_hashes(b, width).tolist())
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return True if union == 0 else den * inter >= num * union
 
 
 def candidate_pairs_from_bands(group: pa.Table, id_col: str = "doc_id") -> pa.Table:
