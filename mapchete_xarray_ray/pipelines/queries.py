@@ -1662,8 +1662,12 @@ def q_ann_pq(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
-    """LSH-bucketed approximate all-pairs top-k (rows-only; recall +
-    determinism asserted in tests/test_ann.py)."""
+    """LSH-bucketed approximate all-pairs top-k. SQL-exact since the
+    hyperplanes and embeddings are integer-quantized (floor(x*1e6)):
+    bucket assignment is a sign test on exact integer dots, so the
+    DuckDB twin reproduces the buckets bit-for-bit and ranks within
+    each bucket by the same (cosine DESC, vec_id) order as the engine.
+    Recall + determinism additionally asserted in tests/test_ann.py."""
     from mapchete_xarray_ray.stages.ann import ann_lsh_pipeline
 
     emb = _read(f"{sf_dir}/embeddings.parquet",
@@ -1672,6 +1676,93 @@ def q_ann_lsh(sf_dir: str):
     return _schema_finalize(out, {"vec_id": pa.int64(),
                                   "neighbor_id": pa.int64(),
                                   "rank": pa.int64()})
+
+
+def _plane_literal(planes_q) -> str:
+    """(n_planes, dim) int64 -> SQL VALUES rows ``(p, [..dim ints..])``."""
+    return ",\n      ".join(
+        f"({p}, [{', '.join(str(int(v)) for v in row)}])"
+        for p, row in enumerate(planes_q))
+
+
+def _quant_emb_cte() -> str:
+    """CTE exposing each embedding as DOUBLE[] plus its floor(x*1e6)
+    integer quantization (the engine's stages/ann.quantize_q)."""
+    return """el AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x * 1000000.0)::BIGINT) AS eq
+  FROM embeddings
+)"""
+
+
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
+    """DuckDB twin of ann_lsh: integer-dot sign buckets (plane
+    constants imported from stages/ann — single source of truth), then
+    exact cosine top-k within each bucket."""
+    from mapchete_xarray_ray.stages.ann import hyperplanes_q
+    planes = _plane_literal(hyperplanes_q(dim, n_planes))
+    return f"""WITH {_quant_emb_cte()}, pl AS (
+  SELECT * FROM (VALUES
+      {planes}) AS t(p, v)
+), dots AS (
+  SELECT e.vec_id, pl.p,
+         list_sum(list_transform(range(1, {dim + 1}),
+                                 i -> e.eq[i] * pl.v[i])) AS d
+  FROM el e, pl
+), bkt AS (
+  SELECT vec_id,
+         sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT
+             AS bucket
+  FROM dots GROUP BY vec_id
+)
+SELECT a.vec_id, b.vec_id AS neighbor_id,
+       row_number() OVER (
+         PARTITION BY a.vec_id
+         ORDER BY list_cosine_similarity(ea.emb, eb.emb) DESC, b.vec_id
+       )::BIGINT AS rank
+FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+JOIN el ea ON ea.vec_id = a.vec_id
+JOIN el eb ON eb.vec_id = b.vec_id
+QUALIFY rank <= {k}
+"""
+
+
+def _emb_lsh_sql(dim: int = 64, tau: float = 0.35, n_planes: int = 4,
+                 n_bands: int = 16) -> str:
+    """DuckDB twin of emb_neardup_lsh: per-band integer-dot sign
+    buckets, distinct candidate pairs sharing any (band, bucket), then
+    the same exact-cosine >= tau verify as SQL_EMB_NEARDUP."""
+    from mapchete_xarray_ray.stages.ann import _HP_SEED, hyperplanes_q
+    rows = ",\n      ".join(
+        f"({b}, {p}, [{', '.join(str(int(v)) for v in row)}])"
+        for b in range(n_bands)
+        for p, row in enumerate(hyperplanes_q(dim, n_planes,
+                                              seed=_HP_SEED + 1 + b)))
+    return f"""WITH {_quant_emb_cte()}, plb AS (
+  SELECT * FROM (VALUES
+      {rows}) AS t(band, p, v)
+), dots AS (
+  SELECT e.vec_id, plb.band, plb.p,
+         list_sum(list_transform(range(1, {dim + 1}),
+                                 i -> e.eq[i] * plb.v[i])) AS d
+  FROM el e, plb
+), bktb AS (
+  SELECT vec_id, band,
+         sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT
+             AS bucket
+  FROM dots GROUP BY vec_id, band
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bktb a JOIN bktb b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b
+FROM cand c
+JOIN el a ON a.vec_id = c.id_a
+JOIN el b ON b.vec_id = c.id_b
+WHERE list_cosine_similarity(a.emb, b.emb) >= {tau}
+"""
 
 
 def _text_payload(batch: pa.Table, *, ascii_only: bool = False) -> pa.Table:
@@ -3984,9 +4075,10 @@ def q_emb_neardup_lsh(sf_dir: str):
     """LSH-bucketed embedding near-dup pairs (the scale path next to
     the exact broadcast baseline q_emb_neardup): per-band hyperplane
     buckets, exact cosine within buckets (all emitted pairs are true
-    positives), distributed cross-band dedup. Rows-only driver check;
-    precision (subset of exact) + recall + determinism asserted in
-    tests/test_ann.py."""
+    positives), distributed cross-band dedup. SQL-exact: planes and
+    embeddings are integer-quantized so the DuckDB twin reproduces the
+    buckets bit-for-bit (see _emb_lsh_sql); precision (subset of
+    exact) + recall + determinism asserted in tests/test_ann.py."""
     from mapchete_xarray_ray.stages.ann import emb_neardup_lsh_pipeline
 
     emb = _read(f"{sf_dir}/embeddings.parquet",
@@ -5884,8 +5976,8 @@ REGISTRY: dict[str, tuple] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "emb_neardup_lsh": (q_emb_neardup_lsh, None),
-    "ann_lsh": (q_ann_lsh, None),
+    "emb_neardup_lsh": (q_emb_neardup_lsh, _emb_lsh_sql()),
+    "ann_lsh": (q_ann_lsh, _ann_lsh_sql()),
     "ann_ivf": (q_ann_ivf, None),
     "ann_pq": (q_ann_pq, None),
     "store_roundtrip": (q_store_roundtrip, SQL_RASTERIZE_ROUNDTRIP),

@@ -126,15 +126,42 @@ def hyperplanes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
     return np.random.default_rng(_HP_SEED).standard_normal((n_planes, dim))
 
 
-def bucket_stage(planes: np.ndarray, id_col: str = "vec_id",
+QUANT = 1_000_000.0  # embedding/plane quantization scale (1e-6 resolution)
+
+
+def quantize_q(m: np.ndarray) -> np.ndarray:
+    """float matrix -> int64 via ``floor(x * 1e6)``. One correctly
+    rounded multiply + an exact floor, so DuckDB's
+    ``floor(x * 1000000.0)::BIGINT`` reproduces it bit-for-bit — the
+    primitive that makes every LSH/IVF/PQ bucket assignment
+    SQL-twinnable (sign/argmax over INTEGER dots has no
+    summation-order ambiguity, unlike float dots)."""
+    return np.floor(m * QUANT).astype(np.int64)
+
+
+def hyperplanes_q(dim: int, n_planes: int = N_PLANES,
+                  seed: int = _HP_SEED) -> np.ndarray:
+    """Integer-quantized hyperplanes (``floor(randn * 1e6)``): the
+    plane constants double as SQL literals in the DuckDB twins."""
+    return quantize_q(
+        np.random.default_rng(seed).standard_normal((n_planes, dim)))
+
+
+def bucket_stage(planes_q: np.ndarray, id_col: str = "vec_id",
                  emb_col: str = "embedding"):
-    """map_batches fn: add the sign-pattern bucket id."""
+    """map_batches fn: add the sign-pattern bucket id.
+
+    ``planes_q`` is INTEGER (from :func:`hyperplanes_q`); embeddings
+    are quantized per batch, so the sign test is an exact integer
+    comparison — bit-identical in the SQL twin. Sign of the dot is
+    scale-invariant, so quantizing both sides only perturbs vectors
+    within ~1e-6 of a plane (and does so identically on both sides)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        m = _embedding_matrix(batch, emb_col)
-        signs = (m @ planes.T) > 0  # (n, planes)
+        mq = quantize_q(_embedding_matrix(batch, emb_col))
+        signs = (mq @ planes_q.T) > 0  # (n, planes), exact int64
         bucket = (signs.astype(np.int64)
-                  << np.arange(planes.shape[0], dtype=np.int64)[None, :]).sum(axis=1)
+                  << np.arange(planes_q.shape[0], dtype=np.int64)[None, :]).sum(axis=1)
         return batch.append_column("bucket", pa.array(bucket))
 
     return fn
@@ -393,14 +420,14 @@ def emb_neardup_lsh_pipeline(corpus: ray.data.Dataset, dim: int,
     higher-cosine pairs (the ones dedup cares about) match with far
     higher probability.
     """
-    bands = [np.random.default_rng(_HP_SEED + 1 + b).standard_normal(
-        (n_planes, dim)) for b in range(n_bands)]
+    bands = [hyperplanes_q(dim, n_planes, seed=_HP_SEED + 1 + b)
+             for b in range(n_bands)]
 
     def bucket_all(batch: pa.Table) -> pa.Table:
-        m = _embedding_matrix(batch, "embedding")
+        mq = quantize_q(_embedding_matrix(batch, "embedding"))
         parts = []
         for b, planes in enumerate(bands):
-            signs = (m @ planes.T) > 0
+            signs = (mq @ planes.T) > 0  # exact int64 dot — SQL-twinnable
             bucket = (signs.astype(np.int64)
                       << np.arange(n_planes, dtype=np.int64)[None, :]).sum(axis=1)
             parts.append(pa.table({
@@ -454,8 +481,8 @@ def ann_lsh_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
     Size ``n_planes`` so expected bucket occupancy is tens-to-hundreds
     of vectors (2^n_planes buckets): too fine and recall collapses,
     too coarse and the local matmul dominates."""
-    planes = hyperplanes(dim, n_planes)
-    bucketed = corpus.map_batches(bucket_stage(planes), batch_format="pyarrow")
+    planes_q = hyperplanes_q(dim, n_planes)
+    bucketed = corpus.map_batches(bucket_stage(planes_q), batch_format="pyarrow")
     return bucketed.groupby("bucket").map_groups(bucket_local_topk(k),
                                                  batch_format="pyarrow")
 
