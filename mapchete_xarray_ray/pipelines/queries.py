@@ -787,20 +787,24 @@ def clear_query_caches() -> None:
     _MINHASH_PAIR_CACHE.clear()
 
 
-def _minhash_pairs_ds(sf_dir: str) -> "ray.data.MaterializedDataset":
-    """Verified MinHash near-dup pairs as a MATERIALIZED Dataset
-    (id_a, id_b), memoized per sf_dir (pure function of the input
-    files) so dedup_clusters doesn't recompute the LSH + verify chain
-    in the same process.
+def minhash_pairs_pipeline(docs: "ray.data.Dataset",
+                           max_segment: int = 1024) -> "ray.data.Dataset":
+    """Verified MinHash near-dup pairs (id_a, id_b) over a (doc_id,
+    text) Dataset.
 
     Fully distributed: LSH band buckets -> candidate pairs -> bucketed
     pair dedup on the packed pid -> exact-Jaccard verify via doc-bucket
     co-group (stages/dedup.py machinery). Only the candidate-ID set is
     broadcast; the pair table and document texts never land on the
     driver — shuffled bytes are O(candidate pairs), not O(corpus).
+
+    ``max_segment`` is the degenerate-bucket valve: band segments
+    larger than this collapse identical-content members to a
+    representative star (see candidate_pairs_bucketed) so an
+    identical-doc flood costs O(n) pairs instead of O(n^2); segments
+    at or below the cap keep the exact clique, so outputs at test/sf
+    scales (largest segment << 1024) are unaffected.
     """
-    if sf_dir in _MINHASH_PAIR_CACHE:
-        return _MINHASH_PAIR_CACHE[sf_dir]
     from mapchete_xarray_ray.stages.dedup import (
         attach_pair_values,
         candidate_pairs_bucketed,
@@ -811,16 +815,16 @@ def _minhash_pairs_ds(sf_dir: str) -> "ray.data.MaterializedDataset":
         unpack_pids,
     )
 
-    docs = _docs(sf_dir, ["doc_id", "text"])
-
     def minhash_with_bucket(batch: pa.Table) -> pa.Table:
-        out = minhash_stage(batch)
+        out = minhash_stage(batch, with_content_hash=True)
         b = out.column("band_hash").to_numpy() % 64
         return out.append_column("bucket", pa.array(b.astype(np.int64)))
 
     bands = _regroup(docs.map_batches(minhash_with_bucket, batch_format="pyarrow"))
     cands = bands.groupby("bucket").map_groups(
-        lambda g: candidate_pairs_bucketed(g, ("band_id", "band_hash")),
+        lambda g: candidate_pairs_bucketed(g, ("band_id", "band_hash"),
+                                           chash_col="chash",
+                                           max_segment=max_segment),
         batch_format="pyarrow",
     )
 
@@ -839,10 +843,21 @@ def _minhash_pairs_ds(sf_dir: str) -> "ray.data.MaterializedDataset":
         return pa.table({"id_a": pa.array(ia, pa.int64()),
                          "id_b": pa.array(ib, pa.int64())})
 
-    result = (_regroup(paired.map_batches(vbucket, batch_format="pyarrow"),
-                       0.125)
-              .groupby("vb")
-              .map_groups(score, batch_format="pyarrow")).materialize()
+    return (_regroup(paired.map_batches(vbucket, batch_format="pyarrow"),
+                     0.125)
+            .groupby("vb")
+            .map_groups(score, batch_format="pyarrow"))
+
+
+def _minhash_pairs_ds(sf_dir: str) -> "ray.data.MaterializedDataset":
+    """Memoized-per-sf_dir MATERIALIZED form of
+    :func:`minhash_pairs_pipeline` over the documents table (pure
+    function of the input files), so dedup_clusters doesn't recompute
+    the LSH + verify chain in the same process."""
+    if sf_dir in _MINHASH_PAIR_CACHE:
+        return _MINHASH_PAIR_CACHE[sf_dir]
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    result = minhash_pairs_pipeline(docs).materialize()
     _MINHASH_PAIR_CACHE[sf_dir] = result
     return result
 
@@ -1634,13 +1649,19 @@ FROM s GROUP BY user_id, session_id
 def q_ann_ivf(sf_dir: str):
     """IVF approximate similarity search (the scale path next to the
     brute-force baseline): k-means inverted lists + nprobe probing.
-    Approximate -> rows-only driver check; recall vs brute force is
+    SQL-exact via the integer-quantized k-means
+    (stages/ann.ann_ivf_int_pipeline): hash-rank init, integer-dot
+    assignment and integer centroid updates make every data-dependent
+    branch reproducible in DuckDB (unrolled rounds — the BPE-twin
+    pattern); only the in-list cosine ranking is float, the same
+    established form as SQL_ANN_COSINE. Recall vs brute force is
     asserted in tests/test_ann.py."""
-    from mapchete_xarray_ray.stages.ann import ann_ivf_pipeline
+    from mapchete_xarray_ray.stages.ann import ann_ivf_int_pipeline
 
     emb = _read(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
-    out = ann_ivf_pipeline(emb, dim=64, k=5, n_clusters=16, nprobe=4)
+    out = ann_ivf_int_pipeline(emb, dim=64, k=5, n_clusters=16, nprobe=4,
+                               rounds=_ANN_ROUNDS)
     return _schema_finalize(out, {"vec_id": pa.int64(),
                                   "neighbor_id": pa.int64(),
                                   "rank": pa.int64()})
@@ -1648,17 +1669,181 @@ def q_ann_ivf(sf_dir: str):
 
 def q_ann_pq(sf_dir: str):
     """Product-quantization ANN (compressed ADC scan — the third scale
-    path next to IVF and LSH; see stages/ann.ann_pq_pipeline for the
-    scale contract). Approximate -> rows-only driver check; recall vs
-    brute force and determinism are asserted in tests/test_ann.py."""
-    from mapchete_xarray_ray.stages.ann import ann_pq_pipeline
+    path next to IVF and LSH; see stages/ann.ann_pq_int_pipeline for
+    the scale contract). SQL-exact: integer subspace codebooks and an
+    integer-ADC score mean the DuckDB twin reproduces codes and
+    neighbor ranking bit-for-bit. Recall vs brute force and
+    determinism are asserted in tests/test_ann.py."""
+    from mapchete_xarray_ray.stages.ann import ann_pq_int_pipeline
 
     emb = _read(f"{sf_dir}/embeddings.parquet",
                 columns=["vec_id", "embedding"])
-    out = ann_pq_pipeline(emb, dim=64, k=5)
+    out = ann_pq_int_pipeline(emb, dim=64, k=5, m_sub=8, n_codes=16,
+                              rounds=_ANN_ROUNDS)
     return _schema_finalize(out, {"vec_id": pa.int64(),
                                   "neighbor_id": pa.int64(),
                                   "rank": pa.int64()})
+
+
+_ANN_ROUNDS = 3  # Lloyd rounds for the int k-means (engine AND twins)
+
+
+def _hash_init_cte(n: int) -> str:
+    """CTE: the ``n`` vectors with smallest ((vec_id*2654435761) %
+    2^32, vec_id) plus their 1e6-normalized integer form — the
+    engine's stages/ann.hash_init_vectors + normq_int."""
+    return f"""hinit AS (
+  SELECT vec_id, eq,
+         row_number() OVER (
+           ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+         ) - 1 AS c
+  FROM el QUALIFY c < {n}
+)"""
+
+
+_NORMQ = ("CASE WHEN ssq = 0 THEN sv ELSE "
+          "list_transform(sv, x -> floor(x::DOUBLE * 1000000.0 "
+          "/ sqrt(ssq::DOUBLE))::BIGINT) END")
+
+
+def _ann_ivf_sql(dim: int = 64, n_clusters: int = 16, nprobe: int = 4,
+                 k: int = 5, rounds: int = _ANN_ROUNDS) -> str:
+    """DuckDB twin of ann_ivf_int_pipeline: hash-rank init, ``rounds``
+    unrolled integer-Lloyd CTE blocks (assign = argmax integer dot,
+    tie -> lowest cluster; update = integer component sums re-quantized
+    by floor(s*1e6/sqrt(ssq)); empty cluster keeps its centroid), then
+    top-1 inverted lists, top-``nprobe`` probes and the cosine rank."""
+    d1 = dim + 1
+    parts = [f"""{_quant_emb_cte()}, {_hash_init_cte(n_clusters)}, cent0 AS (
+  SELECT c, {_NORMQ} AS v
+  FROM (SELECT c, eq AS sv,
+               list_sum(list_transform(eq, y -> y::HUGEINT * y)) AS ssq
+        FROM hinit)
+)"""]
+    for r in range(rounds):
+        parts.append(f"""d{r} AS (
+  SELECT e.vec_id, c.c,
+         list_sum(list_transform(range(1, {d1}),
+                                 i -> e.eq[i] * c.v[i])) AS d
+  FROM el e, cent{r} c
+), a{r} AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS rn
+    FROM d{r}) WHERE rn = 1
+), s{r} AS (
+  SELECT a.c, t.i, sum(e.eq[t.i])::HUGEINT AS s
+  FROM a{r} a JOIN el e USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) t
+  GROUP BY a.c, t.i
+), u{r} AS (
+  SELECT c, sv, list_sum(list_transform(sv, y -> y * y)) AS ssq
+  FROM (SELECT c, list(s ORDER BY i) AS sv FROM s{r} GROUP BY c)
+), cent{r + 1} AS (
+  SELECT p.c, coalesce(n.nv, p.v) AS v
+  FROM cent{r} p LEFT JOIN
+       (SELECT c, {_NORMQ} AS nv FROM u{r}) n USING (c)
+)""")
+    parts.append(f"""fd AS (
+  SELECT e.vec_id, c.c,
+         list_sum(list_transform(range(1, {d1}),
+                                 i -> e.eq[i] * c.v[i])) AS d
+  FROM el e, cent{rounds} c
+), fr AS (
+  SELECT vec_id, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS rn
+  FROM fd
+), cand AS (
+  SELECT q.vec_id, v.vec_id AS neighbor_id
+  FROM (SELECT vec_id, c FROM fr WHERE rn <= {nprobe}) q
+  JOIN (SELECT vec_id, c FROM fr WHERE rn = 1) v USING (c)
+  WHERE q.vec_id <> v.vec_id
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT ca.vec_id, ca.neighbor_id,
+       row_number() OVER (
+         PARTITION BY ca.vec_id
+         ORDER BY list_cosine_similarity(a.emb, b.emb) DESC,
+                  ca.neighbor_id
+       )::BIGINT AS rank
+FROM cand ca
+JOIN el a ON a.vec_id = ca.vec_id
+JOIN el b ON b.vec_id = ca.neighbor_id
+QUALIFY rank <= {k}
+""")
+
+
+def _ann_pq_sql(dim: int = 64, m_sub: int = 8, n_codes: int = 16,
+                k: int = 5, rounds: int = _ANN_ROUNDS) -> str:
+    """DuckDB twin of ann_pq_int_pipeline: per-subspace integer Lloyd
+    rounds (assign = argmin integer L2, tie -> lowest code; update =
+    floor(sum/count) via double division — NEVER SQL ``//``, which
+    truncates negatives where python floors), then integer-ADC scores
+    ranked by (score DESC, neighbor_id)."""
+    ds_ = dim // m_sub
+    s1 = ds_ + 1
+    parts = [f"""{_quant_emb_cte()}, {_hash_init_cte(n_codes)}, sub AS (
+  SELECT e.vec_id, t.m, e.eq[t.m * {ds_} + 1 : t.m * {ds_} + {ds_}] AS sq
+  FROM el e CROSS JOIN (SELECT unnest(range(0, {m_sub})) AS m) t
+), pb0 AS (
+  SELECT t.m, h.c AS k,
+         h.eq[t.m * {ds_} + 1 : t.m * {ds_} + {ds_}] AS v
+  FROM hinit h CROSS JOIN (SELECT unnest(range(0, {m_sub})) AS m) t
+)"""]
+    for r in range(rounds):
+        parts.append(f"""pd{r} AS (
+  SELECT s.vec_id, s.m, b.k,
+         list_sum(list_transform(range(1, {s1}),
+             i -> (s.sq[i] - b.v[i]) * (s.sq[i] - b.v[i]))) AS d
+  FROM sub s JOIN pb{r} b ON b.m = s.m
+), pa{r} AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+    FROM pd{r}) WHERE rn = 1
+), ps{r} AS (
+  SELECT a.m, a.k, t.i, sum(s.sq[t.i]) AS sv, count(*) AS n
+  FROM pa{r} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+  CROSS JOIN (SELECT unnest(generate_series(1, {ds_})) AS i) t
+  GROUP BY a.m, a.k, t.i
+), pu{r} AS (
+  SELECT m, k, list(sv ORDER BY i) AS sv, min(n) AS n
+  FROM ps{r} GROUP BY m, k
+), pb{r + 1} AS (
+  SELECT p.m, p.k,
+         coalesce(list_transform(u.sv,
+                                 x -> floor(x::DOUBLE / u.n)::BIGINT),
+                  p.v) AS v
+  FROM pb{r} p LEFT JOIN pu{r} u ON u.m = p.m AND u.k = p.k
+)""")
+    parts.append(f"""pdT AS (
+  SELECT s.vec_id, s.m, b.k,
+         list_sum(list_transform(range(1, {s1}),
+             i -> (s.sq[i] - b.v[i]) * (s.sq[i] - b.v[i]))) AS d
+  FROM sub s JOIN pb{rounds} b ON b.m = s.m
+), pcode AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+    FROM pdT) WHERE rn = 1
+), psc AS (
+  SELECT q.vec_id AS qid, a.vec_id AS nid,
+         sum(list_sum(list_transform(range(1, {s1}),
+                                     i -> q.sq[i] * b.v[i]))) AS score
+  FROM sub q
+  JOIN pcode a ON a.m = q.m
+  JOIN pb{rounds} b ON b.m = a.m AND b.k = a.k
+  WHERE q.vec_id <> a.vec_id
+  GROUP BY q.vec_id, a.vec_id
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT qid AS vec_id, nid AS neighbor_id,
+       row_number() OVER (
+         PARTITION BY qid ORDER BY score DESC, nid
+       )::BIGINT AS rank
+FROM psc
+QUALIFY rank <= {k}
+""")
 
 
 def q_ann_lsh(sf_dir: str):
@@ -5978,8 +6163,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "emb_neardup_lsh": (q_emb_neardup_lsh, _emb_lsh_sql()),
     "ann_lsh": (q_ann_lsh, _ann_lsh_sql()),
-    "ann_ivf": (q_ann_ivf, None),
-    "ann_pq": (q_ann_pq, None),
+    "ann_ivf": (q_ann_ivf, _ann_ivf_sql()),
+    "ann_pq": (q_ann_pq, _ann_pq_sql()),
     "store_roundtrip": (q_store_roundtrip, SQL_RASTERIZE_ROUNDTRIP),
     "pyramid_roundtrip": (q_pyramid_roundtrip, SQL_PYRAMID_ROUNDTRIP),
     "tile_assign": (q_tile_assign, SQL_TILE_ASSIGN),

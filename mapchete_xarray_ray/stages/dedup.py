@@ -92,8 +92,15 @@ def batch_minhash_signatures(texts: list[str]) -> np.ndarray:
 
 
 def minhash_stage(batch: pa.Table, id_col: str = "doc_id",
-                  text_col: str = "text") -> pa.Table:
-    """doc -> one row per band: (id, band_id, band_hash)."""
+                  text_col: str = "text",
+                  with_content_hash: bool = False) -> pa.Table:
+    """doc -> one row per band: (id, band_id, band_hash).
+
+    ``with_content_hash`` appends a ``chash`` column (FNV-1a of the
+    raw text, repeated per band: +8 B/row on the band shuffle) — the
+    key the degenerate-bucket valve in
+    :func:`candidate_pairs_bucketed` collapses identical documents
+    with."""
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     texts = batch.column(text_col).to_pylist()
     sigs = batch_minhash_signatures(texts)  # (n, 64)
@@ -103,11 +110,15 @@ def minhash_stage(batch: pa.Table, id_col: str = "doc_id",
     for r in range(1, _ROWS_PER_BAND):
         bh = (bh * np.uint64(1099511628211)) ^ bands[:, :, r]
     n = len(ids)
-    return pa.table({
+    cols = {
         id_col: pa.array(np.repeat(ids, _N_BANDS), pa.int64()),
         "band_id": pa.array(np.tile(np.arange(_N_BANDS, dtype=np.int64), n)),
         "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
-    })
+    }
+    if with_content_hash:
+        ch = fnv1a64(texts).astype(np.int64)
+        cols["chash"] = pa.array(np.repeat(ch, _N_BANDS), pa.int64())
+    return pa.table(cols)
 
 
 def jaccard(a: str, b: str, width: int = 3) -> float:
@@ -143,22 +154,75 @@ def candidate_pairs_from_bands(group: pa.Table, id_col: str = "doc_id") -> pa.Ta
 
 
 def candidate_pairs_bucketed(group: pa.Table, key_cols: tuple[str, str],
-                             id_col: str = "doc_id") -> pa.Table:
+                             id_col: str = "doc_id",
+                             chash_col: str | None = None,
+                             max_segment: int | None = None) -> pa.Table:
     """Pair generation over a COARSE bucket holding many complete
     (key_cols) groups — one python call per bucket, pair expansion per
-    segment (only segments with >= 2 members do work)."""
+    segment (only segments with >= 2 members do work).
+
+    Degenerate-bucket safety valve (``chash_col`` + ``max_segment``):
+    a flood of IDENTICAL documents lands every copy in the same band
+    segment, and the plain clique goes quadratic (10k copies = 50M
+    pairs x 64 bands). When a segment exceeds ``max_segment`` members
+    AND a content-hash column is provided, the segment collapses to
+    the cluster-representative form: within each content-identical
+    subgroup, a STAR (min-id representative -> member; those pairs
+    have Jaccard exactly 1, so the downstream verify always keeps
+    them), plus the all-pairs clique across the subgroup
+    representatives only. Connected-components output over the
+    verified pairs is PROVABLY unchanged: content-identical docs are
+    interchangeable w.r.t. Jaccard (any true edge (a, x) implies the
+    emitted edge (rep_a, x) with the identical score, and rep_a ~ a
+    via the star), so every uncapped component maps 1:1 onto a capped
+    one. Only the flat PAIR LISTING differs above the cap — and for an
+    identity flood that listing is Theta(n^2) by definition, which no
+    engine should materialize. Segments at or below the cap keep the
+    exact clique, so small-scale outputs (and their SQL twins) are
+    bit-identical with or without the valve."""
     k1 = group.column(key_cols[0]).to_numpy(zero_copy_only=False)
     k2 = group.column(key_cols[1]).to_numpy(zero_copy_only=False)
     ids = group.column(id_col).to_numpy(zero_copy_only=False)
+    ch = (group.column(chash_col).to_numpy(zero_copy_only=False)
+          if chash_col is not None and chash_col in group.column_names
+          else None)
     order = np.lexsort((ids, k2, k1))
     k1, k2, ids = k1[order], k2[order], ids[order]
+    if ch is not None:
+        ch = ch[order]
     new_seg = np.ones(len(ids), dtype=bool)
     new_seg[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
     starts = np.flatnonzero(new_seg)
     lens = np.diff(np.append(starts, len(ids)))
     out_a, out_b = [], []
     for s, L in zip(starts[lens >= 2], lens[lens >= 2]):
-        seg = np.unique(ids[s:s + L])
+        seg_ids = ids[s:s + L]
+        if ch is not None and max_segment is not None and L > max_segment:
+            seg_ch = ch[s:s + L]
+            so = np.lexsort((seg_ids, seg_ch))
+            sid, sch = seg_ids[so], seg_ch[so]
+            keep = np.ones(L, dtype=bool)
+            keep[1:] = (sid[1:] != sid[:-1]) | (sch[1:] != sch[:-1])
+            sid, sch = sid[keep], sch[keep]
+            grp_start = np.ones(len(sid), dtype=bool)
+            grp_start[1:] = sch[1:] != sch[:-1]
+            rep = sid[grp_start]  # min id per content group (sorted)
+            # star: representative -> every other member of its group
+            gidx = np.cumsum(grp_start) - 1
+            member_mask = ~grp_start
+            if member_mask.any():
+                out_a.append(rep[gidx[member_mask]])
+                out_b.append(sid[member_mask])
+            # clique across representatives only (rep is chash-sorted,
+            # not id-sorted -> canonicalize to id_a < id_b, the order
+            # the uncapped clique and pack_pids_stage rely on)
+            if len(rep) >= 2:
+                ia, ib = np.triu_indices(len(rep), k=1)
+                ra, rb = rep[ia], rep[ib]
+                out_a.append(np.minimum(ra, rb))
+                out_b.append(np.maximum(ra, rb))
+            continue
+        seg = np.unique(seg_ids)
         if len(seg) < 2:
             continue
         ia, ib = np.triu_indices(len(seg), k=1)

@@ -276,3 +276,45 @@ def test_pq_scan_chunking_bitexact_and_pack_limits():
         pq_train(nm, 16, 16)     # ds=1 divides, but 16 bytes > int64
     with pytest.raises(ValueError, match="n_codes"):
         pq_train(nm, 4, 512)     # wraps the uint8 cast
+
+
+def test_int_ann_partition_invariance_and_recall():
+    """The SQL-twinnable integer variants (ann_ivf_int_pipeline /
+    ann_pq_int_pipeline) must be BIT-IDENTICAL across partitionings —
+    the whole point of integer partials is order-independent merging —
+    and must still recover planted near-duplicate twins (the quality
+    gate the float tests use)."""
+    from mapchete_xarray_ray.stages.ann import (
+        ann_ivf_int_pipeline,
+        ann_pq_int_pipeline,
+    )
+
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((150, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    twins = base + 0.05 * rng.standard_normal(base.shape)
+    twins /= np.linalg.norm(twins, axis=1, keepdims=True)
+    mat = np.vstack([base, twins])
+    ids = np.arange(300, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([r.tolist() for r in mat],
+                              pa.list_(pa.float64())),
+    })
+
+    for pipeline, kwargs in (
+        (ann_ivf_int_pipeline, dict(n_clusters=8, nprobe=3, rounds=2)),
+        (ann_pq_int_pipeline, dict(m_sub=4, n_codes=16, rounds=2)),
+    ):
+        runs = []
+        for nparts in (2, 8):
+            ds = ray.data.from_arrow(tbl).repartition(nparts)
+            got = _collect(pipeline(ds, dim=16, k=3, **kwargs))
+            runs.append(sorted(zip(got.column("vec_id").to_pylist(),
+                                   got.column("neighbor_id").to_pylist(),
+                                   got.column("rank").to_pylist())))
+        assert runs[0] == runs[1], pipeline.__name__
+        twin_of = {int(i): int((i + 150) % 300) for i in ids}
+        got_r1 = {v: n for v, n, r in runs[0] if r == 1}
+        hits = sum(1 for v, n in got_r1.items() if n == twin_of[v])
+        assert hits / len(ids) > 0.6, (pipeline.__name__, hits / len(ids))

@@ -460,3 +460,78 @@ def test_dedup_canonical_keeps_cluster_minima(tmp_path):
     # planted dups are dropped, their sources kept
     for src, dup in [(0, 100), (5, 101), (3, 200), (300, 301)]:
         assert src in got and dup not in got
+
+
+def test_degenerate_bucket_valve_bounds_identical_flood():
+    """The cluster-representative valve: a band segment flooded with
+    identical documents must expand to O(n) star pairs + a clique over
+    content representatives only — never the O(n^2) clique — while
+    segments at/below the cap are bit-identical to the plain path."""
+    from mapchete_xarray_ray.stages.dedup import candidate_pairs_bucketed
+
+    n = 10_000
+    # one band segment: n copies of content A, 3 of content B, 1 of C
+    ids = np.arange(n + 4, dtype=np.int64)
+    ch = np.concatenate([np.full(n, 111), [222, 222, 222], [333]])
+    seg = pa.table({
+        "band_id": pa.array(np.zeros(n + 4, dtype=np.int64)),
+        "band_hash": pa.array(np.full(n + 4, 77, dtype=np.int64)),
+        "doc_id": pa.array(ids),
+        "chash": pa.array(ch.astype(np.int64)),
+    })
+    got = candidate_pairs_bucketed(seg, ("band_id", "band_hash"),
+                                   chash_col="chash", max_segment=64)
+    a = got.column("id_a").to_pylist()
+    b = got.column("id_b").to_pylist()
+    pairs = set(zip(a, b))
+    # stars: rep 0 -> 1..n-1 copies of A; rep n -> n+1, n+2 copies of B
+    want = {(0, i) for i in range(1, n)}
+    want |= {(n, n + 1), (n, n + 2)}
+    # rep clique: (0, n), (0, n+3), (n, n+3)
+    want |= {(0, n), (0, n + 3), (n, n + 3)}
+    assert pairs == want
+    assert len(a) == (n - 1) + 2 + 3  # linear, not ~5e7
+    assert all(x < y for x, y in pairs)
+
+    # below the cap: identical output with and without the valve
+    small = seg.slice(n - 2, 6)  # 2 A-copies, 3 B, 1 C
+    plain = candidate_pairs_bucketed(small, ("band_id", "band_hash"))
+    valved = candidate_pairs_bucketed(small, ("band_id", "band_hash"),
+                                      chash_col="chash", max_segment=64)
+    assert plain.equals(valved)
+
+
+def test_minhash_flood_clusters_match_uncapped(sf_dir):
+    """End-to-end CC-preservation proof obligation: forcing the valve
+    (max_segment=2, every multi-member segment takes the representative
+    path) must leave the connected-components output identical to the
+    uncapped chain, and an identical-doc flood must still land in one
+    cluster. Runs the REAL distributed chain both ways."""
+    from mapchete_xarray_ray.pipelines.queries import minhash_pairs_pipeline
+    from mapchete_xarray_ray.stages.dedup import connected_components_ds
+
+    base = _neardup_corpus()
+    flood_ids = np.arange(500, 560, dtype=np.int64)
+    flood_txt = [base.column("text").to_pylist()[0]] * 60
+    tbl = pa.table({
+        "doc_id": pa.concat_arrays(
+            [base.column("doc_id").combine_chunks(),
+             pa.array(flood_ids, pa.int64())]),
+        "text": pa.concat_arrays(
+            [base.column("text").combine_chunks().cast(pa.string()),
+             pa.array(flood_txt, pa.string())]),
+    })
+
+    def clusters(max_segment):
+        docs = ray.data.from_arrow(tbl).repartition(4)
+        pairs = minhash_pairs_pipeline(docs, max_segment=max_segment)
+        cc = _collect(connected_components_ds(pairs.materialize()))
+        return sorted(zip(cc.column("doc_id").to_pylist(),
+                          cc.column("cluster_id").to_pylist()))
+
+    capped = clusters(2)
+    uncapped = clusters(10 ** 9)
+    assert capped == uncapped
+    lab = dict(capped)
+    # doc 0's identical flood (and its planted near-dup 100) share one cluster
+    assert len({lab[int(i)] for i in flood_ids} | {lab[0], lab[100]}) == 1
