@@ -6215,6 +6215,19 @@ REGISTRY: dict[str, tuple] = {
     "store_roundtrip_time": (q_store_roundtrip_time, SQL_STORE_ROUNDTRIP_TIME),
 }
 
+# Interop demonstrations: correctness-gated like every other query,
+# but benched OUTSIDE the headline total. orders_lineitem_join_native
+# re-expresses the co-group join through Ray 2.49's native
+# Dataset.join, whose hash-shuffle aggregator pool spins up per query
+# (~11 s fixed, num_partitions-independent, amortizes only on a
+# long-lived cluster) — timing it in the headline sweep would charge
+# the engine for an operator warm-up the co-group reference plan
+# (orders_lineitem_join) doesn't pay. bench.py reports these under
+# "interop" next to their reference-plan twin.
+INTEROP_QUERIES: dict[str, str] = {
+    "orders_lineitem_join_native": "orders_lineitem_join",
+}
+
 
 def _wrap(fn):
     import functools
