@@ -101,16 +101,9 @@ def main(argv=None):
                 "path": args.dst,
             }))
         else:  # overviews: E3 chained until --min-zoom
-            from mapchete_xarray_ray.pipelines.pyramid import run_pyramid_step
-            from mapchete_xarray_ray.sources.zarr_input import spec_from_archive
+            from mapchete_xarray_ray.pipelines.pyramid import run_pyramid_chain
 
-            src = args.src
-            results = []
-            while (z := spec_from_archive(src).zoom - 1) >= args.min_zoom:
-                dst = args.src.removesuffix(".zarr") + f"_z{z}.zarr"
-                n = run_pyramid_step(src, dst, how=args.how).count()
-                results.append({"zoom": z, "tiles_written": n, "path": dst})
-                src = dst
+            results = run_pyramid_chain(args.src, args.min_zoom, how=args.how)
             print(json.dumps({"levels": results}))
     finally:
         if own_ray:

@@ -163,3 +163,31 @@ def run_pyramid_step(in_path: str, out_path: str, how: str = "sum",
         num_cpus=0.5,
         concurrency=concurrency or 2,
     )
+
+
+def run_pyramid_chain(src_path: str, min_zoom: int, how: str = "sum",
+                      mode: str = "continue",
+                      concurrency: int | None = None,
+                      compressor: int | str | None = 1) -> list[dict]:
+    """E3 iterated: chain :func:`run_pyramid_step` z -> z-1 -> ... ->
+    ``min_zoom`` (the reference's self-referential overview build,
+    _output.py:146-163 + get_raw_output at :556, applied until the
+    coarsest level). Level z's archive is ``<src base>_z{z}.zarr``.
+
+    Per-level lineage + resume come from the step itself: every tile
+    write appends a lineage record, and ``mode="continue"`` skips
+    parents already recorded at that level — so a re-run (or a run
+    resumed after a mid-chain failure) re-derives only the missing
+    tiles of the incomplete level and reports 0 writes for finished
+    ones. Consuming each step's Dataset (``count()``) is the write
+    barrier level z+1 hands level z."""
+    base = src_path.removesuffix(".zarr")
+    results, src = [], src_path
+    while (z := spec_from_archive(src).zoom - 1) >= min_zoom:
+        dst = f"{base}_z{z}.zarr"
+        n = run_pyramid_step(src, dst, how=how, mode=mode,
+                             concurrency=concurrency,
+                             compressor=compressor).count()
+        results.append({"zoom": z, "tiles_written": int(n), "path": dst})
+        src = dst
+    return results

@@ -4195,6 +4195,59 @@ GROUP BY tile_id, iy, ix
 """
 
 
+def q_pyramid_chain(sf_dir: str):
+    """E3 ITERATED (the reference's full overview build, not just one
+    step): rasterize docs into a z5 count archive, then chain the real
+    pyramid step three times — z5 -> z4 -> z3 -> z2, each level a
+    per-parent 2x2 mosaic read -> sum-downsample -> write with its own
+    lineage records and continue-mode resume
+    (pipelines/pyramid.py run_pyramid_chain) — and read the FINAL z2
+    archive back per pixel. The SQL twin aggregates counts directly at
+    z2 pixel coordinates (px//8: three halvings fused), so any error
+    in ANY level's mosaic window, block-reduce, dtype widening
+    (uint16 -> uint32 at the first sum level) or addressing flips the
+    hash. Reference contract: _output.py:146-163, 165-200, 556.
+    """
+    import os
+
+    from mapchete_xarray_ray.pipelines.pyramid import run_pyramid_chain
+    from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+    from mapchete_xarray_ray.sources.zarr_input import spec_from_archive
+
+    spec, _spec_ref, _written = _write_counts_archive(sf_dir)
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    levels = run_pyramid_chain(spec.path, min_zoom=2, how="sum",
+                               concurrency=max(2, n_cpus // 2),
+                               compressor=_store_compressor())
+    assert [lv["zoom"] for lv in levels] == [4, 3, 2]
+    z2_spec = spec_from_archive(levels[-1]["path"])
+    z2_store = ZarrTileStore(z2_spec)
+    tiles = sorted(z2_store.existing_tiles())
+    work = pa.table({
+        "tile_row": pa.array([t[0] for t in tiles], pa.int64()),
+        "tile_col": pa.array([t[1] for t in tiles], pa.int64()),
+    })
+    out = (ray.data.from_arrow(work)
+           .repartition(nblocks_for_cluster(1.0, lo=4))
+           .map_batches(_pixel_rows_stage(ray.put(z2_spec), 2),
+                        batch_format="pyarrow"))
+    return _schema_finalize(out, {"tile_id": pa.int64(), "iy": pa.int64(),
+                                  "ix": pa.int64(), "n_docs": pa.int64()})
+
+
+SQL_PYRAMID_CHAIN = """
+SELECT
+  (2::BIGINT << 58)
+    | (((((doc_id * 40503) % 8192) // 8) // 256)::BIGINT << 29)
+    | ((((doc_id * 2654435761) % 16384) // 8) // 256) AS tile_id,
+  (((doc_id * 40503) % 8192) // 8) % 256 AS iy,
+  (((doc_id * 2654435761) % 16384) // 8) % 256 AS ix,
+  count(*)::BIGINT AS n_docs
+FROM documents
+GROUP BY tile_id, iy, ix
+"""
+
+
 def q_frame_sample(sf_dir: str):
     """Multimodal frame sampling under the driver's EXACT hash: doc
     text bytes stand in for opaque video payloads; the actor-pool
@@ -6125,6 +6178,7 @@ REGISTRY: dict[str, tuple] = {
     # (never checked, or no_oracle last round) come first; r3-green
     # queries with existing CORRECTNESS rows sit at the back.
     "export_roundtrip": (q_export_roundtrip, _curation_sql(with_text=True)),
+    "pyramid_chain": (q_pyramid_chain, SQL_PYRAMID_CHAIN),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "top_terms_df": (q_top_terms_df, SQL_TOP_TERMS_DF),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),

@@ -256,3 +256,40 @@ def test_consolidated_metadata_serves_every_open(archive, tmp_path):
         store.prepare()           # metadata-compat check passes
         store._sync_time_chunk()  # stored-layout sync finds .zarray
         assert store.compressor is not None  # stored zlib config found
+
+
+def test_run_pyramid_chain_resume_per_level(archive, tmp_path):
+    """run_pyramid_chain: iterated z5 -> z2 build with per-level
+    lineage/resume. A level pre-built out-of-band is skipped (0 writes)
+    while deeper levels still build; a full re-run writes nothing; the
+    final level preserves the source total."""
+    import shutil
+
+    from mapchete_xarray_ray.pipelines.pyramid import run_pyramid_chain
+
+    # chain names levels <src base>_z{z}.zarr -> keep a private copy
+    src = str(tmp_path / "chain.zarr")
+    shutil.copytree(archive.path, src)
+    base = str(tmp_path / "chain")
+
+    # simulate a chain interrupted after the first level: build z4 only
+    first = _collect(run_pyramid_step(src, base + "_z4.zarr", how="sum"))
+    assert first.num_rows == 16
+
+    levels = run_pyramid_chain(src, min_zoom=2, how="sum")
+    assert [(lv["zoom"], lv["tiles_written"]) for lv in levels] == [
+        (4, 0),   # resumed: already complete
+        (3, 4),
+        (2, 1),
+    ]
+    src_store = ZarrTileStore(archive)
+    z2 = ZarrTileStore(spec_from_archive(base + "_z2.zarr"))
+    total_src = sum(int(src_store.read_tile(r, c, bands=["count"]).sum())
+                    for r, c in src_store.existing_tiles())
+    total_z2 = sum(int(z2.read_tile(r, c, bands=["count"]).sum())
+                   for r, c in z2.existing_tiles())
+    assert total_src == total_z2
+
+    # full re-run: every level resumes to zero writes
+    again = run_pyramid_chain(src, min_zoom=2, how="sum")
+    assert [lv["tiles_written"] for lv in again] == [0, 0, 0]
