@@ -21,8 +21,14 @@ def _collect(ds) -> pa.Table:
     return pa.concat_tables(tabs) if tabs else pa.table({})
 
 
-def test_store_roundtrip_on_memory_fs():
-    path = "memory://remote_arch.zarr"
+@pytest.mark.parametrize("path", [
+    "memory://remote_arch.zarr",
+    "file:///tmp/mxr_remote_arch.zarr",
+])
+def test_store_roundtrip_on_fsspec_backends(path):
+    """The \"://\" routing is backend-generic, not memory://-specific:
+    the same seam drives a second offline fsspec filesystem (file://,
+    fsspec's LocalFileSystem — NOT the plain-path branch)."""
     _rmtree(path)
     spec = default_spec(path, dtype="uint16")
     store = ZarrTileStore(spec)
@@ -64,4 +70,26 @@ def test_lineage_on_memory_fs():
     from mapchete_xarray_ray.state.lineage import completed_tiles
 
     assert len(completed_tiles(store)) == 1
+    _rmtree(path)
+
+
+def test_flagship_e2e_on_file_uri():
+    """Distributed write through the fsspec seam: unlike memory://
+    (per-process), file:// is shared across Ray workers, so the whole
+    flagship pipeline can run against a URI-addressed archive — the
+    closest offline stand-in for the reference's live-S3 driver test
+    (reference tests/test_driver.py:74-96)."""
+    path = "file:///tmp/mxr_remote_flagship.zarr"
+    _rmtree(path)
+    pages = make_pages(n=200)
+    spec = default_spec(path)
+    out = _collect(run_pipeline(ray.data.from_arrow(pages), spec))
+    assert out.num_rows > 0
+    # read back through the same URI: totals match the page count
+    rspec = spec_from_archive(path)
+    store = ZarrTileStore(rspec)
+    total = sum(int(store.read_tile(r, c, bands=["count"]).sum())
+                for r, c in store.existing_tiles())
+    assert total == 200
+    assert len(read_records(path)) == out.num_rows
     _rmtree(path)
