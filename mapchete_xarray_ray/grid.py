@@ -213,6 +213,69 @@ def zarr_chunk_from_xy(x, y, bounds: Bounds, shape: tuple[int, int],
 # --- packed ids ----------------------------------------------------------
 
 
+# Cross-grid footprint transform (the reference's InputData.bbox(out_crs)
+# reprojection seam, mapchete_xarray/_input.py:85-104). Spherical web
+# mercator (EPSG:3857) <-> geodetic (EPSG:4326), the only two grids this
+# engine defines. Data reprojection stays unsupported
+# (check_grid_compatible, reference README.rst:161) — this is for
+# expressing a FOOTPRINT in the other grid, e.g. for tile pruning.
+
+# latitude beyond which spherical mercator is undefined (tan -> inf)
+MERC_LAT_MAX = math.degrees(2 * math.atan(math.exp(math.pi)) - math.pi / 2)
+
+
+def geodetic_to_mercator_xy(lon, lat):
+    """Vectorized EPSG:4326 -> EPSG:3857; latitudes clamped to the
+    mercator-valid band (+-85.0511...) like every web-mercator stack."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.clip(np.asarray(lat, dtype=np.float64),
+                  -MERC_LAT_MAX, MERC_LAT_MAX)
+    x = lon / 180.0 * MERC_R
+    y = np.log(np.tan(np.pi / 4 + np.radians(lat) / 2)) / np.pi * MERC_R
+    return x, y
+
+
+def mercator_to_geodetic_xy(x, y):
+    """Vectorized EPSG:3857 -> EPSG:4326."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = x / MERC_R * 180.0
+    lat = np.degrees(2 * np.arctan(np.exp(y / MERC_R * np.pi)) - np.pi / 2)
+    return lon, lat
+
+
+def reproject_bounds(bounds, from_grid: str, to_grid: str,
+                     densify: int = 16) -> Bounds:
+    """Footprint bounds from one grid's CRS to the other's, with edge
+    densification (``densify`` points per edge) before taking the
+    envelope — the standard guard against curved-edge underestimation,
+    though for this axis-separable monotonic pair the corners already
+    bound the envelope. Same-grid input passes through unchanged."""
+    if from_grid == to_grid:
+        return Bounds(*[float(v) for v in bounds])
+    if {from_grid, to_grid} != {"geodetic", "mercator"}:
+        raise ValueError(f"unknown grid pair {from_grid!r} -> {to_grid!r}")
+    left, bottom, right, top = [float(v) for v in bounds]
+    t = np.linspace(0.0, 1.0, max(densify, 2))
+    xs = np.concatenate([left + (right - left) * t,      # bottom edge
+                         left + (right - left) * t,      # top edge
+                         np.full_like(t, left),          # west edge
+                         np.full_like(t, right)])        # east edge
+    ys = np.concatenate([np.full_like(t, bottom),
+                         np.full_like(t, top),
+                         bottom + (top - bottom) * t,
+                         bottom + (top - bottom) * t])
+    if from_grid == "geodetic":
+        ox, oy = geodetic_to_mercator_xy(xs, ys)
+    else:
+        ox, oy = mercator_to_geodetic_xy(xs, ys)
+    gl, gb, gr, gt = _GRID_BOUNDS[to_grid]
+    return Bounds(float(np.clip(ox.min(), gl, gr)),
+                  float(np.clip(oy.min(), gb, gt)),
+                  float(np.clip(ox.max(), gl, gr)),
+                  float(np.clip(oy.max(), gb, gt)))
+
+
 def pack_tile_id(zoom, row, col):
     """(zoom, row, col) -> int64: zoom<<58 | row<<29 | col (SURVEY §1.2).
 

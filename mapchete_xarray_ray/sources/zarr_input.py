@@ -71,9 +71,18 @@ def check_grid_compatible(input_spec: JobSpec, job_spec: JobSpec) -> None:
         )
 
 
-def archive_bbox(spec: JobSpec) -> Bounds:
-    """Data footprint for empty-tile pruning (S6, _input.py:85-104)."""
-    return spec.snapped_bounds
+def archive_bbox(spec: JobSpec, out_grid: str | None = None) -> Bounds:
+    """Data footprint for empty-tile pruning (S6, _input.py:85-104).
+
+    ``out_grid`` reprojects the footprint into another grid's CRS —
+    the reference's ``InputData.bbox(out_crs)`` seam. Only the
+    FOOTPRINT crosses CRS; reading data across grids stays forbidden
+    (:func:`check_grid_compatible`, reference README.rst:161)."""
+    if out_grid is None or out_grid == spec.grid:
+        return spec.snapped_bounds
+    from mapchete_xarray_ray.grid import reproject_bounds
+
+    return reproject_bounds(spec.snapped_bounds, spec.grid, out_grid)
 
 
 def prune_tiles(tiles: list[tuple[int, int]], spec: JobSpec,

@@ -178,3 +178,73 @@ def test_k_ring_rejects_mixed_zoom():
                             cell_encode(np.array([0]), np.array([0]), 3)])
     with pytest.raises(ValueError, match="same zoom"):
         k_ring(cells, k=1)
+
+
+def test_reproject_bounds_roundtrip_and_known_points():
+    """Cross-grid footprint transform (reference InputData.bbox(out_crs),
+    _input.py:85-104): spherical-mercator forward/inverse agree, known
+    anchor points land exactly, and out-of-band latitudes clamp."""
+    import numpy as np
+
+    from mapchete_xarray_ray.grid import (
+        MERC_LAT_MAX,
+        MERC_R,
+        Bounds,
+        geodetic_to_mercator_xy,
+        mercator_to_geodetic_xy,
+        reproject_bounds,
+    )
+
+    # anchors: origin and the mercator-square corners
+    x, y = geodetic_to_mercator_xy([0.0, 180.0], [0.0, MERC_LAT_MAX])
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    assert abs(x[1] - MERC_R) < 1e-6 and abs(y[1] - MERC_R) < 1e-6
+
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-85, 85, 200)
+    lon2, lat2 = mercator_to_geodetic_xy(*geodetic_to_mercator_xy(lon, lat))
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    # whole geodetic world -> the full mercator square (poles clamp)
+    b = reproject_bounds(Bounds(-180, -90, 180, 90), "geodetic", "mercator")
+    np.testing.assert_allclose(list(b), [-MERC_R, -MERC_R, MERC_R, MERC_R],
+                               atol=1e-6)
+    # and back: the square covers the clamped latitude band
+    g = reproject_bounds(b, "mercator", "geodetic")
+    np.testing.assert_allclose(list(g), [-180, -MERC_LAT_MAX, 180,
+                                         MERC_LAT_MAX], atol=1e-9)
+    # same-grid passthrough
+    same = reproject_bounds(Bounds(1, 2, 3, 4), "geodetic", "geodetic")
+    assert list(same) == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_archive_bbox_out_grid_prunes_mercator_job(tmp_path):
+    """A geodetic archive's footprint expressed in mercator prunes a
+    mercator job's tile list (footprint-only cross-CRS; data reads
+    across grids stay forbidden)."""
+    from mapchete_xarray_ray.grid import Bounds
+    from mapchete_xarray_ray.sources.zarr_input import prune_tiles
+    from mapchete_xarray_ray.spec import JobSpec
+
+    src = JobSpec(path=str(tmp_path / "a.zarr"), zoom=5,
+                  bounds=(0.0, 40.0, 45.0, 70.0), grid="geodetic",
+                  band_names=["count"], dtype="uint16")
+    from mapchete_xarray_ray.sources.zarr_input import archive_bbox
+
+    fp = archive_bbox(src, out_grid="mercator")
+    assert fp.left == 0.0 and fp.right > 4e6  # 45 deg ~ 5.009e6 m
+    job = JobSpec(path=str(tmp_path / "b.zarr"), zoom=3,
+                  bounds=(-20037508.342789244, -20037508.342789244,
+                          20037508.342789244, 20037508.342789244),
+                  grid="mercator", band_names=["count"], dtype="uint16")
+    r0, r1, c0, c1 = job.tile_range()
+    tiles = [(r, c) for r in range(r0, r1 + 1) for c in range(c0, c1 + 1)]
+    kept = prune_tiles(tiles, job, fp)
+    assert 0 < len(kept) < len(tiles)
+    # every kept tile really intersects; every dropped tile doesn't
+    for r, c in tiles:
+        tb = job.pyramid.tile_bounds(job.zoom, r, c)
+        inter = Bounds(*[float(v) for v in tb]).intersects(fp)
+        assert inter == ((r, c) in kept)
