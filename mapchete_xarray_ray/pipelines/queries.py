@@ -5121,6 +5121,124 @@ GROUP BY g.doc_id
 """
 
 
+def _doc_chunk_pairs(batch: pa.Table, c: int) -> tuple:
+    """(doc_id, NON-overlapping word c-chunk) pairs — the fixed-stride
+    sibling of :func:`_doc_gram_pairs` (same tokenize + offset
+    arithmetic, but only every c-th start position and only FULL
+    chunks, every occurrence kept). Returns (doc_ids, chunk_strings)."""
+    import pyarrow.compute as pc
+
+    from mapchete_xarray_ray.stages.text import trim_ws
+
+    empty = (pa.array([], pa.int64()), pa.array([], pa.string()))
+    if "text" not in batch.column_names or batch.num_rows == 0:
+        return empty
+    trimmed = trim_ws(batch.column("text"))
+    keep = pc.not_equal(trimmed, "")
+    doc = batch.column("doc_id").filter(keep)
+    if len(doc) == 0:
+        return empty
+    toks = pc.split_pattern_regex(trimmed.filter(keep), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    pos_in_doc = np.arange(offs[-1]) - np.repeat(offs[:-1], lens)
+    start = (pos_in_doc % c == 0) & (pos_in_doc <= np.repeat(lens - c, lens))
+    idx = np.flatnonzero(start)
+    if len(idx) == 0:
+        return empty
+    chunks = pc.binary_join_element_wise(
+        *(flat.take(pa.array(idx + j)) for j in range(c)), " ")
+    doc_rep = doc.take(pa.array(
+        np.repeat(np.arange(len(lens)), lens)[idx]))
+    return doc_rep, chunks
+
+
+def q_dup_chunks(sf_dir: str):
+    """Cross-document duplicated-chunk scoring — the CCNet/Gopher-style
+    boilerplate signal a web corpus is filtered on: split each doc
+    into non-overlapping word-8 chunks, count every chunk's
+    occurrences CORPUS-WIDE, and report per doc how many of its chunks
+    occur anywhere else (same doc or another). Scale contract: ONE
+    exchange moves 16 B (doc_id, chunk-hash) pairs bucketed by the
+    chunk hash, so all occurrences of a chunk co-locate and each
+    bucket answers its own duplicate test and pre-sums per doc; a
+    second small exchange folds the per-bucket doc partials. No
+    broadcast (the duplicated-chunk set is corpus-sized for real web
+    data — unlike decontaminate's tiny eval side, it must never land
+    on the driver). Chunk identity is the 64-bit stable hash (the
+    repo-wide exact-dedup convention); the DuckDB twin partitions on
+    the chunk strings themselves."""
+    from mapchete_xarray_ray.functions.geocode import stable_hash64
+    from mapchete_xarray_ray.nputil import group_sum
+
+    C = 8
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def chunk_pairs(batch: pa.Table) -> pa.Table:
+        d, chunks = _doc_chunk_pairs(batch, C)
+        h = stable_hash64(
+            chunks.to_numpy(zero_copy_only=False).astype(object)
+        ).view(np.int64)
+        return pa.table({
+            "doc_id": d.cast(pa.int64()) if len(d) else pa.array([], pa.int64()),
+            "chash": pa.array(h, pa.int64()),
+            "cb": pa.array(h % 64, pa.int64()),
+        })
+
+    def bucket_stats(group: pa.Table) -> pa.Table:
+        ch = group.column("chash").to_numpy(zero_copy_only=False)
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        uniq_h, inv, cnt = np.unique(ch, return_inverse=True,
+                                     return_counts=True)
+        dup = (cnt[inv] >= 2).astype(np.int64)
+        ud, n, dupn = group_sum(d, np.ones(len(d), np.int64), dup)
+        return pa.table({
+            "doc_id": pa.array(ud, pa.int64()),
+            "n_chunks": pa.array(n, pa.int64()),
+            "dup_chunks": pa.array(dupn, pa.int64()),
+            "db": pa.array(ud % 64, pa.int64()),
+        })
+
+    def doc_fold(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        n = group.column("n_chunks").to_numpy(zero_copy_only=False)
+        dupn = group.column("dup_chunks").to_numpy(zero_copy_only=False)
+        ud, tn, td = group_sum(d, n, dupn)
+        return pa.table({"doc_id": pa.array(ud, pa.int64()),
+                         "n_chunks": pa.array(tn, pa.int64()),
+                         "dup_chunks": pa.array(td, pa.int64())})
+
+    out = (_regroup(docs.map_batches(chunk_pairs, batch_format="pyarrow"),
+                    0.125)
+           .groupby("cb")
+           .map_groups(bucket_stats, batch_format="pyarrow")
+           .groupby("db")
+           .map_groups(doc_fold, batch_format="pyarrow"))
+    return _schema_finalize(out, {"doc_id": pa.int64(),
+                                  "n_chunks": pa.int64(),
+                                  "dup_chunks": pa.int64()})
+
+
+SQL_DUP_CHUNKS = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)), '\s+') AS ws
+  FROM documents
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> ''
+), c AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS chunk
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7, 8)) AS i) t
+)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks
+FROM (SELECT doc_id, count(*) OVER (PARTITION BY chunk) AS cnt FROM c)
+GROUP BY doc_id
+"""
+
+
 def q_seq_pack(sf_dir: str):
     """Sequence packing — the pre-training batching step: concatenate
     every document's tokens in doc_id order into one global token
@@ -6179,6 +6297,7 @@ REGISTRY: dict[str, tuple] = {
     # queries with existing CORRECTNESS rows sit at the back.
     "export_roundtrip": (q_export_roundtrip, _curation_sql(with_text=True)),
     "pyramid_chain": (q_pyramid_chain, SQL_PYRAMID_CHAIN),
+    "dup_chunks": (q_dup_chunks, SQL_DUP_CHUNKS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "top_terms_df": (q_top_terms_df, SQL_TOP_TERMS_DF),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
