@@ -26,6 +26,7 @@ import shutil
 import subprocess
 import sys
 import time
+from mapchete_xarray_ray.collect import arrow_block_refs
 
 # plain bench (driver-run, per-round) uses 1M pages to stay fast;
 # --scaling uses 4M (set in scaling()) so the timed window is CPU-bound
@@ -129,7 +130,7 @@ def run_flagship_bench(pages_path: str, out_path: str,
                                    override_num_blocks=nblocks)
         summary = run_pipeline(ds, spec, mode="overwrite",
                                repartition_blocks=0)
-        tabs = [ray.get(r) for r in summary.to_arrow_refs()]
+        tabs = [ray.get(r) for r in arrow_block_refs(summary)]
         tabs = [t for t in tabs if t.num_columns > 0]
         tbl = pa.concat_tables(tabs)
         dt = time.perf_counter() - t0

@@ -46,6 +46,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from mapchete_xarray_ray.collect import arrow_block_refs
+
 from mapchete_xarray_ray.fixtures import DEFAULT_BOUNDS, DEFAULT_ZOOM, make_pages
 from mapchete_xarray_ray.grid import unpack_tile_id
 from mapchete_xarray_ray.spec import JobSpec
@@ -554,7 +556,7 @@ def run_pipeline_salted(ds: ray.data.Dataset, spec: JobSpec,
     counts = (ds.map_batches(tile_counts, batch_format="pyarrow")
                 .groupby("tile_id").sum("n"))
     counts_tbl = pa.concat_tables(
-        [t for t in (ray.get(r) for r in counts.to_arrow_refs())
+        [t for t in (ray.get(r) for r in arrow_block_refs(counts))
          if t.num_columns > 0])
     hot = counts_tbl.filter(
         pc.greater(counts_tbl.column("sum(n)"), hot_threshold)

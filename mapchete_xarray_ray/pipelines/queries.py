@@ -101,22 +101,10 @@ def _store_compressor() -> str:
     return os.environ.get("GRAFT_STORE_COMPRESSOR", "1")
 
 
-def collect_table(res):
-    """Final driver-side collection of a SMALL query result.
-
-    Ray's sort-based groupby/map_groups can emit zero-column blocks for
-    empty partitions; concatenating those breaks schema-sensitive
-    consumers. Registry results are compared row-for-row by the driver
-    (sf<=0.01, thousands of rows), so collecting them into one clean
-    Arrow table here is both safe and schema-stable. The pipelines
-    themselves stay streaming — only the final small result lands on
-    the driver.
-    """
-    if not isinstance(res, ray.data.Dataset):
-        return res
-    tabs = [t for t in (ray.get(r) for r in res.to_arrow_refs())
-            if t.num_columns > 0]
-    return pa.concat_tables(tabs) if tabs else pa.table({})
+from mapchete_xarray_ray.collect import collect_table  # noqa: E402 — re-export;
+# the probe-free replacement for to_arrow_refs (see collect.py: Ray
+# 2.49's to_arrow_refs re-executes the plan with limit=1 for a schema
+# fetch, which for sort/groupby plans is nearly a full second run).
 
 
 def _mod_bucket(col: str, out: str = "bucket", mod: int = 64,
@@ -1391,7 +1379,7 @@ def q_ann_cosine(sf_dir: str):
 
     emb = _read(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
-    tbl = pa.concat_tables([ray.get(r) for r in emb.to_arrow_refs()])
+    tbl = collect_table(emb)
     q_ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
     from mapchete_xarray_ray.stages.ann import _embedding_matrix
     q_mat = _embedding_matrix(tbl, "embedding")
@@ -2989,7 +2977,7 @@ def q_emb_neardup(sf_dir: str):
 
     emb = _read(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
-    tbl = pa.concat_tables([ray.get(r) for r in emb.to_arrow_refs()])
+    tbl = collect_table(emb)
     ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
     mat = normalize_rows(_embedding_matrix(tbl, "embedding"))
     ref = ray.put((ids, mat))
@@ -5076,8 +5064,8 @@ def q_decontaminate(sf_dir: str):
         return pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
 
     # eval side: tiny by definition -> distinct hashes to the driver
-    ev_tabs = [ray.get(r) for r in docs.map_batches(
-        eval_gram_hashes, batch_format="pyarrow").to_arrow_refs()]
+    ev_tabs = [collect_table(docs.map_batches(
+        eval_gram_hashes, batch_format="pyarrow"))]
     ev = np.unique(np.concatenate(
         [t.column("h").to_numpy(zero_copy_only=False) for t in ev_tabs
          if t.num_columns > 0] or [np.array([], np.int64)])).view(np.uint64)
@@ -5236,6 +5224,308 @@ SELECT doc_id, count(*)::BIGINT AS n_chunks,
        sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks
 FROM (SELECT doc_id, count(*) OVER (PARTITION BY chunk) AS cnt FROM c)
 GROUP BY doc_id
+"""
+
+
+def q_props_rollup(sf_dir: str):
+    """JSON property extraction + per-type rollup (§2.8 json scalar
+    fns): pull the integer ``k`` field out of the ``props`` JSON string
+    with ONE vectorized regex kernel (``pc.extract_regex`` — no
+    per-row json.loads loop) and aggregate per event_type. Doubles are
+    int-quantized before the distributed sum (floor(value*1e6), the
+    repo convention) so partials are order-independent and the DuckDB
+    twin is bit-exact. Scale shape: per-batch combiner collapses each
+    block to <=|event_type| rows, then one tiny groupby folds the
+    partials; rows with unparseable props keep their count but drop
+    out of the k aggregates (the twin's CAST(json->>k) NULL
+    semantics)."""
+    events = _read(f"{sf_dir}/events.parquet",
+                   ["event_type", "props", "value"])
+
+    EMPTY = {"event_type": pa.array([], pa.string()),
+             "n_events": pa.array([], pa.int64()),
+             "sum_k": pa.array([], pa.int64()),
+             "min_k": pa.array([], pa.int64()),
+             "max_k": pa.array([], pa.int64()),
+             "sum_value_micros": pa.array([], pa.int64())}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "event_type" not in batch.column_names or batch.num_rows == 0:
+            return pa.table(EMPTY)
+        ext = pc.extract_regex(batch.column("props").combine_chunks(),
+                               r'"k"\s*:\s*(?P<k>-?\d+)')
+        k = pc.struct_field(ext, "k").cast(pa.int64())
+        micros = pc.floor(pc.multiply(
+            batch.column("value").cast(pa.float64()), 1e6)).cast(pa.int64())
+        g = (pa.table({"event_type": batch.column("event_type"),
+                       "k": k, "micros": micros})
+             .group_by("event_type")
+             .aggregate([([], "count_all"), ("k", "sum"), ("k", "min"),
+                         ("k", "max"), ("micros", "sum")]))
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "n_events": g.column("count_all").cast(pa.int64()),
+            "sum_k": g.column("k_sum").cast(pa.int64()),
+            "min_k": g.column("k_min").cast(pa.int64()),
+            "max_k": g.column("k_max").cast(pa.int64()),
+            "sum_value_micros": g.column("micros_sum").cast(pa.int64()),
+        })
+
+    def fold(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "event_type" not in group.column_names or group.num_rows == 0:
+            return pa.table(EMPTY)
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "n_events": pa.array(
+                [pc.sum(group.column("n_events")).as_py()], pa.int64()),
+            "sum_k": pa.array(
+                [pc.sum(group.column("sum_k")).as_py()], pa.int64()),
+            "min_k": pa.array(
+                [pc.min(group.column("min_k")).as_py()], pa.int64()),
+            "max_k": pa.array(
+                [pc.max(group.column("max_k")).as_py()], pa.int64()),
+            "sum_value_micros": pa.array(
+                [pc.sum(group.column("sum_value_micros")).as_py()],
+                pa.int64()),
+        })
+
+    out = (_regroup(events.map_batches(partial, batch_format="pyarrow"),
+                    0.125)
+           .groupby("event_type")
+           .map_groups(fold, batch_format="pyarrow"))
+    return _schema_finalize(out, {
+        "event_type": pa.string(), "n_events": pa.int64(),
+        "sum_k": pa.int64(), "min_k": pa.int64(), "max_k": pa.int64(),
+        "sum_value_micros": pa.int64()})
+
+
+SQL_PROPS_ROLLUP = r"""
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(props->>'k' AS BIGINT))::BIGINT AS sum_k,
+       min(CAST(props->>'k' AS BIGINT))::BIGINT AS min_k,
+       max(CAST(props->>'k' AS BIGINT))::BIGINT AS max_k,
+       sum(floor(value * 1e6)::BIGINT)::BIGINT AS sum_value_micros
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_lang_len_quantiles(sf_dir: str):
+    """Per-group EXACT discrete quantiles (percentile_disc) without a
+    per-group sort exchange: document length is a bounded-cardinality
+    value, so each block collapses to (lang, n_chars)->count partials,
+    one small groupby co-locates a language's histogram, and the
+    quantile is read off the cumulative counts with integer arithmetic
+    (first value where 2*cum >= n for the median, 10*cum >= 9*n for
+    p90 — exactly SQL percentile_disc's smallest-value-with-
+    cume_dist>=q rule, no float division). Scale contract: the
+    exchange moves histogram partials (distinct (lang,len) pairs per
+    block), never documents; the per-group fold holds one language's
+    distinct lengths, not its rows. For genuinely unbounded value
+    domains the binned ``price_quantile_sketch`` is the scale path —
+    this is the exact path when cardinality permits. NULL langs are
+    excluded on both sides (lang_rebalance contract)."""
+    docs = _docs(sf_dir, ["lang", "n_chars"])
+
+    EMPTY = {"lang": pa.array([], pa.string()),
+             "n_docs": pa.array([], pa.int64()),
+             "median_len": pa.array([], pa.int64()),
+             "p90_len": pa.array([], pa.int64())}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "lang" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "len": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        g = (pa.table({"lang": batch.column("lang"),
+                       "len": batch.column("n_chars").cast(pa.int64())})
+             .filter(pc.is_valid(batch.column("lang")))
+             .group_by(["lang", "len"]).aggregate([([], "count_all")]))
+        return pa.table({"lang": g.column("lang"),
+                         "len": g.column("len"),
+                         "cnt": g.column("count_all").cast(pa.int64())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        if "lang" not in group.column_names or group.num_rows == 0:
+            return pa.table(EMPTY)
+        lens = group.column("len").to_numpy(zero_copy_only=False)
+        cnts = group.column("cnt").to_numpy(zero_copy_only=False)
+        ulen, ucnt = group_sum(lens, cnts)  # ascending lens
+        cum = np.cumsum(ucnt)
+        n = int(cum[-1])
+        med = int(ulen[np.searchsorted(2 * cum, n)])
+        p90 = int(ulen[np.searchsorted(10 * cum, 9 * n)])
+        return pa.table({"lang": group.column("lang").slice(0, 1),
+                         "n_docs": pa.array([n], pa.int64()),
+                         "median_len": pa.array([med], pa.int64()),
+                         "p90_len": pa.array([p90], pa.int64())})
+
+    out = (_regroup(docs.map_batches(partial, batch_format="pyarrow"),
+                    0.125)
+           .groupby("lang")
+           .map_groups(fold, batch_format="pyarrow"))
+    return _schema_finalize(out, {
+        "lang": pa.string(), "n_docs": pa.int64(),
+        "median_len": pa.int64(), "p90_len": pa.int64()})
+
+
+SQL_LANG_LEN_QUANTILES = r"""
+SELECT lang, count(*)::BIGINT AS n_docs,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)::BIGINT
+         AS median_len,
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)::BIGINT
+         AS p90_len
+FROM documents
+WHERE lang IS NOT NULL
+GROUP BY lang
+"""
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed k-means (3 Lloyd assignment passes, 2 centroid
+    updates) — the embedding-clustering step of corpus curation
+    (cluster-balanced sampling, semantic dedup pre-bucketing). Scale
+    shape: centroids are the ONLY shared state — (k x dim) ints
+    broadcast once per round via ``ray.put``; each batch computes its
+    assignment locally and collapses to a (k x dim) partial sum +
+    k counts, so the driver folds k*blocks bounded rows per round and
+    the vectors themselves never shuffle (the pagerank/bpe_merges
+    iterative pattern, but with NO exchange at all). Exactness:
+    vectors are int-quantized (floor(f64*1e6)) before any arithmetic,
+    distances are integer sums (|xq|<=1e6 -> dist <= dim*4e12, far
+    inside int64; per-dim partial sums stay exact up to ~9e12 rows),
+    argmin ties break toward the smallest cluster id, and the centroid
+    update is TRUNCATING division (sign*(|s|//n)) to match DuckDB
+    ``//``. Init = the k vectors with the smallest vec_ids (bounded
+    per-block min-k partials). The DuckDB twin replays the identical
+    rounds as chained CTEs."""
+    from mapchete_xarray_ray.stages.ann import _embedding_matrix
+
+    K, ROUNDS = 8, 3
+    emb = _read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
+
+    def _quant(batch: pa.Table) -> np.ndarray:
+        return np.floor(_embedding_matrix(batch, "embedding")
+                        * 1e6).astype(np.int64)
+
+    def init_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "xq": pa.array([], pa.list_(pa.int64()))})
+        if "vec_id" not in batch.column_names or batch.num_rows == 0:
+            return empty
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)[:K]
+        xq = _quant(batch)[order]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "xq": pa.array(list(xq), pa.list_(pa.int64()))})
+
+    part = collect_table(emb.map_batches(init_partial,
+                                         batch_format="pyarrow"))
+    ids = part.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)[:K]
+    cent = np.array(part.column("xq").to_pylist(),
+                    dtype=np.int64)[order]  # (K, dim), ascending vec_id
+
+    def round_partial(ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            empty = pa.table({"cl": pa.array([], pa.int64()),
+                              "cnt": pa.array([], pa.int64()),
+                              "sums": pa.array([], pa.list_(pa.int64()))})
+            if "vec_id" not in batch.column_names or batch.num_rows == 0:
+                return empty
+            c = ray.get(ref)
+            x = _quant(batch)
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)  # first min == smallest cluster id
+            sums = np.zeros((K, x.shape[1]), np.int64)
+            np.add.at(sums, a, x)
+            return pa.table({
+                "cl": pa.array(np.arange(K, dtype=np.int64)),
+                "cnt": pa.array(np.bincount(a, minlength=K)
+                                .astype(np.int64)),
+                "sums": pa.array(list(sums), pa.list_(pa.int64()))})
+        return fn
+
+    for _ in range(ROUNDS - 1):
+        ref = ray.put(cent)
+        part = collect_table(emb.map_batches(round_partial(ref),
+                                             batch_format="pyarrow"))
+        cls = part.column("cl").to_numpy(zero_copy_only=False)
+        cnts = part.column("cnt").to_numpy(zero_copy_only=False)
+        summat = np.array(part.column("sums").to_pylist(), dtype=np.int64)
+        new = cent.copy()
+        for c in range(K):
+            m = cls == c
+            n = int(cnts[m].sum())
+            if n:  # empty cluster keeps its centroid (twin: coalesce)
+                s = summat[m].sum(axis=0)
+                new[c] = np.sign(s) * (np.abs(s) // n)  # trunc == DuckDB //
+        cent = new
+
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "cluster": pa.array([], pa.int64())})
+        if "vec_id" not in batch.column_names or batch.num_rows == 0:
+            return empty
+        c = ray.get(ref)
+        x = _quant(batch)
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64))})
+
+    return _schema_finalize(emb.map_batches(assign, batch_format="pyarrow"),
+                            {"vec_id": pa.int64(), "cluster": pa.int64()})
+
+
+def _kmeans_round_sql(prev_c: str, a: str, c: str | None) -> str:
+    """One Lloyd round as CTE text: assignment ``a`` from centroids
+    ``prev_c`` (argmin of integer squared distance, ties to the
+    smallest cluster), then updated centroids ``c`` (truncating
+    per-dim mean, empty clusters coalesce to the previous centroid)."""
+    out = f"""{a} AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM (SELECT q.vec_id, c.cl,
+                 sum((q.xq - c.cq) * (q.xq - c.cq)) AS dist
+          FROM q JOIN {prev_c} c USING (d) GROUP BY q.vec_id, c.cl)
+  ) WHERE rn = 1
+)"""
+    if c is not None:
+        out += f""", {c} AS (
+  SELECT p.cl, p.d, coalesce((s.sq // s.cnt)::BIGINT, p.cq) AS cq
+  FROM {prev_c} p LEFT JOIN (
+    SELECT a.cl, q.d, sum(q.xq) AS sq, count(*) AS cnt
+    FROM {a} a JOIN q USING (vec_id) GROUP BY a.cl, q.d
+  ) s ON s.cl = p.cl AND s.d = p.d
+)"""
+    return out
+
+
+SQL_KMEANS = f"""
+WITH q AS (
+  SELECT vec_id, d, floor(e * 1e6)::BIGINT AS xq
+  FROM (SELECT vec_id, unnest(range(64)) AS d,
+               unnest(embedding::DOUBLE[]) AS e FROM embeddings)
+), init AS (
+  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cl
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), c0 AS (
+  SELECT i.cl, q.d, q.xq AS cq FROM init i JOIN q USING (vec_id)
+), {_kmeans_round_sql('c0', 'a1', 'c1')},
+{_kmeans_round_sql('c1', 'a2', 'c2')},
+{_kmeans_round_sql('c2', 'a3', None)}
+SELECT vec_id, cl AS cluster FROM a3
 """
 
 
@@ -6298,6 +6588,9 @@ REGISTRY: dict[str, tuple] = {
     "export_roundtrip": (q_export_roundtrip, _curation_sql(with_text=True)),
     "pyramid_chain": (q_pyramid_chain, SQL_PYRAMID_CHAIN),
     "dup_chunks": (q_dup_chunks, SQL_DUP_CHUNKS),
+    "props_rollup": (q_props_rollup, SQL_PROPS_ROLLUP),
+    "lang_len_quantiles": (q_lang_len_quantiles, SQL_LANG_LEN_QUANTILES),
+    "kmeans": (q_kmeans, SQL_KMEANS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "top_terms_df": (q_top_terms_df, SQL_TOP_TERMS_DF),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),

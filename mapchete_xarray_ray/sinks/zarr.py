@@ -71,14 +71,33 @@ def _fs(path: str):
 
 
 def _put_bytes(path: str, data: bytes) -> None:
-    """Atomic write. Local: temp file + os.replace. Remote (any
-    fsspec URL — s3://, memory://, ...): a single object PUT, which is
-    object-level atomic on real object stores."""
+    """Atomic write — readers must NEVER see a torn object. Ray Data
+    re-executes lazy plans for schema/limit probes and CANCELS the
+    in-flight tasks once the probe is satisfied; a writer stage killed
+    mid-write through a plain ``fs.open(path, "wb")`` leaves an
+    empty/truncated chunk in place of a good one (observed: zlib
+    "truncated stream" / lineage JSONDecodeError on the file:// seam).
+    Local: temp file + os.replace. Remote (any fsspec URL): write a
+    ``.tmp-`` sibling then server-side move — on real object stores a
+    single PUT is already object-atomic, but fsspec's file:// (and
+    s3 multipart) is not, so the rename keeps the invariant uniform.
+    Stale ``.tmp-`` leftovers from killed tasks are ignored by
+    ``_listdir``."""
     if _is_remote(path):
         fs = _fs(path)
         fs.makedirs(path.rsplit("/", 1)[0], exist_ok=True)
-        with fs.open(path, "wb") as f:
-            f.write(data)
+        tmp = f"{path}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
+        try:
+            with fs.open(tmp, "wb") as f:
+                f.write(data)
+            fs.mv(tmp, path)
+        except BaseException:
+            try:
+                if fs.exists(tmp):
+                    fs.rm(tmp)
+            except OSError:
+                pass
+            raise
         return
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
@@ -112,15 +131,21 @@ def _exists(path: str) -> bool:
 
 
 def _listdir(path: str) -> list[str]:
-    """Base names under a directory/prefix; [] if absent."""
+    """Base names under a directory/prefix; [] if absent. ``.tmp-``
+    in-flight/stale atomic-write siblings (see _put_bytes) are never
+    part of the archive and are filtered here so metadata/lineage
+    consumers don't try to parse them."""
     if _is_remote(path):
         fs = _fs(path)
         if not fs.exists(path):
             return []
-        return [p.rstrip("/").rsplit("/", 1)[-1] for p in fs.ls(path, detail=False)]
-    if not os.path.isdir(path):
+        names = [p.rstrip("/").rsplit("/", 1)[-1]
+                 for p in fs.ls(path, detail=False)]
+    elif not os.path.isdir(path):
         return []
-    return os.listdir(path)
+    else:
+        names = os.listdir(path)
+    return [n for n in names if ".tmp-" not in n]
 
 
 def _makedirs(path: str) -> None:

@@ -21,6 +21,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from mapchete_xarray_ray.collect import arrow_block_refs
+
 from mapchete_xarray_ray.scale import nblocks_for_cluster
 
 _HP_SEED = 0x5EED
@@ -239,8 +241,8 @@ def kmeans_refine_distributed(corpus: "ray.data.Dataset",
                 "n": pa.array(counts.astype(np.int64)),
             })
 
-        tabs = [t for t in (ray.get(r) for r in corpus.map_batches(
-            partial, batch_format="pyarrow").to_arrow_refs())
+        tabs = [t for t in (ray.get(r) for r in arrow_block_refs(
+            corpus.map_batches(partial, batch_format="pyarrow")))
             if t.num_columns > 0]
         if not tabs:
             return cent
@@ -381,7 +383,8 @@ def ann_ivf_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
     # execution early-stops the read, so the corpus is scanned ~once:
     # a truncated head pass here + one full assignment pass below
     sample = pa.concat_tables([
-        t for t in (ray.get(r) for r in corpus.limit(sample_limit).to_arrow_refs())
+        t for t in (ray.get(r) for r in arrow_block_refs(
+            corpus.limit(sample_limit)))
         if t.num_columns > 0])
     mat = _embedding_matrix(sample, "embedding")
     cent = kmeans_centroids(mat, n_clusters)
@@ -666,15 +669,14 @@ def ann_pq_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
     are asserted in tests/test_ann.py."""
     sample = pa.concat_tables([
         t for t in (ray.get(r)
-                    for r in corpus.limit(sample_limit).to_arrow_refs())
+                    for r in arrow_block_refs(corpus.limit(sample_limit)))
         if t.num_columns > 0])
     mat = normalize_rows(_embedding_matrix(sample, "embedding"))
     books_ref = ray.put(pq_train(mat, m_sub, n_codes))
 
     enc = pa.concat_tables([
-        t for t in (ray.get(r) for r in corpus.map_batches(
-            pq_encode_stage(books_ref), batch_format="pyarrow")
-            .to_arrow_refs())
+        t for t in (ray.get(r) for r in arrow_block_refs(corpus.map_batches(
+            pq_encode_stage(books_ref), batch_format="pyarrow")))
         if t.num_columns > 0])
     c_ids = enc.column("vec_id").to_numpy(zero_copy_only=False)
     c_codes = _pq_unpack(
@@ -731,8 +733,8 @@ def hash_init_vectors(corpus: "ray.data.Dataset", n: int,
             "eq": pa.array(list(mq), pa.list_(pa.int64())),
         })
 
-    parts = [t for t in (ray.get(r) for r in corpus.map_batches(
-        partial, batch_format="pyarrow").to_arrow_refs())
+    parts = [t for t in (ray.get(r) for r in arrow_block_refs(
+        corpus.map_batches(partial, batch_format="pyarrow")))
         if t.num_columns > 0 and t.num_rows > 0]
     if not parts:
         return np.empty((0, 0), dtype=np.int64)
@@ -800,8 +802,8 @@ def ivf_train_int(corpus: "ray.data.Dataset", n_clusters: int = 16,
                 "n": pa.array(counts.astype(np.int64)),
             })
 
-        tabs = [t for t in (ray.get(r) for r in corpus.map_batches(
-            partial, batch_format="pyarrow").to_arrow_refs())
+        tabs = [t for t in (ray.get(r) for r in arrow_block_refs(
+            corpus.map_batches(partial, batch_format="pyarrow")))
             if t.num_columns > 0 and t.num_rows > 0]
         if not tabs:
             return cent
@@ -937,8 +939,8 @@ def pq_train_int(corpus: "ray.data.Dataset", dim: int, m_sub: int = 8,
                 "n": pa.array(np.concatenate(out_n)),
             })
 
-        tabs = [t for t in (ray.get(r) for r in corpus.map_batches(
-            partial, batch_format="pyarrow").to_arrow_refs())
+        tabs = [t for t in (ray.get(r) for r in arrow_block_refs(
+            corpus.map_batches(partial, batch_format="pyarrow")))
             if t.num_columns > 0 and t.num_rows > 0]
         if not tabs:
             return books
@@ -1060,8 +1062,8 @@ def ann_pq_int_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
         })
 
     enc = pa.concat_tables([
-        t for t in (ray.get(r) for r in corpus.map_batches(
-            encode, batch_format="pyarrow").to_arrow_refs())
+        t for t in (ray.get(r) for r in arrow_block_refs(corpus.map_batches(
+            encode, batch_format="pyarrow")))
         if t.num_columns > 0 and t.num_rows > 0])
     c_ids = enc.column("vec_id").to_numpy(zero_copy_only=False)
     ccol = enc.column("code")

@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from mapchete_xarray_ray.collect import arrow_block_refs
+
 from mapchete_xarray_ray.functions.geocode import stable_hash64
 from mapchete_xarray_ray.nputil import sorted_lookup
 
@@ -917,7 +919,7 @@ def connected_components_ds(pairs: "ray.data.Dataset", max_rounds: int = 50,
     edges = (pairs.map_batches(edge_rows, batch_format="pyarrow")
              .materialize())
     if small_cutoff and edges.count() <= small_cutoff:
-        tabs = [ray.get(r) for r in edges.to_arrow_refs()]
+        tabs = [ray.get(r) for r in arrow_block_refs(edges)]
         tabs = [t for t in tabs if t.num_columns > 0 and t.num_rows > 0]
         if not tabs:
             return ray.data.from_arrow(pa.table(

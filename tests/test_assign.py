@@ -4,6 +4,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from mapchete_xarray_ray.collect import arrow_block_refs
+
 from mapchete_xarray_ray.fixtures import DEFAULT_BOUNDS, DEFAULT_ZOOM, make_pages
 from mapchete_xarray_ray.oracle import oracle_tile_assign
 from mapchete_xarray_ray.stages.assign import assign_doc_ids_fn, assign_pages_fn
@@ -19,7 +21,7 @@ def test_assign_pages_matches_oracle():
         assign_pages_fn(DEFAULT_BOUNDS, DEFAULT_ZOOM),
         batch_format="pyarrow",
     )
-    got = ds.to_arrow_refs()
+    got = arrow_block_refs(ds)
     got = pa.concat_tables([ray.get(r) for r in got]).select(
         ["url", "tile_row", "tile_col", "tile_id", "cell_id"]
     )

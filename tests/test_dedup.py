@@ -4,6 +4,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from mapchete_xarray_ray.collect import arrow_block_refs
+
 from mapchete_xarray_ray.stages.dedup import (
     candidate_pairs_from_bands,
     hamming64,
@@ -16,7 +18,7 @@ from mapchete_xarray_ray.stages.dedup import (
 
 
 def _collect(ds) -> pa.Table:
-    tabs = [ray.get(r) for r in ds.to_arrow_refs()]
+    tabs = [ray.get(r) for r in arrow_block_refs(ds)]
     tabs = [t for t in tabs if t.num_columns > 0]
     return pa.concat_tables(tabs) if tabs else pa.table({})
 

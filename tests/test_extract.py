@@ -2,6 +2,7 @@
 
 from mapchete_xarray_ray.fixtures import make_pages
 from mapchete_xarray_ray.functions.extract import extract_text
+from mapchete_xarray_ray.collect import arrow_block_refs
 
 
 def test_basic_extraction():
@@ -67,7 +68,7 @@ def test_distributed_extraction_byte_identical_per_url():
           .random_shuffle(seed=7)
           .repartition(13)
           .map_batches(extract_stage, batch_format="pyarrow"))
-    tabs = [t for t in (ray.get(r) for r in ds.to_arrow_refs())
+    tabs = [t for t in (ray.get(r) for r in arrow_block_refs(ds))
             if t.num_columns > 0]
     got = pa.concat_tables(tabs)
     for url, text in zip(got.column("url").to_pylist(),

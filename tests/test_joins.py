@@ -4,6 +4,7 @@ general polygons (convex, concave, shared edges) and float-space kNN."""
 import numpy as np
 import pyarrow as pa
 import ray
+from mapchete_xarray_ray.collect import arrow_block_refs
 
 from mapchete_xarray_ray.fixtures import (
     DEFAULT_BOUNDS,
@@ -19,7 +20,7 @@ from mapchete_xarray_ray.stages.knn import knn_pipeline
 
 
 def _collect(ds) -> pa.Table:
-    tabs = [ray.get(r) for r in ds.to_arrow_refs()]
+    tabs = [ray.get(r) for r in arrow_block_refs(ds)]
     tabs = [t for t in tabs if t.num_columns > 0]
     return pa.concat_tables(tabs)
 

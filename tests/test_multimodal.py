@@ -5,6 +5,7 @@ import numpy as np
 import pyarrow as pa
 import pytest
 import ray
+from mapchete_xarray_ray.collect import arrow_block_refs
 
 from mapchete_xarray_ray.stages.multimodal import (
     IMAGE_FEATURE_DIM,
@@ -31,7 +32,7 @@ def test_image_decode_schema_and_determinism():
         batch_size=8,          # wide binary rows -> small batches
         concurrency=2,
     )
-    out = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    out = pa.concat_tables([ray.get(r) for r in arrow_block_refs(ds)])
     assert out.num_rows == 20
     assert out.schema.field("feature").type == pa.list_(pa.float64(), IMAGE_FEATURE_DIM)
     # deterministic: same payload -> same feature regardless of batching

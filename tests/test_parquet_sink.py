@@ -6,6 +6,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import ray
+from mapchete_xarray_ray.collect import arrow_block_refs
 
 from mapchete_xarray_ray.sinks.parquet import (
     completed_partitions,
@@ -34,7 +35,7 @@ def test_write_read_roundtrip_partitioned(tmp_path):
     # hive layout, one dir per partition, marker written
     assert os.path.exists(os.path.join(out, "lang=en", "_SUCCESS"))
     back = pa.concat_tables([
-        ray.get(r) for r in read_partitioned(out).to_arrow_refs()])
+        ray.get(r) for r in arrow_block_refs(read_partitioned(out))])
     got = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
     want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert got[["doc_id", "lang", "val"]].equals(want)
@@ -71,7 +72,7 @@ def test_curation_to_partitioned_parquet(tmp_path, sf_dir):
     summary = write_partitioned(cur, out, "lang_pred", mode="overwrite")
     n = sum(summary.column("n_rows").to_pylist())
     back = pa.concat_tables([
-        ray.get(r) for r in read_partitioned(out).to_arrow_refs()])
+        ray.get(r) for r in arrow_block_refs(read_partitioned(out))])
     assert back.num_rows == n > 0
     assert set(back.column("lang_pred").to_pylist()) <= {"de", "en", "es", "fr"}
 
@@ -87,7 +88,7 @@ def test_overwrite_clears_stale_partitions(tmp_path):
     write_partitioned(smaller, out, "lang", mode="overwrite")
     assert completed_partitions(out, "lang") == {"en", "de", "fr", "es"}
     back = pa.concat_tables([
-        ray.get(r) for r in read_partitioned(out).to_arrow_refs()])
+        ray.get(r) for r in arrow_block_refs(read_partitioned(out))])
     assert "zh" not in set(back.column("lang").to_pylist())
 
 
@@ -116,7 +117,7 @@ def test_export_keeps_text(tmp_path, sf_dir):
     out = str(tmp_path / "corpus")
     write_partitioned(cur, out, "lang_pred", mode="overwrite")
     back = pa.concat_tables([
-        ray.get(r) for r in read_partitioned(out).to_arrow_refs()])
+        ray.get(r) for r in arrow_block_refs(read_partitioned(out))])
     assert "text" in back.column_names and back.num_rows > 0
     assert min(len(t) for t in back.column("text").to_pylist()) >= 100
 
@@ -152,5 +153,5 @@ def test_partition_values_are_path_escaped(tmp_path):
                               mode="continue")
     assert again.num_rows == 0
     back = pa.concat_tables([
-        ray.get(r) for r in read_partitioned(out).to_arrow_refs()])
+        ray.get(r) for r in arrow_block_refs(read_partitioned(out))])
     assert sorted(back.column("val").to_pylist()) == list(range(8))

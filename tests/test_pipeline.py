@@ -5,6 +5,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import ray
+from mapchete_xarray_ray.collect import arrow_block_refs
 
 from mapchete_xarray_ray.fixtures import DEFAULT_BOUNDS, DEFAULT_ZOOM, make_pages
 from mapchete_xarray_ray.grid import pack_tile_id
@@ -15,7 +16,7 @@ from mapchete_xarray_ray.state.lineage import completed_tiles, read_records
 
 
 def _collect(ds) -> pa.Table:
-    tabs = [ray.get(r) for r in ds.to_arrow_refs()]
+    tabs = [ray.get(r) for r in arrow_block_refs(ds)]
     nonempty = [t for t in tabs if t.num_columns > 0]
     if not nonempty:
         return pa.table({"tile_id": pa.array([], pa.int64())})

@@ -6,6 +6,7 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 import ray
+from mapchete_xarray_ray.collect import arrow_block_refs
 
 from mapchete_xarray_ray.pipelines.queries import REGISTRY
 
@@ -24,7 +25,7 @@ def _duck(sf_dir):
 
 def _to_pandas(res) -> pd.DataFrame:
     if isinstance(res, ray.data.Dataset):
-        res = pa.concat_tables([ray.get(r) for r in res.to_arrow_refs()])
+        res = pa.concat_tables([ray.get(r) for r in arrow_block_refs(res)])
     if isinstance(res, pa.Table):
         res = res.to_pandas()
     return res

@@ -4,6 +4,7 @@ to the straight pipeline, while splitting hot tiles across tasks."""
 import numpy as np
 import pyarrow as pa
 import ray
+from mapchete_xarray_ray.collect import arrow_block_refs
 
 from mapchete_xarray_ray.fixtures import make_pages
 from mapchete_xarray_ray.pipelines.flagship import (
@@ -16,7 +17,7 @@ from mapchete_xarray_ray.state.lineage import read_records
 
 
 def _collect(ds) -> pa.Table:
-    tabs = [t for t in (ray.get(r) for r in ds.to_arrow_refs())
+    tabs = [t for t in (ray.get(r) for r in arrow_block_refs(ds))
             if t.num_columns > 0]
     return pa.concat_tables(tabs) if tabs else pa.table({})
 

@@ -4,6 +4,7 @@ Dataset execution (continuous-ingest dedup)."""
 import numpy as np
 import pyarrow as pa
 import ray
+from mapchete_xarray_ray.collect import arrow_block_refs
 
 from mapchete_xarray_ray.stages.streaming import (
     dedup_across_passes,
@@ -12,7 +13,7 @@ from mapchete_xarray_ray.stages.streaming import (
 
 
 def _collect(ds):
-    tabs = [t for t in (ray.get(r) for r in ds.to_arrow_refs())
+    tabs = [t for t in (ray.get(r) for r in arrow_block_refs(ds))
             if t.num_columns > 0]
     return pa.concat_tables(tabs) if tabs else pa.table({})
 

@@ -4,6 +4,7 @@ import numpy as np
 import pyarrow as pa
 import pytest
 import ray
+from mapchete_xarray_ray.collect import arrow_block_refs
 
 from mapchete_xarray_ray.fixtures import make_pages
 from mapchete_xarray_ray.pipelines.flagship import default_spec, run_pipeline
@@ -18,7 +19,7 @@ from mapchete_xarray_ray.sources.zarr_input import (
 
 
 def _collect(ds) -> pa.Table:
-    return pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    return pa.concat_tables([ray.get(r) for r in arrow_block_refs(ds)])
 
 
 @pytest.fixture(scope="module")

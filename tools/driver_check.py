@@ -17,13 +17,16 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+sys.path.insert(0, "/root/repo")  # script lives in tools/
+from mapchete_xarray_ray.collect import arrow_block_refs  # noqa: E402
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def to_pandas(res):
     if isinstance(res, ray.data.Dataset):
-        tabs = [t for t in (ray.get(r) for r in res.to_arrow_refs())
+        tabs = [t for t in (ray.get(r) for r in arrow_block_refs(res))
                 if t.num_columns > 0]
         res = pa.concat_tables(tabs) if tabs else pa.table({})
     if isinstance(res, pa.Table):
