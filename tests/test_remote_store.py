@@ -74,6 +74,51 @@ def test_lineage_on_memory_fs():
     _rmtree(path)
 
 
+@pytest.mark.parametrize("path", [
+    "memory://remote_torn.zarr",
+    "file:///tmp/mxr_remote_torn.zarr",
+])
+def test_stale_tmp_siblings_are_invisible(path):
+    """Atomic-write contract on the fsspec seam: _put_bytes stages into
+    a ``.tmp-`` sibling and renames, so (a) a successful write leaves no
+    ``.tmp-`` garbage, and (b) garbage left by a task KILLED mid-write
+    (Ray probe cancellation, preemption, OOM) is ignored by every
+    archive consumer — _listdir, existing_tiles, lineage — instead of
+    being parsed as a torn chunk/JSON."""
+    from mapchete_xarray_ray.sinks.zarr import _fs, _listdir, _put_bytes
+
+    _rmtree(path)
+    spec = default_spec(path, dtype="uint16")
+    store = ZarrTileStore(spec)
+    store.prepare()
+    store.write_tile(1, 2, np.ones((3, 256, 256), dtype=np.uint16))
+    fs = _fs(path)
+    band_dir = f"{path}/count"
+    # (a) no .tmp- residue after clean writes anywhere in the archive
+    assert not [p for p in fs.find(path) if ".tmp-" in p]
+    # (b) plant kill-mid-write garbage next to good objects (fsspec
+    # filesystems strip the scheme on entry, so full URLs are fine)
+    with fs.open(f"{band_dir}/0.2.1.tmp-999-dead", "wb") as f:
+        f.write(b"\x00trunc")
+    with fs.open(f"{path}/.zmetadata.tmp-999-dead", "wb") as f:
+        f.write(b"{ tor")
+    assert not [n for n in _listdir(band_dir) if ".tmp-" in n]
+    assert store.existing_tiles() == {(1, 2)}
+    np.testing.assert_array_equal(
+        store.read_tile(1, 2),
+        np.ones((3, 256, 256), dtype=np.uint16))
+    # metadata consumers still parse the archive (torn .zmetadata
+    # sibling is never read)
+    assert spec_from_archive(path).dtype == "uint16"
+    # a failed rename never leaves the target torn: _put_bytes onto an
+    # existing object either fully replaces it or leaves the old bytes
+    _put_bytes(f"{path}/probe.json", b'{"v": 1}')
+    _put_bytes(f"{path}/probe.json", b'{"v": 2}')
+    with fs.open(f"{path}/probe.json", "rb") as f:
+        assert f.read() == b'{"v": 2}'
+    _rmtree(path)
+
+
 def test_flagship_e2e_on_file_uri():
     """Distributed write through the fsspec seam: unlike memory://
     (per-process), file:// is shared across Ray workers, so the whole
