@@ -5529,6 +5529,94 @@ SELECT vec_id, cl AS cluster FROM a3
 """
 
 
+def q_focal_density(sf_dir: str):
+    """Focal (3x3 neighborhood) aggregation over the tile grid — the
+    halo-exchange primitive behind focal means / convolution pyramids
+    (mapchete processes neighbouring-tile context via pixelbuffer
+    reads; the zarr driver forbids a WRITE pixelbuffer,
+    reference _output.py:42-45, so the neighbourhood op is expressed on
+    the tile-count grid instead of the pixel grid). Scale shape:
+    REPLICATE-AND-REDUCE — each batch collapses to per-tile count
+    partials, every partial is scattered to its <=9 neighbour
+    coordinates (a 9x fan-out of TINY aggregated rows, never of
+    documents), and ONE groupby folds both the focal sum and the
+    tile's own count (``self_n``, nonzero only for the (0,0) offset) so
+    no second pass / join is needed to restrict output to tiles that
+    actually exist. This is exactly how a halo exchange should look on
+    Ray Data: the shuffle moves O(occupied tiles x 9) rows, not pixels,
+    and empty neighbourhood slots never materialize."""
+    nrows, ncols = 1 << ZOOM, 2 << ZOOM  # geodetic z5: 32 x 64
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"rc": pa.array([], pa.int64()),
+                          "contrib": pa.array([], pa.int64()),
+                          "self_n": pa.array([], pa.int64())})
+        if "doc_id" not in batch.column_names or batch.num_rows == 0:
+            return empty
+        batch = assign_doc_ids_fn(ZOOM)(batch)
+        g = batch.group_by(["tile_row", "tile_col"]).aggregate(
+            [([], "count_all")])
+        r = g.column("tile_row").to_numpy(zero_copy_only=False)
+        c = g.column("tile_col").to_numpy(zero_copy_only=False)
+        n = g.column("count_all").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        rcs, contribs, selfs = [], [], []
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                nr, nc = r + dr, c + dc
+                keep = ((nr >= 0) & (nr < nrows)
+                        & (nc >= 0) & (nc < ncols))
+                rcs.append((nr[keep] << 29) | nc[keep])
+                contribs.append(n[keep])
+                selfs.append(n[keep] if dr == dc == 0
+                             else np.zeros(keep.sum(), np.int64))
+        return pa.table({"rc": pa.array(np.concatenate(rcs)),
+                         "contrib": pa.array(np.concatenate(contribs)),
+                         "self_n": pa.array(np.concatenate(selfs))})
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "rc" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"tile_row": pa.array([], pa.int64()),
+                             "tile_col": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "focal_docs": pa.array([], pa.int64())})
+        batch = batch.filter(pc.greater(batch.column("self_n"), 0))
+        rc = batch.column("rc").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tile_row": pa.array(rc >> 29),
+            "tile_col": pa.array(rc & ((1 << 29) - 1)),
+            "n_docs": batch.column("self_n").cast(pa.int64()),
+            "focal_docs": batch.column("contrib").cast(pa.int64())})
+
+    out = (_regroup(_docs(sf_dir, ["doc_id"])
+                    .map_batches(scatter, batch_format="pyarrow"), 0.125)
+           .groupby("rc").sum(["contrib", "self_n"])
+           .rename_columns({"sum(contrib)": "contrib",
+                            "sum(self_n)": "self_n"})
+           .map_batches(finalize, batch_format="pyarrow"))
+    return _schema_finalize(out, {
+        "tile_row": pa.int64(), "tile_col": pa.int64(),
+        "n_docs": pa.int64(), "focal_docs": pa.int64()})
+
+
+SQL_FOCAL_DENSITY = """
+WITH cells AS (
+  SELECT ((doc_id * 40503) % 8192) // 256 AS r,
+         ((doc_id * 2654435761) % 16384) // 256 AS c,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY r, c
+)
+SELECT a.r::BIGINT AS tile_row, a.c::BIGINT AS tile_col,
+       a.n::BIGINT AS n_docs, sum(b.n)::BIGINT AS focal_docs
+FROM cells a JOIN cells b
+  ON b.r BETWEEN a.r - 1 AND a.r + 1
+ AND b.c BETWEEN a.c - 1 AND a.c + 1
+GROUP BY a.r, a.c, a.n
+"""
+
+
 def q_seq_pack(sf_dir: str):
     """Sequence packing — the pre-training batching step: concatenate
     every document's tokens in doc_id order into one global token
@@ -6591,6 +6679,7 @@ REGISTRY: dict[str, tuple] = {
     "props_rollup": (q_props_rollup, SQL_PROPS_ROLLUP),
     "lang_len_quantiles": (q_lang_len_quantiles, SQL_LANG_LEN_QUANTILES),
     "kmeans": (q_kmeans, SQL_KMEANS),
+    "focal_density": (q_focal_density, SQL_FOCAL_DENSITY),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "top_terms_df": (q_top_terms_df, SQL_TOP_TERMS_DF),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
