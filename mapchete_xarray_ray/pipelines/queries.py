@@ -5617,6 +5617,133 @@ GROUP BY a.r, a.c, a.n
 """
 
 
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics (A4-family raster<->vector): per-REGION count +
+    char sum of the documents inside it. Zonal semantics differ from
+    the PIP join: a point in several overlapping regions is counted by
+    EVERY one (admin hierarchies overlap), so this is not a
+    post-aggregation of ``pip_join``'s lowest-id assignment. Scale
+    shape: the polygon side broadcasts once per actor
+    (``ZonalStats.__init__`` builds the edge arrays, ST3), each batch
+    collapses to <=|regions| partial rows, and one tiny groupby folds
+    them — the exchange moves O(regions x blocks) rows, never points.
+    The BETWEEN twin is exact because the fixture rings are integer
+    axis-aligned rectangles and PIPJoiner counts edges as inside."""
+    from mapchete_xarray_ray.stages.join import ZonalStats
+
+    regions = _pip_regions()
+    ds = (_docs(sf_dir, ["doc_id", "n_chars"])
+          .map_batches(assign_doc_ids_fn(ZOOM), batch_format="pyarrow")
+          .map_batches(
+              ZonalStats,
+              fn_constructor_kwargs=dict(regions=regions, x_col="px",
+                                         y_col="py",
+                                         value_cols=("n_chars",)),
+              batch_format="pyarrow",
+              concurrency=2))
+    out = (_regroup(ds, 0.125)
+           .groupby("region_id").sum(["n_pts", "sum_n_chars"])
+           .rename_columns({"sum(n_pts)": "n_docs",
+                            "sum(sum_n_chars)": "sum_chars"}))
+    return _schema_finalize(out, {"region_id": pa.int64(),
+                                  "n_docs": pa.int64(),
+                                  "sum_chars": pa.int64()})
+
+
+SQL_ZONAL_STATS = """
+WITH pts AS (
+  SELECT n_chars,
+         (doc_id * 2654435761) % 16384 AS px,
+         (doc_id * 40503) % 8192 AS py
+  FROM documents
+), regions(region_id, minx, miny, maxx, maxy) AS (
+  VALUES (0, 1000, 1000, 5000, 4000),
+         (1, 4000, 3000, 9000, 6000),
+         (2, 9000, 3000, 12000, 6000),
+         (3, 13000, 500, 16000, 7500)
+)
+SELECT region_id::BIGINT AS region_id, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM pts JOIN regions
+  ON px BETWEEN minx AND maxx AND py BETWEEN miny AND maxy
+GROUP BY region_id
+"""
+
+
+def q_grouping_cube(sf_dir: str):
+    """Every GROUPING SETS level — ((lang,source),(lang),(source),())
+    — computed in ONE exchange: each batch collapses to (lang,source)
+    partials once, the partials are scattered to all four grouping
+    levels with '(all)' sentinels for the rolled-up dimension (the
+    focal_density replicate-and-reduce shape — a 4x fan-out of tiny
+    aggregated rows, never of documents), and a single groupby folds
+    everything. A naive plan is 4 separate scans + 4 shuffles; this is
+    1 scan + 1 shuffle of O(|lang x source| x blocks x 4) rows. NULL
+    langs are mapped to '(null)' BEFORE aggregation on both sides so
+    data-nulls can't collide with rollup sentinels. ``level`` is the
+    GROUPING_ID-style marker (0 = finest, 3 = grand total)."""
+    docs = _docs(sf_dir, ["lang", "source", "n_chars"])
+
+    SCHEMA = {"lang": pa.string(), "source": pa.string(),
+              "level": pa.int64(), "n_docs": pa.int64(),
+              "sum_chars": pa.int64()}
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "lang" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({n: pa.array([], t) for n, t in SCHEMA.items()})
+        g = (pa.table({
+                "lang": pc.coalesce(batch.column("lang"),
+                                    pa.scalar("(null)")),
+                "source": pc.coalesce(batch.column("source"),
+                                      pa.scalar("(null)")),
+                "n_chars": batch.column("n_chars").cast(pa.int64())})
+             .group_by(["lang", "source"])
+             .aggregate([([], "count_all"), ("n_chars", "sum")]))
+        lang = g.column("lang")
+        src = g.column("source")
+        n = g.column("count_all").cast(pa.int64())
+        s = g.column("n_chars_sum").cast(pa.int64())
+        allv = pa.array(["(all)"] * g.num_rows, pa.string())
+        parts = []
+        for lvl, (lcol, scol) in enumerate(
+                [(lang, src), (lang, allv), (allv, src), (allv, allv)]):
+            parts.append(pa.table({
+                "lang": lcol, "source": scol,
+                "level": pa.array([lvl] * g.num_rows, pa.int64()),
+                "n_docs": n, "sum_chars": s}))
+        return pa.concat_tables(parts)
+
+    out = (_regroup(docs.map_batches(scatter, batch_format="pyarrow"),
+                    0.125)
+           .groupby(["lang", "source", "level"])
+           .sum(["n_docs", "sum_chars"])
+           .rename_columns({"sum(n_docs)": "n_docs",
+                            "sum(sum_chars)": "sum_chars"}))
+    return _schema_finalize(out, SCHEMA)
+
+
+SQL_GROUPING_CUBE = """
+WITH d AS (
+  SELECT coalesce(lang, '(null)') AS lang,
+         coalesce(source, '(null)') AS source, n_chars
+  FROM documents
+)
+SELECT lang, source, 0::BIGINT AS level, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars FROM d GROUP BY lang, source
+UNION ALL
+SELECT lang, '(all)', 1::BIGINT, count(*)::BIGINT, sum(n_chars)::BIGINT
+FROM d GROUP BY lang
+UNION ALL
+SELECT '(all)', source, 2::BIGINT, count(*)::BIGINT, sum(n_chars)::BIGINT
+FROM d GROUP BY source
+UNION ALL
+SELECT '(all)', '(all)', 3::BIGINT, count(*)::BIGINT, sum(n_chars)::BIGINT
+FROM d
+"""
+
+
 def q_seq_pack(sf_dir: str):
     """Sequence packing — the pre-training batching step: concatenate
     every document's tokens in doc_id order into one global token
@@ -6680,6 +6807,8 @@ REGISTRY: dict[str, tuple] = {
     "lang_len_quantiles": (q_lang_len_quantiles, SQL_LANG_LEN_QUANTILES),
     "kmeans": (q_kmeans, SQL_KMEANS),
     "focal_density": (q_focal_density, SQL_FOCAL_DENSITY),
+    "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
+    "grouping_cube": (q_grouping_cube, SQL_GROUPING_CUBE),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "top_terms_df": (q_top_terms_df, SQL_TOP_TERMS_DF),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),

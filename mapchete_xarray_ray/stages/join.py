@@ -93,3 +93,53 @@ class PIPJoiner:
         if self.keep_unmatched:
             return batch
         return batch.filter(pa.array(assigned >= 0))
+
+
+class ZonalStats(PIPJoiner):
+    """map_batches actor: per-REGION aggregation of the points inside it
+    (zonal statistics, the raster<->vector A-family counterpart of the
+    PIP join). Unlike PIPJoiner (each point -> its lowest-id region),
+    zonal semantics count a point in EVERY region containing it, so
+    overlapping admin levels each see their full population.
+
+    Emits constant-size partials — one row per (region, value column)
+    per batch: ``region_id, n_pts, sum_<col>...`` — so the downstream
+    exchange moves O(regions x blocks) rows, never points. Same
+    broadcast-small-side shape as the join (ST3: edge arrays built once
+    per actor in ``__init__``).
+    """
+
+    def __init__(self, regions, x_col: str = "lon", y_col: str = "lat",
+                 value_cols: tuple[str, ...] = ()):
+        super().__init__(regions, x_col=x_col, y_col=y_col)
+        self.value_cols = tuple(value_cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        cols: dict = {"region_id": pa.array([], pa.int64()),
+                      "n_pts": pa.array([], pa.int64())}
+        for v in self.value_cols:
+            cols[f"sum_{v}"] = pa.array([], pa.int64())
+        if self.x_col not in batch.column_names or batch.num_rows == 0:
+            return pa.table(cols)
+        x = batch.column(self.x_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        y = batch.column(self.y_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        vals = {v: batch.column(v).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+            for v in self.value_cols}
+        rids, ns, sums = [], [], {v: [] for v in self.value_cols}
+        for poly in self.polys:
+            hit = self._contains(x, y, poly)
+            n = int(hit.sum())
+            if n == 0:
+                continue  # empty zones never materialize
+            rids.append(poly[0])
+            ns.append(n)
+            for v in self.value_cols:
+                sums[v].append(int(vals[v][hit].sum()))
+        out = {"region_id": pa.array(rids, pa.int64()),
+               "n_pts": pa.array(ns, pa.int64())}
+        for v in self.value_cols:
+            out[f"sum_{v}"] = pa.array(sums[v], pa.int64())
+        return pa.table(out)

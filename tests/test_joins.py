@@ -170,3 +170,45 @@ def test_customer_order_profile_left_join(sf_dir):
         k = cust.column("c_custkey")[i].as_py()
         assert rows[k] == (want_n.get(k, 0), want_t.get(k, 0)), k
     assert any(v == (0, 0) for v in rows.values()) or len(want_n) == len(rows)
+
+
+def test_zonal_stats_counts_overlaps_in_every_region():
+    """Zonal semantics vs join semantics: a point inside two
+    overlapping regions contributes to BOTH zones (PIPJoiner would
+    assign only the lowest id); per-zone sums fold exactly across
+    batches; empty zones emit nothing."""
+    from mapchete_xarray_ray.stages.join import ZonalStats
+
+    regions = [
+        (0, [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]),
+        (1, [[5, 5], [15, 5], [15, 15], [5, 15], [5, 5]]),   # overlaps 0
+        (2, [[100, 100], [110, 100], [110, 110], [100, 110], [100, 100]]),
+    ]
+    z = ZonalStats(regions, x_col="x", y_col="y", value_cols=("w",))
+    batch = pa.table({
+        "x": pa.array([1.0, 7.0, 12.0, 50.0]),
+        "y": pa.array([1.0, 7.0, 12.0, 50.0]),
+        "w": pa.array([10, 20, 40, 80]),
+    })
+    part = z(batch)
+    got = {part.column("region_id")[i].as_py():
+           (part.column("n_pts")[i].as_py(),
+            part.column("sum_w")[i].as_py())
+           for i in range(part.num_rows)}
+    # (1,1)+(7,7) in region 0; (7,7)+(12,12) in region 1 (overlap point
+    # (7,7) counted twice); region 2 empty -> absent; (50,50) nowhere
+    assert got == {0: (2, 30), 1: (2, 60)}
+    # partials fold: two half-batches sum to the whole
+    p1, p2 = z(batch.slice(0, 2)), z(batch.slice(2))
+    folded = {}
+    for p in (p1, p2):
+        for i in range(p.num_rows):
+            rid = p.column("region_id")[i].as_py()
+            n, s = folded.get(rid, (0, 0))
+            folded[rid] = (n + p.column("n_pts")[i].as_py(),
+                           s + p.column("sum_w")[i].as_py())
+    assert folded == got
+    # zero-column block (empty upstream partition) -> typed empty table
+    empty = z(pa.table({}))
+    assert empty.num_rows == 0
+    assert empty.column_names == ["region_id", "n_pts", "sum_w"]
