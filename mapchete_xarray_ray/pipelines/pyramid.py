@@ -151,18 +151,42 @@ def run_pyramid_step(in_path: str, out_path: str, how: str = "sum",
     ds = ray.data.from_arrow(items)
     # spread the tile work-list across blocks so the actor pool fills
     ds = ds.repartition(max(1, len(tiles) // 4))
-    # num_cpus=0.5: the reducers are IO-bound (chunk read/write); a full
-    # CPU per actor can starve upstream operators when the pool size
-    # equals the session's CPU count (deadlock observed at 4 actors on a
-    # 4-CPU session — the guide's actor-pool sizing pitfall).
+    # Task pool, NOT an actor pool: a pyramid chain runs one stage per
+    # level, and actor-pool spin-up dominates the coarse tail levels
+    # (observed 2.2-2.7s wall for <50ms of remote work on a 32-tile z2
+    # level; tasks on prewarmed workers run the same level in ~0.3s).
+    # The per-worker-process reducer cache (_cached_reducer_fn) keeps
+    # ST1's amortization — one store-metadata read per worker, not per
+    # batch — which is what the actor's __init__ bought. num_cpus=0.5:
+    # the reducers are IO-bound (chunk read/write); a full CPU per slot
+    # can starve upstream operators when the pool size equals the
+    # session's CPU count (deadlock observed at 4 slots on a 4-CPU
+    # session — the guide's pool-sizing pitfall).
+    del concurrency  # kept in the signature for callers; tasks autoscale
     return ds.map_batches(
-        PyramidReducer,
-        fn_constructor_kwargs=dict(in_path=in_path, out_spec=out_spec, how=how),
+        _cached_reducer_fn(in_path, out_spec, how),
         batch_format="pyarrow",
         batch_size=4,
         num_cpus=0.5,
-        concurrency=concurrency or 2,
     )
+
+
+_REDUCER_CACHE: dict = {}
+
+
+def _cached_reducer_fn(in_path: str, out_spec: JobSpec, how: str):
+    """Task-pool variant of :class:`PyramidReducer` with a per-worker-
+    process reducer cache, so repeated batches on the same worker reuse
+    the store handles (one metadata read per worker, not per batch)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        key = (in_path, out_spec.path, how)
+        red = _REDUCER_CACHE.get(key)
+        if red is None:
+            red = _REDUCER_CACHE[key] = PyramidReducer(
+                in_path=in_path, out_spec=out_spec, how=how)
+        return red(batch)
+
+    return fn
 
 
 def run_pyramid_chain(src_path: str, min_zoom: int, how: str = "sum",

@@ -4010,12 +4010,17 @@ def _write_counts_archive(sf_dir: str):
     _base, spec, spec_ref = _fresh_counts_spec("store_rt_")
     write_tile_bucket = _tile_write_bucket(spec_ref, _per_tile_counts)
 
+    # regroup at 1.0/cpu, not the aggregate default 0.25: the groupby's
+    # OUTPUT block count == its input block count, and these groups DO
+    # WORK (encode + chunk writes) — 8 blocks would cap the tile-write
+    # parallelism at a quarter of the cluster (observed: write stage
+    # 8 tasks x 290ms remote while 24 cpus idled)
     written = collect_table(
         _regroup(_docs(sf_dir, ["doc_id"])
                  .map_batches(assign_doc_ids_fn(ZOOM), batch_format="pyarrow")
                  .select_columns(["px", "py", "tile_row", "tile_col", "tile_id"])
                  .map_batches(_mod_bucket("tile_id", "tb"),
-                              batch_format="pyarrow"))
+                              batch_format="pyarrow"), 1.0)
         .groupby("tb")
         .map_groups(write_tile_bucket, batch_format="pyarrow"))
     return spec, spec_ref, written
@@ -4361,7 +4366,7 @@ def q_store_roundtrip_time(sf_dir: str):
                  .select_columns(["doc_id", "px", "py", "tile_row",
                                   "tile_col", "tile_id"])
                  .map_batches(_mod_bucket("tile_id", "tb"),
-                              batch_format="pyarrow"))
+                              batch_format="pyarrow"), 1.0)
         .groupby("tb")
         .map_groups(write_tile_bucket, batch_format="pyarrow"))
 
