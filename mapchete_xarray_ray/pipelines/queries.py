@@ -5749,6 +5749,86 @@ FROM d
 """
 
 
+def q_focal_pixels(sf_dir: str):
+    """Per-PIXEL 3x3 box sum with a real 1-pixel HALO READ from
+    neighbouring tiles — mapchete's pixelbuffer processing pattern
+    (process tiles read with a buffer; the zarr driver only forbids a
+    WRITE buffer, reference _output.py:42-45). Each task reads its
+    tile's pixel window expanded by 1 via the integer-exact
+    ``read_pixel_window`` mosaic (crossing chunk boundaries, nodata
+    fill at archive edges), box-sums the halo'd array with 9 shifted
+    adds, and emits the nonzero core pixels. Scale contract: tasks
+    read only their own 3x3 chunk neighbourhood (no shuffle at all —
+    the tile grid is the partitioning), and the halo is |border| extra
+    pixels per tile, the same O(perimeter) overhead a 256-node raster
+    pipeline pays. Exact: uint16 counts box-summed in int64."""
+    from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+    from mapchete_xarray_ray.sources.zarr_input import read_pixel_window
+
+    spec, spec_ref, written = _write_counts_archive(sf_dir)
+
+    def focal_tiles(batch: pa.Table) -> pa.Table:
+        store = ZarrTileStore(ray.get(spec_ref))
+        cp = store.chunk_px
+        H, W = store.height, store.width
+        out_x, out_y, out_n, out_f = [], [], [], []
+        rows = batch.column("tile_row").to_numpy(zero_copy_only=False)
+        cols = batch.column("tile_col").to_numpy(zero_copy_only=False)
+        for row, col in zip(rows, cols):
+            r0, c0 = int(row) * cp, int(col) * cp
+            hr0, hr1 = max(r0 - 1, 0), min(r0 + cp + 1, H)
+            hc0, hc1 = max(c0 - 1, 0), min(c0 + cp + 1, W)
+            halo = read_pixel_window(store, hr0, hr1, hc0, hc1)[0].astype(
+                np.int64)
+            # pad to a uniform cp+2 frame so edge tiles (clipped halo)
+            # box-sum identically to interior ones (outside = 0 docs)
+            frame = np.zeros((cp + 2, cp + 2), np.int64)
+            frame[hr0 - (r0 - 1):hr1 - (r0 - 1),
+                  hc0 - (c0 - 1):hc1 - (c0 - 1)] = halo
+            box = np.zeros((cp, cp), np.int64)
+            for dy in range(3):
+                for dx in range(3):
+                    box += frame[dy:dy + cp, dx:dx + cp]
+            core = frame[1:cp + 1, 1:cp + 1]
+            yy, xx = np.nonzero(core)
+            out_y.append((yy + r0).astype(np.int64))
+            out_x.append((xx + c0).astype(np.int64))
+            out_n.append(core[yy, xx])
+            out_f.append(box[yy, xx])
+        cat = (lambda p: np.concatenate(p) if p else
+               np.array([], dtype=np.int64))
+        return pa.table({"x": pa.array(cat(out_x)),
+                         "y": pa.array(cat(out_y)),
+                         "n_docs": pa.array(cat(out_n)),
+                         "focal_docs": pa.array(cat(out_f))})
+
+    work = pa.table({
+        "tile_row": written.column("tile_row").cast(pa.int64()),
+        "tile_col": written.column("tile_col").cast(pa.int64())})
+    out = (ray.data.from_arrow(work)
+           .repartition(nblocks_for_cluster(1.0, lo=4))
+           .map_batches(focal_tiles, batch_format="pyarrow"))
+    return _schema_finalize(out, {
+        "x": pa.int64(), "y": pa.int64(),
+        "n_docs": pa.int64(), "focal_docs": pa.int64()})
+
+
+SQL_FOCAL_PIXELS = """
+WITH px AS (
+  SELECT (doc_id * 2654435761) % 16384 AS x,
+         (doc_id * 40503) % 8192 AS y,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY x, y
+)
+SELECT a.x::BIGINT AS x, a.y::BIGINT AS y, a.n::BIGINT AS n_docs,
+       sum(b.n)::BIGINT AS focal_docs
+FROM px a JOIN px b
+  ON b.x BETWEEN a.x - 1 AND a.x + 1
+ AND b.y BETWEEN a.y - 1 AND a.y + 1
+GROUP BY a.x, a.y, a.n
+"""
+
+
 def q_seq_pack(sf_dir: str):
     """Sequence packing — the pre-training batching step: concatenate
     every document's tokens in doc_id order into one global token
@@ -6814,6 +6894,7 @@ REGISTRY: dict[str, tuple] = {
     "focal_density": (q_focal_density, SQL_FOCAL_DENSITY),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "grouping_cube": (q_grouping_cube, SQL_GROUPING_CUBE),
+    "focal_pixels": (q_focal_pixels, SQL_FOCAL_PIXELS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "top_terms_df": (q_top_terms_df, SQL_TOP_TERMS_DF),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),

@@ -143,10 +143,24 @@ def read_window(store: ZarrTileStore, bounds, bands=None, time_idxs=None) -> np.
     """
     spec = store.spec
     b = spec.snapped_bounds
-    bands = bands or spec.band_names
     minrow, maxrow, mincol, maxcol = bounds_to_ranges(
         bounds, b.left, b.top, store.px_x, store.px_y
     )
+    return read_pixel_window(store, minrow, maxrow, mincol, maxcol,
+                             bands=bands, time_idxs=time_idxs)
+
+
+def read_pixel_window(store: ZarrTileStore, minrow: int, maxrow: int,
+                      mincol: int, maxcol: int, bands=None,
+                      time_idxs=None) -> np.ndarray:
+    """Pixel-space mosaic read (the integer-exact core of
+    :func:`read_window`): stitch the half-open global pixel range
+    ``[minrow,maxrow) x [mincol,maxcol)`` across chunks. Pixel ranges
+    avoid the geo->pixel float snap, which matters for EXACT halo
+    windows (pixelbuffer-style reads expand a tile by N pixels, not by
+    N * a float pixel size)."""
+    spec = store.spec
+    bands = bands or spec.band_names
     h, w = maxrow - minrow, maxcol - mincol
     cp = store.chunk_px
     if store.has_time:
