@@ -4002,11 +4002,14 @@ def _fresh_counts_spec(prefix: str):
     return base, spec, spec_ref
 
 
-def _write_counts_archive(sf_dir: str):
+def _write_counts_archive(sf_dir: str, drop_mod: int | None = None):
     """Rasterize documents into a fresh per-tile count archive at ZOOM
     (the shared write half of the store/pyramid roundtrip queries).
     Returns (spec, spec_ref, written) AFTER the write barrier — only the
-    small (tile_row, tile_col) list lands on the driver."""
+    small (tile_row, tile_col) list lands on the driver.
+    ``drop_mod``: if set, docs with ``doc_id % drop_mod == 0`` are
+    excluded (a deterministic "previous corpus generation" for the
+    archive-diff query)."""
     _base, spec, spec_ref = _fresh_counts_spec("store_rt_")
     write_tile_bucket = _tile_write_bucket(spec_ref, _per_tile_counts)
 
@@ -4015,8 +4018,16 @@ def _write_counts_archive(sf_dir: str):
     # WORK (encode + chunk writes) — 8 blocks would cap the tile-write
     # parallelism at a quarter of the cluster (observed: write stage
     # 8 tasks x 290ms remote while 24 cpus idled)
+    docs = _docs(sf_dir, ["doc_id"])
+    if drop_mod is not None:
+        def keep(batch: pa.Table) -> pa.Table:
+            if "doc_id" not in batch.column_names:
+                return batch
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(d % drop_mod != 0))
+        docs = docs.map_batches(keep, batch_format="pyarrow")
     written = collect_table(
-        _regroup(_docs(sf_dir, ["doc_id"])
+        _regroup(docs
                  .map_batches(assign_doc_ids_fn(ZOOM), batch_format="pyarrow")
                  .select_columns(["px", "py", "tile_row", "tile_col", "tile_id"])
                  .map_batches(_mod_bucket("tile_id", "tb"),
@@ -5829,6 +5840,60 @@ GROUP BY a.x, a.y, a.n
 """
 
 
+def q_archive_diff(sf_dir: str):
+    """Cross-generation archive diff — the incremental-recompute
+    primitive: byte-compare every tile of the current archive (all
+    docs) against the previous generation (docs with doc_id % 7 == 0
+    missing), emitting ``changed`` per tile. A 100 TB daily pipeline
+    re-derives ONLY changed tiles, so this comparison must itself be
+    distributed: the work list is the current archive's chunk listing
+    (one LIST), each task reads its tile from BOTH stores (missing
+    chunks in the old generation read back as fill — reference
+    test_driver.py:39-46 semantics) and compares raw grids with
+    np.array_equal. Exact byte identity, not checksum equality:
+    lineage crc32 is the resume hint, but a diff that feeds recompute
+    decisions cannot accept hash-collision false-negatives. The SQL
+    twin: a tile changed iff it contains a doc whose id is 0 mod 7."""
+    from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+
+    _spec_a, ref_a, written_a = _write_counts_archive(sf_dir)
+    _spec_b, ref_b, _written_b = _write_counts_archive(sf_dir, drop_mod=7)
+
+    def diff_tiles(batch: pa.Table) -> pa.Table:
+        cur = ZarrTileStore(ray.get(ref_a))
+        old = ZarrTileStore(ray.get(ref_b))
+        rows = batch.column("tile_row").to_numpy(zero_copy_only=False)
+        cols = batch.column("tile_col").to_numpy(zero_copy_only=False)
+        tid, chg = [], []
+        for r, c in zip(rows, cols):
+            a = cur.read_tile(int(r), int(c))
+            b = old.read_tile(int(r), int(c))
+            tid.append((ZOOM << 58) | (int(r) << 29) | int(c))
+            chg.append(0 if np.array_equal(a, b) else 1)
+        return pa.table({"tile_id": pa.array(tid, pa.int64()),
+                         "changed": pa.array(chg, pa.int64())})
+
+    work = pa.table({
+        "tile_row": written_a.column("tile_row").cast(pa.int64()),
+        "tile_col": written_a.column("tile_col").cast(pa.int64())})
+    out = (ray.data.from_arrow(work)
+           .repartition(nblocks_for_cluster(1.0, lo=4))
+           .map_batches(diff_tiles, batch_format="pyarrow"))
+    return _schema_finalize(out, {"tile_id": pa.int64(),
+                                  "changed": pa.int64()})
+
+
+SQL_ARCHIVE_DIFF = """
+SELECT
+  (5::BIGINT << 58)
+    | ((((doc_id * 40503) % 8192) // 256)::BIGINT << 29)
+    | (((doc_id * 2654435761) % 16384) // 256) AS tile_id,
+  max(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS changed
+FROM documents
+GROUP BY tile_id
+"""
+
+
 def q_seq_pack(sf_dir: str):
     """Sequence packing — the pre-training batching step: concatenate
     every document's tokens in doc_id order into one global token
@@ -6895,6 +6960,7 @@ REGISTRY: dict[str, tuple] = {
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "grouping_cube": (q_grouping_cube, SQL_GROUPING_CUBE),
     "focal_pixels": (q_focal_pixels, SQL_FOCAL_PIXELS),
+    "archive_diff": (q_archive_diff, SQL_ARCHIVE_DIFF),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "top_terms_df": (q_top_terms_df, SQL_TOP_TERMS_DF),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
