@@ -46,6 +46,14 @@ def main(argv=None):
                      help="rewrite all partitions (default: continue mode "
                           "skips complete ones)")
     exp.add_argument("--num-cpus", type=int, default=None)
+    df = sub.add_parser(
+        "diff",
+        help="byte-compare two archive generations tile by tile "
+             "(incremental recompute: feed the changed list back into "
+             "execute's work selection)")
+    df.add_argument("current")
+    df.add_argument("previous")
+    df.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
     import ray
@@ -99,6 +107,24 @@ def main(argv=None):
                 "partitions_written": summary.column("partition").to_pylist(),
                 "rows": int(sum(summary.column("n_rows").to_pylist())),
                 "path": args.dst,
+            }))
+        elif args.cmd == "diff":
+            import pyarrow as pa
+
+            from mapchete_xarray_ray.collect import collect_table
+            from mapchete_xarray_ray.pipelines.diff import archive_diff_ds
+
+            tbl = collect_table(archive_diff_ds(args.current, args.previous))
+            chg = tbl.filter(
+                pa.compute.equal(tbl.column("changed"), 1)) if tbl.num_rows \
+                else tbl
+            print(json.dumps({
+                "tiles_compared": tbl.num_rows,
+                "tiles_changed": chg.num_rows,
+                "changed": sorted(
+                    [int(r), int(c)] for r, c in zip(
+                        chg.column("tile_row").to_pylist(),
+                        chg.column("tile_col").to_pylist())),
             }))
         else:  # overviews: E3 chained until --min-zoom
             from mapchete_xarray_ray.pipelines.pyramid import run_pyramid_chain

@@ -72,3 +72,45 @@ def test_cli_export_resume(tmp_path, capsys, sf_dir):
     assert first["rows"] > 0 and first["partitions_written"]
     again = _run(capsys, ["export", src, dst])
     assert again["rows"] == 0 and again["partitions_written"] == []
+
+
+def test_cli_diff_two_generations(tmp_path, capsys):
+    """diff: identical archives -> 0 changed; mutate one tile + add one
+    tile in the newer generation -> exactly those two report changed
+    (creation surfaces via the union work list + fill read-back)."""
+    import numpy as np
+
+    from mapchete_xarray_ray.pipelines.flagship import default_spec
+    from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+
+    paths = [str(tmp_path / "gen_a.zarr"), str(tmp_path / "gen_b.zarr")]
+    stores = []
+    for p in paths:
+        store = ZarrTileStore(default_spec(p, dtype="uint16"))
+        store.prepare()
+        for r, c in [(1, 1), (2, 3)]:
+            store.write_tile(r, c, np.full((3, 256, 256), r + c, np.uint16))
+        stores.append(store)
+
+    same = _run(capsys, ["diff", paths[0], paths[1]])
+    assert same == {"tiles_compared": 2, "tiles_changed": 0, "changed": []}
+
+    data = stores[0].read_tile(1, 1)
+    data[0, 5, 7] += 1
+    stores[0].write_tile(1, 1, data)                  # mutation
+    stores[0].write_tile(0, 0, np.ones((3, 256, 256), np.uint16))  # creation
+    out = _run(capsys, ["diff", paths[0], paths[1]])
+    assert out["tiles_compared"] == 3
+    assert out["tiles_changed"] == 2
+    assert out["changed"] == [[0, 0], [1, 1]]
+
+    # incompatible generations refuse loudly
+    import pytest as _pytest
+
+    from mapchete_xarray_ray.pipelines.diff import archive_diff_ds
+
+    other = ZarrTileStore(default_spec(str(tmp_path / "gen_c.zarr"),
+                                       dtype="uint8"))
+    other.prepare()
+    with _pytest.raises(ValueError, match="incompatible"):
+        archive_diff_ds(paths[0], str(tmp_path / "gen_c.zarr"))
