@@ -109,14 +109,16 @@ def main(argv=None):
                 "path": args.dst,
             }))
         elif args.cmd == "diff":
-            import pyarrow as pa
+            import pyarrow.compute as pc  # pa.compute is NOT auto-
+            # imported by `import pyarrow` (pyarrow 16: it only exists
+            # once something imports the submodule)
 
             from mapchete_xarray_ray.collect import collect_table
             from mapchete_xarray_ray.pipelines.diff import archive_diff_ds
 
             tbl = collect_table(archive_diff_ds(args.current, args.previous))
             chg = tbl.filter(
-                pa.compute.equal(tbl.column("changed"), 1)) if tbl.num_rows \
+                pc.equal(tbl.column("changed"), 1)) if tbl.num_rows \
                 else tbl
             print(json.dumps({
                 "tiles_compared": tbl.num_rows,

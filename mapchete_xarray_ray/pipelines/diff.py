@@ -9,9 +9,11 @@ This module byte-compares two archive generations tile by tile:
 - each task reads its tile from BOTH stores (a chunk missing in either
   generation reads back as fill — reference test_driver.py:39-46
   semantics — so creations and deletions surface as "changed");
-- comparison is ``np.array_equal`` on the raw grids, not checksum
-  equality: lineage crc32 is the resume hint, but a diff that gates
-  recompute cannot accept hash-collision false-negatives.
+- comparison is RAW-BYTE equality (``tobytes()``), not checksum
+  equality and not ``np.array_equal``: lineage crc32 is the resume
+  hint, but a diff that gates recompute cannot accept hash-collision
+  false-negatives — and array_equal treats NaN != NaN, which would
+  report every NaN-bearing float tile as changed forever.
 
 Scale shape: no shuffle at all — the tile grid is the partitioning,
 each task's read set is disjoint, and the output is one tiny row per
@@ -57,7 +59,11 @@ def archive_diff_ds(cur_path: str, old_path: str) -> ray.data.Dataset:
             a = cur.read_tile(int(r), int(c))
             b = old.read_tile(int(r), int(c))
             tid.append(int(pack_tile_id(zoom, int(r), int(c))))
-            chg.append(0 if np.array_equal(a, b) else 1)
+            # raw bytes, not np.array_equal: NaN != NaN would mark
+            # byte-identical float tiles changed (shape/dtype already
+            # match via the spec guard)
+            chg.append(0 if np.ascontiguousarray(a).tobytes()
+                       == np.ascontiguousarray(b).tobytes() else 1)
         return pa.table({"tile_id": pa.array(tid, pa.int64()),
                          "tile_row": batch.column("tile_row").cast(pa.int64()),
                          "tile_col": batch.column("tile_col").cast(pa.int64()),

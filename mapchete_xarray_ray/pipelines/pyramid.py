@@ -11,6 +11,7 @@ grid itself is the partitioning, each task's read set is disjoint.
 
 from __future__ import annotations
 
+import uuid
 import zlib
 
 import numpy as np
@@ -63,7 +64,9 @@ def _clip_to_dtype(arr: np.ndarray, dtype) -> np.ndarray:
 
 
 class PyramidReducer:
-    """Actor-pool stage: child-window read -> 2x downsample -> parent write."""
+    """Per-worker stage state: child-window read -> 2x downsample ->
+    parent write (constructed once per worker per step via
+    :func:`_cached_reducer_fn`)."""
 
     def __init__(self, in_path: str, out_spec: JobSpec, how: str = "sum"):
         self.in_spec = spec_from_archive(in_path)
@@ -103,7 +106,7 @@ class PyramidReducer:
 
 
 def run_pyramid_step(in_path: str, out_path: str, how: str = "sum",
-                     mode: str = "continue", concurrency: int | None = None,
+                     mode: str = "continue",
                      compressor: int | str | None = 1) -> ray.data.Dataset:
     in_spec = spec_from_archive(in_path)
     out_spec = JobSpec(
@@ -149,7 +152,7 @@ def run_pyramid_step(in_path: str, out_path: str, how: str = "sum",
         "tile_col": pa.array([t[1] for t in tiles], pa.int64()),
     })
     ds = ray.data.from_arrow(items)
-    # spread the tile work-list across blocks so the actor pool fills
+    # spread the tile work-list across blocks so the task pool fills
     ds = ds.repartition(max(1, len(tiles) // 4))
     # Task pool, NOT an actor pool: a pyramid chain runs one stage per
     # level, and actor-pool spin-up dominates the coarse tail levels
@@ -162,36 +165,42 @@ def run_pyramid_step(in_path: str, out_path: str, how: str = "sum",
     # can starve upstream operators when the pool size equals the
     # session's CPU count (deadlock observed at 4 slots on a 4-CPU
     # session — the guide's pool-sizing pitfall).
-    del concurrency  # kept in the signature for callers; tasks autoscale
     return ds.map_batches(
-        _cached_reducer_fn(in_path, out_spec, how),
+        _cached_reducer_fn(in_path, out_spec, how, uuid.uuid4().hex),
         batch_format="pyarrow",
         batch_size=4,
         num_cpus=0.5,
     )
 
 
-_REDUCER_CACHE: dict = {}
+# Single-slot per-worker reducer cache. Keyed by a per-run_pyramid_step
+# token, NOT by paths: an archive recreated at the same path with a
+# different layout (compressor/dtype) must never be served by a store
+# handle synced to the OLD .zarray metadata, and a path-keyed dict
+# would also grow by one entry per tmpdir ever seen. One slot == the
+# actor-pool lifetime semantics this replaced (state scoped to one
+# stage execution), amortized per worker process.
+_REDUCER_SLOT: list = [None, None]  # [token, reducer]
 
 
-def _cached_reducer_fn(in_path: str, out_spec: JobSpec, how: str):
+def _cached_reducer_fn(in_path: str, out_spec: JobSpec, how: str,
+                       token: str):
     """Task-pool variant of :class:`PyramidReducer` with a per-worker-
-    process reducer cache, so repeated batches on the same worker reuse
-    the store handles (one metadata read per worker, not per batch)."""
+    process reducer cache, so repeated batches of the SAME step on the
+    same worker reuse the store handles (one metadata read per worker
+    per step, not per batch)."""
     def fn(batch: pa.Table) -> pa.Table:
-        key = (in_path, out_spec.path, how)
-        red = _REDUCER_CACHE.get(key)
-        if red is None:
-            red = _REDUCER_CACHE[key] = PyramidReducer(
+        if _REDUCER_SLOT[0] != token:
+            _REDUCER_SLOT[0] = token
+            _REDUCER_SLOT[1] = PyramidReducer(
                 in_path=in_path, out_spec=out_spec, how=how)
-        return red(batch)
+        return _REDUCER_SLOT[1](batch)
 
     return fn
 
 
 def run_pyramid_chain(src_path: str, min_zoom: int, how: str = "sum",
                       mode: str = "continue",
-                      concurrency: int | None = None,
                       compressor: int | str | None = 1) -> list[dict]:
     """E3 iterated: chain :func:`run_pyramid_step` z -> z-1 -> ... ->
     ``min_zoom`` (the reference's self-referential overview build,
@@ -210,7 +219,6 @@ def run_pyramid_chain(src_path: str, min_zoom: int, how: str = "sum",
     while (z := spec_from_archive(src).zoom - 1) >= min_zoom:
         dst = f"{base}_z{z}.zarr"
         n = run_pyramid_step(src, dst, how=how, mode=mode,
-                             concurrency=concurrency,
                              compressor=compressor).count()
         results.append({"zoom": z, "tiles_written": int(n), "path": dst})
         src = dst

@@ -4163,12 +4163,8 @@ def q_pyramid_roundtrip(sf_dir: str):
 
     spec, _spec_ref, _written = _write_counts_archive(sf_dir)
     z4_path = os.path.join(os.path.dirname(spec.path), "counts_z4.zarr")
-    # consuming the step's Dataset is the write barrier; pool sized to
-    # HALF the session CPUs (at 0.5 cpu/actor that reserves a quarter)
-    # — a pool that covers every CPU deadlocks its own producer tasks
-    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    # consuming the step's Dataset is the write barrier
     collect_table(run_pyramid_step(spec.path, z4_path, how="sum",
-                                   concurrency=max(2, n_cpus // 2),
                                    compressor=_store_compressor()))
 
     from mapchete_xarray_ray.sources.zarr_input import spec_from_archive
@@ -4219,9 +4215,7 @@ def q_pyramid_chain(sf_dir: str):
     from mapchete_xarray_ray.sources.zarr_input import spec_from_archive
 
     spec, _spec_ref, _written = _write_counts_archive(sf_dir)
-    n_cpus = int(ray.cluster_resources().get("CPU", 4))
     levels = run_pyramid_chain(spec.path, min_zoom=2, how="sum",
-                               concurrency=max(2, n_cpus // 2),
                                compressor=_store_compressor())
     assert [lv["zoom"] for lv in levels] == [4, 3, 2]
     z2_spec = spec_from_archive(levels[-1]["path"])
@@ -5252,9 +5246,13 @@ def q_props_rollup(sf_dir: str):
     repo convention) so partials are order-independent and the DuckDB
     twin is bit-exact. Scale shape: per-batch combiner collapses each
     block to <=|event_type| rows, then one tiny groupby folds the
-    partials; rows with unparseable props keep their count but drop
-    out of the k aggregates (the twin's CAST(json->>k) NULL
-    semantics)."""
+    partials; rows with no regex match keep their count but drop out
+    of the k aggregates (NULL semantics). The twin uses the SAME
+    first-match regex (regexp_extract), not json ->>, so the
+    extraction contract is identical by construction — this is a
+    substring extractor, not a JSON parser (a quoted '"k":' inside a
+    string value resolves to the first match on BOTH sides; true JSON
+    semantics would need a per-row json.loads loop)."""
     events = _read(f"{sf_dir}/events.parquet",
                    ["event_type", "props", "value"])
 
@@ -5320,13 +5318,22 @@ def q_props_rollup(sf_dir: str):
 
 
 SQL_PROPS_ROLLUP = r"""
+-- the twin uses the SAME first-match regex extraction as the engine
+-- (not json ->>): identical contracts by construction, so inputs where
+-- a quoted "k" appears inside a string value diverge on NEITHER side
+WITH ext AS (
+  SELECT event_type, value,
+         CAST(NULLIF(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1), '')
+              AS BIGINT) AS k
+  FROM events
+)
 SELECT event_type,
        count(*)::BIGINT AS n_events,
-       sum(CAST(props->>'k' AS BIGINT))::BIGINT AS sum_k,
-       min(CAST(props->>'k' AS BIGINT))::BIGINT AS min_k,
-       max(CAST(props->>'k' AS BIGINT))::BIGINT AS max_k,
+       sum(k)::BIGINT AS sum_k,
+       min(k)::BIGINT AS min_k,
+       max(k)::BIGINT AS max_k,
        sum(floor(value * 1e6)::BIGINT)::BIGINT AS sum_value_micros
-FROM events
+FROM ext
 GROUP BY event_type
 """
 
@@ -5846,39 +5853,22 @@ def q_archive_diff(sf_dir: str):
     docs) against the previous generation (docs with doc_id % 7 == 0
     missing), emitting ``changed`` per tile. A 100 TB daily pipeline
     re-derives ONLY changed tiles, so this comparison must itself be
-    distributed: the work list is the current archive's chunk listing
-    (one LIST), each task reads its tile from BOTH stores (missing
-    chunks in the old generation read back as fill — reference
-    test_driver.py:39-46 semantics) and compares raw grids with
-    np.array_equal. Exact byte identity, not checksum equality:
-    lineage crc32 is the resume hint, but a diff that feeds recompute
-    decisions cannot accept hash-collision false-negatives. The SQL
+    distributed: the work list is the union of both chunk listings,
+    each task reads its tile from BOTH stores (missing chunks in the
+    old generation read back as fill — reference test_driver.py:39-46
+    semantics) and compares RAW BYTES. Exact byte identity, not
+    checksum equality: lineage crc32 is the resume hint, but a diff
+    that feeds recompute decisions cannot accept hash-collision
+    false-negatives. Delegates to the CLI's kernel
+    (:func:`pipelines.diff.archive_diff_ds`) so the compare contract
+    lives in one place; the union equals the current generation's tile
+    list here because the old generation's docs are a subset. The SQL
     twin: a tile changed iff it contains a doc whose id is 0 mod 7."""
-    from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+    from mapchete_xarray_ray.pipelines.diff import archive_diff_ds
 
-    _spec_a, ref_a, written_a = _write_counts_archive(sf_dir)
-    _spec_b, ref_b, _written_b = _write_counts_archive(sf_dir, drop_mod=7)
-
-    def diff_tiles(batch: pa.Table) -> pa.Table:
-        cur = ZarrTileStore(ray.get(ref_a))
-        old = ZarrTileStore(ray.get(ref_b))
-        rows = batch.column("tile_row").to_numpy(zero_copy_only=False)
-        cols = batch.column("tile_col").to_numpy(zero_copy_only=False)
-        tid, chg = [], []
-        for r, c in zip(rows, cols):
-            a = cur.read_tile(int(r), int(c))
-            b = old.read_tile(int(r), int(c))
-            tid.append((ZOOM << 58) | (int(r) << 29) | int(c))
-            chg.append(0 if np.array_equal(a, b) else 1)
-        return pa.table({"tile_id": pa.array(tid, pa.int64()),
-                         "changed": pa.array(chg, pa.int64())})
-
-    work = pa.table({
-        "tile_row": written_a.column("tile_row").cast(pa.int64()),
-        "tile_col": written_a.column("tile_col").cast(pa.int64())})
-    out = (ray.data.from_arrow(work)
-           .repartition(nblocks_for_cluster(1.0, lo=4))
-           .map_batches(diff_tiles, batch_format="pyarrow"))
+    spec_a, _ref_a, _written_a = _write_counts_archive(sf_dir)
+    spec_b, _ref_b, _written_b = _write_counts_archive(sf_dir, drop_mod=7)
+    out = archive_diff_ds(spec_a.path, spec_b.path)
     return _schema_finalize(out, {"tile_id": pa.int64(),
                                   "changed": pa.int64()})
 

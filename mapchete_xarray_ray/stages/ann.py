@@ -29,6 +29,15 @@ _HP_SEED = 0x5EED
 N_PLANES = 12  # 4096 buckets
 
 
+def _collect_nonempty(ds: "ray.data.Dataset") -> pa.Table | None:
+    """Collect a SMALL Dataset (training sample / code table) to one
+    table; None when every block is empty — ``pa.concat_tables([])``
+    raises, so empty-corpus paths must branch explicitly."""
+    tabs = [t for t in (ray.get(r) for r in arrow_block_refs(ds))
+            if t.num_columns > 0 and t.num_rows > 0]
+    return pa.concat_tables(tabs) if tabs else None
+
+
 def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
     """Zero-copy-ish list<float> -> (n, dim) float64 decode: flatten the
     Arrow list values buffer and reshape (no per-row python objects).
@@ -382,10 +391,12 @@ def ann_ivf_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
     # the centroid sample consumes only limit(sample_limit) — streaming
     # execution early-stops the read, so the corpus is scanned ~once:
     # a truncated head pass here + one full assignment pass below
-    sample = pa.concat_tables([
-        t for t in (ray.get(r) for r in arrow_block_refs(
-            corpus.limit(sample_limit)))
-        if t.num_columns > 0])
+    sample = _collect_nonempty(corpus.limit(sample_limit))
+    if sample is None:  # empty corpus: no lists, no neighbours
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
     mat = _embedding_matrix(sample, "embedding")
     cent = kmeans_centroids(mat, n_clusters)
     if refine_iters:
@@ -667,10 +678,12 @@ def ann_pq_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
     ``pq_scan_stage``), so score memory is (Q, chunk), never (Q, N).
     Approximate -> rows-only under the driver; recall and determinism
     are asserted in tests/test_ann.py."""
-    sample = pa.concat_tables([
-        t for t in (ray.get(r)
-                    for r in arrow_block_refs(corpus.limit(sample_limit)))
-        if t.num_columns > 0])
+    sample = _collect_nonempty(corpus.limit(sample_limit))
+    if sample is None:  # empty corpus: no codebooks, no neighbours
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())}))
     mat = normalize_rows(_embedding_matrix(sample, "embedding"))
     books_ref = ray.put(pq_train(mat, m_sub, n_codes))
 
@@ -777,8 +790,10 @@ def ivf_train_int(corpus: "ray.data.Dataset", n_clusters: int = 16,
     bit-equal to the SQL twin's unrolled rounds. Assignment is argmax
     of the integer dot (ties -> lowest cluster index, matching SQL
     ``ORDER BY dot DESC, c``)."""
-    cent = np.stack([normq_int(v) for v in
-                     hash_init_vectors(corpus, n_clusters, emb_col)])
+    init = hash_init_vectors(corpus, n_clusters, emb_col)
+    if init.size == 0:  # empty corpus: no centroids, not np.stack([])
+        return np.empty((0, 0), dtype=np.int64)
+    cent = np.stack([normq_int(v) for v in init])
     for _ in range(max(rounds, 0)):
         ref = ray.put(cent)
         nc, dim = cent.shape
@@ -873,7 +888,13 @@ def ann_ivf_int_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
     ``ann_ivf_pipeline`` (inverted lists shuffle once, queries probe
     ``nprobe`` lists); every data-dependent branch is integer, so the
     DuckDB twin (``_ann_ivf_sql``) reproduces the output exactly."""
-    cent_ref = ray.put(ivf_train_int(corpus, n_clusters, rounds))
+    cent = ivf_train_int(corpus, n_clusters, rounds)
+    if cent.size == 0:  # empty corpus: no lists, no neighbours
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
+    cent_ref = ray.put(cent)
 
     partial = (corpus.map_batches(ivf_assign_both_stage_int(cent_ref, nprobe),
                                   batch_format="pyarrow")
@@ -1061,10 +1082,16 @@ def ann_pq_int_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
             "code": pa.array(list(codes), pa.list_(pa.int64())),
         })
 
-    enc = pa.concat_tables([
+    enc_tabs = [
         t for t in (ray.get(r) for r in arrow_block_refs(corpus.map_batches(
             encode, batch_format="pyarrow")))
-        if t.num_columns > 0 and t.num_rows > 0])
+        if t.num_columns > 0 and t.num_rows > 0]
+    if not enc_tabs:  # empty corpus: nothing to scan against
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())}))
+    enc = pa.concat_tables(enc_tabs)
     c_ids = enc.column("vec_id").to_numpy(zero_copy_only=False)
     ccol = enc.column("code")
     if isinstance(ccol, pa.ChunkedArray):

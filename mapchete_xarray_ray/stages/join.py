@@ -125,9 +125,18 @@ class ZonalStats(PIPJoiner):
             zero_copy_only=False).astype(np.float64)
         y = batch.column(self.y_col).to_numpy(
             zero_copy_only=False).astype(np.float64)
-        vals = {v: batch.column(v).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-            for v in self.value_cols}
+        vals = {}
+        for v in self.value_cols:
+            arr = batch.column(v).to_numpy(zero_copy_only=False)
+            if not np.issubdtype(arr.dtype, np.integer):
+                # silent astype(int64) would truncate floats toward
+                # zero; int-quantize upstream (repo convention:
+                # floor(f64*1e6)) and pass the integer column instead
+                raise TypeError(
+                    f"ZonalStats value column {v!r} has dtype "
+                    f"{arr.dtype}; integer required — int-quantize "
+                    "floats before the zonal sum")
+            vals[v] = arr.astype(np.int64)
         rids, ns, sums = [], [], {v: [] for v in self.value_cols}
         for poly in self.polys:
             hit = self._contains(x, y, poly)

@@ -320,3 +320,29 @@ def test_int_ann_partition_invariance_and_recall():
         got_r1 = {v: n for v, n, r in runs[0] if r == 1}
         hits = sum(1 for v, n in got_r1.items() if n == twin_of[v])
         assert hits / len(ids) > 0.6, (pipeline.__name__, hits / len(ids))
+
+
+def test_int_pipelines_empty_corpus():
+    """Empty embeddings input: every ANN pipeline returns an empty
+    result instead of crashing in np.stack([]) / pa.concat_tables([])
+    (zero-block reads are what a filtered-to-nothing corpus produces)."""
+    import pyarrow as pa
+
+    from mapchete_xarray_ray.stages.ann import (
+        ann_ivf_int_pipeline,
+        ann_ivf_pipeline,
+        ann_pq_int_pipeline,
+        ann_pq_pipeline,
+    )
+
+    empty = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    for make in (lambda: ann_ivf_int_pipeline(empty, 8, 3),
+                 lambda: ann_pq_int_pipeline(empty, 8, 3, m_sub=4,
+                                             n_codes=4),
+                 lambda: ann_ivf_pipeline(empty, 8, 3),
+                 lambda: ann_pq_pipeline(empty, 8, 3, m_sub=4,
+                                         n_codes=4)):
+        out = make()
+        assert out.count() == 0

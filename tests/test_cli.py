@@ -114,3 +114,26 @@ def test_cli_diff_two_generations(tmp_path, capsys):
     other.prepare()
     with _pytest.raises(ValueError, match="incompatible"):
         archive_diff_ds(paths[0], str(tmp_path / "gen_c.zarr"))
+
+
+def test_diff_nan_tiles_compare_equal(tmp_path):
+    """Byte-compare, not np.array_equal: byte-identical float tiles
+    containing NaN must NOT report changed (array_equal's NaN != NaN
+    would re-derive every NaN-bearing tile forever)."""
+    import numpy as np
+
+    from mapchete_xarray_ray.collect import collect_table
+    from mapchete_xarray_ray.pipelines.diff import archive_diff_ds
+    from mapchete_xarray_ray.pipelines.flagship import default_spec
+    from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+
+    data = np.full((3, 256, 256), 1.5, np.float64)
+    data[0, 0, 0] = np.nan
+    paths = [str(tmp_path / "na.zarr"), str(tmp_path / "nb.zarr")]
+    for p in paths:
+        store = ZarrTileStore(default_spec(p, dtype="float64"))
+        store.prepare()
+        store.write_tile(2, 2, data)
+    out = collect_table(archive_diff_ds(paths[0], paths[1]))
+    assert out.num_rows == 1
+    assert out.column("changed").to_pylist() == [0]

@@ -212,3 +212,19 @@ def test_zonal_stats_counts_overlaps_in_every_region():
     empty = z(pa.table({}))
     assert empty.num_rows == 0
     assert empty.column_names == ["region_id", "n_pts", "sum_w"]
+
+
+def test_zonal_stats_rejects_float_value_columns():
+    """Float value columns would silently truncate toward zero under
+    the int64 partial sums — the stage must refuse them (int-quantize
+    upstream instead)."""
+    import pytest as _pytest
+
+    from mapchete_xarray_ray.stages.join import ZonalStats
+
+    z = ZonalStats([(0, [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])],
+                   x_col="x", y_col="y", value_cols=("w",))
+    batch = pa.table({"x": pa.array([1.0]), "y": pa.array([1.0]),
+                      "w": pa.array([0.6])})
+    with _pytest.raises(TypeError, match="int-quantize"):
+        z(batch)

@@ -17,7 +17,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-sys.path.insert(0, "/root/repo")  # script lives in tools/
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # script lives in tools/
 from mapchete_xarray_ray.collect import arrow_block_refs  # noqa: E402
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -52,7 +53,6 @@ def main():
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False,
                  logging_level="ERROR")
-    sys.path.insert(0, "/root/repo")
     import __ray_entry__ as E
 
     con = duckdb.connect()
