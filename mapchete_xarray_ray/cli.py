@@ -117,17 +117,21 @@ def main(argv=None):
             from mapchete_xarray_ray.pipelines.diff import archive_diff_ds
 
             tbl = collect_table(archive_diff_ds(args.current, args.previous))
-            chg = tbl.filter(
-                pc.equal(tbl.column("changed"), 1)) if tbl.num_rows \
-                else tbl
-            print(json.dumps({
-                "tiles_compared": tbl.num_rows,
-                "tiles_changed": chg.num_rows,
-                "changed": sorted(
-                    [int(r), int(c)] for r, c in zip(
-                        chg.column("tile_row").to_pylist(),
-                        chg.column("tile_col").to_pylist())),
-            }))
+            if tbl.num_rows == 0:
+                # two empty archives -> zero-block read -> zero-COLUMN
+                # table: don't touch columns that don't exist
+                print(json.dumps({"tiles_compared": 0,
+                                  "tiles_changed": 0, "changed": []}))
+            else:
+                chg = tbl.filter(pc.equal(tbl.column("changed"), 1))
+                print(json.dumps({
+                    "tiles_compared": tbl.num_rows,
+                    "tiles_changed": chg.num_rows,
+                    "changed": sorted(
+                        [int(r), int(c)] for r, c in zip(
+                            chg.column("tile_row").to_pylist(),
+                            chg.column("tile_col").to_pylist())),
+                }))
         else:  # overviews: E3 chained until --min-zoom
             from mapchete_xarray_ray.pipelines.pyramid import run_pyramid_chain
 

@@ -38,8 +38,11 @@ def archive_diff_ds(cur_path: str, old_path: str) -> ray.data.Dataset:
     bands (different zooms are different pyramids — diff per level)."""
     cur_spec = spec_from_archive(cur_path)
     old_spec = spec_from_archive(old_path)
+    # time and nodata are part of the compare contract too: a time-axis
+    # mismatch changes the grid SHAPE (every tile would byte-differ),
+    # and nodata drives the missing-chunk fill read-back
     for attr in ("zoom", "grid", "tile_size", "metatiling", "band_names",
-                 "dtype"):
+                 "dtype", "time", "nodata"):
         if getattr(cur_spec, attr) != getattr(old_spec, attr):
             raise ValueError(
                 f"archives incompatible for diff: {attr} "

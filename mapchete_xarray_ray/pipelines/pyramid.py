@@ -191,9 +191,13 @@ def _cached_reducer_fn(in_path: str, out_spec: JobSpec, how: str,
     per step, not per batch)."""
     def fn(batch: pa.Table) -> pa.Table:
         if _REDUCER_SLOT[0] != token:
+            # construct FIRST, publish after: claiming the token before
+            # a failed __init__ would make the retry reuse the PREVIOUS
+            # step's reducer (wrong archives) instead of rebuilding
+            red = PyramidReducer(in_path=in_path, out_spec=out_spec,
+                                 how=how)
+            _REDUCER_SLOT[1] = red
             _REDUCER_SLOT[0] = token
-            _REDUCER_SLOT[1] = PyramidReducer(
-                in_path=in_path, out_spec=out_spec, how=how)
         return _REDUCER_SLOT[1](batch)
 
     return fn

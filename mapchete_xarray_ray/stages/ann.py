@@ -31,11 +31,25 @@ N_PLANES = 12  # 4096 buckets
 
 def _collect_nonempty(ds: "ray.data.Dataset") -> pa.Table | None:
     """Collect a SMALL Dataset (training sample / code table) to one
-    table; None when every block is empty — ``pa.concat_tables([])``
-    raises, so empty-corpus paths must branch explicitly."""
-    tabs = [t for t in (ray.get(r) for r in arrow_block_refs(ds))
-            if t.num_columns > 0 and t.num_rows > 0]
-    return pa.concat_tables(tabs) if tabs else None
+    table; None when no rows came back — empty-corpus paths must
+    branch explicitly. Thin wrapper over :func:`collect.collect_table`
+    so the probe-free collection logic lives in one module."""
+    from mapchete_xarray_ray.collect import collect_table
+
+    t = collect_table(ds)
+    return t if t.num_rows else None
+
+
+# IVF pipelines' final stage (_bucket_merge_topk) schema, shared by
+# their empty-corpus early returns so both paths stay column-identical
+_IVF_EMPTY = {
+    "vec_id": pa.int64(), "neighbor_id": pa.int64(),
+    "rank": pa.int64(), "cosine": pa.float64()}
+
+
+def _empty_ds(schema: dict) -> "ray.data.Dataset":
+    return ray.data.from_arrow(pa.table(
+        {n: pa.array([], t) for n, t in schema.items()}))
 
 
 def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -393,10 +407,7 @@ def ann_ivf_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
     # a truncated head pass here + one full assignment pass below
     sample = _collect_nonempty(corpus.limit(sample_limit))
     if sample is None:  # empty corpus: no lists, no neighbours
-        return ray.data.from_arrow(pa.table({
-            "vec_id": pa.array([], pa.int64()),
-            "neighbor_id": pa.array([], pa.int64()),
-            "cosine": pa.array([], pa.float64())}))
+        return _empty_ds(_IVF_EMPTY)
     mat = _embedding_matrix(sample, "embedding")
     cent = kmeans_centroids(mat, n_clusters)
     if refine_iters:
@@ -680,10 +691,9 @@ def ann_pq_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
     are asserted in tests/test_ann.py."""
     sample = _collect_nonempty(corpus.limit(sample_limit))
     if sample is None:  # empty corpus: no codebooks, no neighbours
-        return ray.data.from_arrow(pa.table({
-            "vec_id": pa.array([], pa.int64()),
-            "neighbor_id": pa.array([], pa.int64()),
-            "rank": pa.array([], pa.int64())}))
+        return _empty_ds({"vec_id": pa.int64(),
+                          "neighbor_id": pa.int64(),
+                          "rank": pa.int64()})
     mat = normalize_rows(_embedding_matrix(sample, "embedding"))
     books_ref = ray.put(pq_train(mat, m_sub, n_codes))
 
@@ -890,10 +900,7 @@ def ann_ivf_int_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
     DuckDB twin (``_ann_ivf_sql``) reproduces the output exactly."""
     cent = ivf_train_int(corpus, n_clusters, rounds)
     if cent.size == 0:  # empty corpus: no lists, no neighbours
-        return ray.data.from_arrow(pa.table({
-            "vec_id": pa.array([], pa.int64()),
-            "neighbor_id": pa.array([], pa.int64()),
-            "cosine": pa.array([], pa.float64())}))
+        return _empty_ds(_IVF_EMPTY)
     cent_ref = ray.put(cent)
 
     partial = (corpus.map_batches(ivf_assign_both_stage_int(cent_ref, nprobe),
@@ -1082,16 +1089,12 @@ def ann_pq_int_pipeline(corpus: ray.data.Dataset, dim: int, k: int,
             "code": pa.array(list(codes), pa.list_(pa.int64())),
         })
 
-    enc_tabs = [
-        t for t in (ray.get(r) for r in arrow_block_refs(corpus.map_batches(
-            encode, batch_format="pyarrow")))
-        if t.num_columns > 0 and t.num_rows > 0]
-    if not enc_tabs:  # empty corpus: nothing to scan against
-        return ray.data.from_arrow(pa.table({
-            "vec_id": pa.array([], pa.int64()),
-            "neighbor_id": pa.array([], pa.int64()),
-            "rank": pa.array([], pa.int64())}))
-    enc = pa.concat_tables(enc_tabs)
+    enc = _collect_nonempty(corpus.map_batches(encode,
+                                               batch_format="pyarrow"))
+    if enc is None:  # empty corpus: nothing to scan against
+        return _empty_ds({"vec_id": pa.int64(),
+                          "neighbor_id": pa.int64(),
+                          "rank": pa.int64()})
     c_ids = enc.column("vec_id").to_numpy(zero_copy_only=False)
     ccol = enc.column("code")
     if isinstance(ccol, pa.ChunkedArray):

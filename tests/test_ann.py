@@ -338,11 +338,24 @@ def test_int_pipelines_empty_corpus():
     empty = ray.data.from_arrow(pa.table({
         "vec_id": pa.array([], pa.int64()),
         "embedding": pa.array([], pa.list_(pa.float32()))}))
-    for make in (lambda: ann_ivf_int_pipeline(empty, 8, 3),
-                 lambda: ann_pq_int_pipeline(empty, 8, 3, m_sub=4,
-                                             n_codes=4),
-                 lambda: ann_ivf_pipeline(empty, 8, 3),
-                 lambda: ann_pq_pipeline(empty, 8, 3, m_sub=4,
-                                         n_codes=4)):
+    # (pipeline, columns the NON-empty path emits from its final stage —
+    # the empty branch must stay column-identical or downstream
+    # _schema_finalize/select_columns consumers break)
+    cases = [
+        (lambda: ann_ivf_int_pipeline(empty, 8, 3),
+         {"vec_id", "neighbor_id", "rank", "cosine"}),
+        (lambda: ann_pq_int_pipeline(empty, 8, 3, m_sub=4, n_codes=4),
+         {"vec_id", "neighbor_id", "rank"}),
+        (lambda: ann_ivf_pipeline(empty, 8, 3),
+         {"vec_id", "neighbor_id", "rank", "cosine"}),
+        (lambda: ann_pq_pipeline(empty, 8, 3, m_sub=4, n_codes=4),
+         {"vec_id", "neighbor_id", "rank"}),
+    ]
+    for make, cols in cases:
         out = make()
-        assert out.count() == 0
+        tab = pa.concat_tables([
+            t for t in (ray.get(r) for r in arrow_block_refs(out))
+            if t.num_columns > 0] or [pa.table({})])
+        assert tab.num_rows == 0
+        assert set(tab.column_names) >= cols or tab.num_columns == 0, \
+            (set(tab.column_names), cols)

@@ -137,3 +137,16 @@ def test_diff_nan_tiles_compare_equal(tmp_path):
     out = collect_table(archive_diff_ds(paths[0], paths[1]))
     assert out.num_rows == 1
     assert out.column("changed").to_pylist() == [0]
+
+
+def test_cli_diff_empty_archives(tmp_path, capsys):
+    """Two prepared-but-empty archives: diff prints zeros instead of
+    crashing on the zero-column collected table."""
+    from mapchete_xarray_ray.pipelines.flagship import default_spec
+    from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+
+    paths = [str(tmp_path / "ea.zarr"), str(tmp_path / "eb.zarr")]
+    for p in paths:
+        ZarrTileStore(default_spec(p, dtype="uint16")).prepare()
+    out = _run(capsys, ["diff", paths[0], paths[1]])
+    assert out == {"tiles_compared": 0, "tiles_changed": 0, "changed": []}
