@@ -235,21 +235,72 @@ def gen_only():
     ray.shutdown()
 
 
+def run_curation_once():
+    """One curation run (lang-ID + quality filter + exact dedup +
+    deterministic sample) over the cached pages corpus under the
+    current RAY_GRAFT_CPUS; prints one JSON line. The second scaling
+    pipeline: text-kernel heavy + one dedup exchange, a different
+    shape from the flagship's rasterize + tile sort."""
+    import time as _time
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from mapchete_xarray_ray.functions.geocode import stable_hash64
+    from mapchete_xarray_ray.pipelines.queries import curation_pipeline
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    pages_path = os.environ.get("GRAFT_BENCH_PAGES_DIR",
+                                f"/tmp/mxr_bench_pages_{BENCH_PAGES}")
+    synth_pages_parquet(BENCH_PAGES, pages_path)
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        # doc_id contract of the deterministic sampler: [0, 2**31)
+        h = (stable_hash64(batch.column("url").to_numpy(
+            zero_copy_only=False)) % np.uint64(2 ** 31)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(h),
+                         "text": batch.column("text")})
+
+    t0 = _time.perf_counter()
+    cur = curation_pipeline(
+        ray.data.read_parquet(pages_path, columns=["url", "text"])
+        .map_batches(to_docs, batch_format="pyarrow"))
+    kept = 0
+    for b in cur.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        kept += b.num_rows
+    dt = _time.perf_counter() - t0
+    print(json.dumps({
+        "pipeline": "curation", "sec": round(dt, 3),
+        "docs": BENCH_PAGES, "kept": kept,
+        "docs_per_sec": round(BENCH_PAGES / dt, 1),
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
 def scaling():
     """Two fresh processes at num_cpus=8 and 32; report efficiency.
     The input is generated once up-front so neither timed process pays
-    (or is perturbed by) the synthesis."""
+    (or is perturbed by) the synthesis. With --curation the timed
+    pipeline is the corpus-curation chain instead of the flagship."""
 
-    scale_pages = os.environ.get("GRAFT_BENCH_PAGES", "4000000")
+    curation = "--curation" in sys.argv
+    scale_pages = os.environ.get(
+        "GRAFT_BENCH_PAGES", "2000000" if curation else "4000000")
     gen_env = dict(os.environ, GRAFT_BENCH_PAGES=scale_pages)
     subprocess.run([sys.executable, os.path.abspath(__file__), "--gen-only"],
                    check=True, capture_output=True, env=gen_env)
+    thr_key = "docs_per_sec" if curation else "pages_per_sec"
 
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_FLAGSHIP_ONLY="1", GRAFT_BENCH_PAGES=scale_pages)
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
+        argv = ([sys.executable, os.path.abspath(__file__)]
+                + (["--curation-once"] if curation else []))
+        out = subprocess.run(argv, env=env, capture_output=True, text=True,
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
@@ -257,16 +308,20 @@ def scaling():
         # best of two: single-node wall times vary with object-store /
         # page-cache state; the faster run is the steady-state number
         a, b = run_once(ncpu), run_once(ncpu)
-        return a if a["pages_per_sec"] >= b["pages_per_sec"] else b
+        return a if a[thr_key] >= b[thr_key] else b
 
     lo, hi = 8, 32
     r_lo, r_hi = run(lo), run(hi)
-    thr_lo, thr_hi = r_lo["pages_per_sec"], r_hi["pages_per_sec"]
+    thr_lo, thr_hi = r_lo[thr_key], r_hi[thr_key]
     eff = (thr_hi / thr_lo) / (hi / lo)
     print(json.dumps({
+        "pipeline": "curation" if curation else "flagship",
         "num_cpus_lo": lo, "num_cpus_hi": hi,
-        "pages_per_sec_lo": thr_lo, "pages_per_sec_hi": thr_hi,
-        "sec_lo": r_lo["queries"]["flagship"], "sec_hi": r_hi["queries"]["flagship"],
+        f"{thr_key}_lo": thr_lo, f"{thr_key}_hi": thr_hi,
+        "sec_lo": (r_lo["sec"] if curation
+                   else r_lo["queries"]["flagship"]),
+        "sec_hi": (r_hi["sec"] if curation
+                   else r_hi["queries"]["flagship"]),
         "scaling_efficiency": round(eff, 3),
     }))
 
@@ -274,6 +329,8 @@ def scaling():
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--curation-once" in sys.argv:
+        run_curation_once()
     elif "--gen-only" in sys.argv:
         gen_only()
     else:
