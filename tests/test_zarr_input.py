@@ -294,3 +294,38 @@ def test_run_pyramid_chain_resume_per_level(archive, tmp_path):
     # full re-run: every level resumes to zero writes
     again = run_pyramid_chain(src, min_zoom=2, how="sum")
     assert [lv["tiles_written"] for lv in again] == [0, 0, 0]
+
+
+def test_pyramid_step_never_reuses_stale_worker_state(tmp_path):
+    """Same Ray session, archive RECREATED at the same paths with a
+    different dtype/layout: the second step must rebuild its per-worker
+    reducer state (fresh step token), not decode through store handles
+    synced to the deleted archive's metadata."""
+    import shutil
+
+    from mapchete_xarray_ray.fixtures import make_pages
+    from mapchete_xarray_ray.pipelines.flagship import (
+        default_spec,
+        run_pipeline,
+    )
+
+    src, dst = str(tmp_path / "re.zarr"), str(tmp_path / "re4.zarr")
+    pages = make_pages(n=300)
+
+    _collect(run_pipeline(ray.data.from_arrow(pages),
+                          default_spec(src, dtype="uint16")))
+    first = _collect(run_pyramid_step(src, dst, how="sum"))
+    assert first.num_rows > 0
+
+    # regenerate BOTH archives at the same paths, different dtype
+    shutil.rmtree(src), shutil.rmtree(dst)
+    _collect(run_pipeline(ray.data.from_arrow(pages),
+                          default_spec(src, dtype="uint32")))
+    second = _collect(run_pyramid_step(src, dst, how="max"))
+    assert second.num_rows == first.num_rows
+    z4 = ZarrTileStore(spec_from_archive(dst))
+    assert z4.spec.dtype == "uint32"  # max keeps input dtype
+    # values decode cleanly through the NEW layout
+    total = sum(int(z4.read_tile(r, c, bands=["count"]).max())
+                for r, c in z4.existing_tiles())
+    assert total > 0
