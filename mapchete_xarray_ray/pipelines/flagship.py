@@ -39,6 +39,7 @@ the reference's output_cleaned (2-D/3-D/4-D numpy, "empty" sentinel).
 from __future__ import annotations
 
 import os
+import time
 import zlib
 
 import numpy as np
@@ -240,6 +241,7 @@ def _tile_writer(spec: JobSpec, process_fn=None):
             if isinstance(data, str) and data == "empty":
                 return _EMPTY_SUMMARY
             tensor = output_cleaned(data, spec)
+            w0 = time.perf_counter()
             if tensor.ndim == 4:
                 n_chunks = store.write_tile(row, col, tensor,
                                             timestamps=spec.timestamps)
@@ -250,6 +252,9 @@ def _tile_writer(spec: JobSpec, process_fn=None):
                 "tile_id": tile_id, "zoom": zoom, "tile_row": row,
                 "tile_col": col, "rows_in": group.num_rows,
                 "chunks_written": n_chunks, "checksum": int(checksum),
+                "metrics": {"write_ms": int((time.perf_counter() - w0)
+                                            * 1000),
+                            "bytes": int(tensor.nbytes)},
             })
             return pa.table({
                 "tile_id": pa.array([tile_id], pa.int64()),
@@ -277,6 +282,7 @@ def _tile_writer(spec: JobSpec, process_fn=None):
             return (g.reshape(3, spec.chunk_px, spec.chunk_px)
                      .clip(info.min, info.max).astype(spec.dtype))
 
+        w0 = time.perf_counter()
         if spec.time is not None:
             ts = group.column("warc_ts").to_numpy(zero_copy_only=False)
             uniq = np.array(sorted(set(ts.tolist())), dtype="datetime64[us]")
@@ -288,6 +294,7 @@ def _tile_writer(spec: JobSpec, process_fn=None):
             tensor = grids(pix, en, lt)
             n_chunks = store.write_tile(row, col, tensor)
             written_arr = tensor
+        write_ms = int((time.perf_counter() - w0) * 1000)
 
         checksum = zlib.crc32(np.ascontiguousarray(written_arr).tobytes())
         from mapchete_xarray_ray.grid import cell_encode
@@ -299,6 +306,8 @@ def _tile_writer(spec: JobSpec, process_fn=None):
             "rows_in": group.num_rows, "chunks_written": n_chunks,
             "checksum": int(checksum),
             "cell_range": [tile_cell, tile_cell],
+            "metrics": {"write_ms": write_ms,
+                        "bytes": int(written_arr.nbytes)},
         })
         return pa.table({
             "tile_id": pa.array([tile_id], pa.int64()),
@@ -480,6 +489,7 @@ def _salted_merge_writer(spec: JobSpec):
                     np.add.at(total[b], nz, rec[1 + nnz * (b + 1):1 + nnz * (b + 2)])
             total = total.reshape(3, h, w)
             tensor = total.clip(info.min, info.max).astype(spec.dtype)
+            w0 = time.perf_counter()
             n_chunks = store.write_tile(row, col, tensor)
             checksum = zlib.crc32(np.ascontiguousarray(tensor).tobytes())
             n_pages = int(n_pages_col[s:s + L].sum())
@@ -487,6 +497,9 @@ def _salted_merge_writer(spec: JobSpec):
                 "tile_id": tile_id, "zoom": zoom, "tile_row": row,
                 "tile_col": col, "rows_in": n_pages, "chunks_written": n_chunks,
                 "checksum": int(checksum), "salted_partials": int(L),
+                "metrics": {"write_ms": int((time.perf_counter() - w0)
+                                            * 1000),
+                            "bytes": int(tensor.nbytes)},
             })
             out["tile_id"].append(tile_id)
             out["tile_row"].append(row)

@@ -11,6 +11,7 @@ grid itself is the partitioning, each task's read set is disjoint.
 
 from __future__ import annotations
 
+import time
 import uuid
 import zlib
 
@@ -79,6 +80,7 @@ class PyramidReducer:
         out = {"tile_id": [], "tile_row": [], "tile_col": [], "checksum": []}
         for r, c in zip(batch.column("tile_row").to_pylist(),
                         batch.column("tile_col").to_pylist()):
+            w0 = time.perf_counter()
             tb = self.out_spec.pyramid.tile_bounds(self.out_spec.zoom, r, c)
             window = read_window(self.in_store, tuple(tb))
             tensor = _clip_to_dtype(
@@ -97,6 +99,9 @@ class PyramidReducer:
                 "rows_in": 0, "chunks_written": len(self.out_spec.band_names),
                 "checksum": int(checksum),
                 "input_fragments": [f"{self.in_spec.path}@z{self.in_spec.zoom}"],
+                "metrics": {"write_ms": int((time.perf_counter() - w0)
+                                            * 1000),
+                            "bytes": int(tensor.nbytes)},
             })
             out["tile_id"].append(int(pack_tile_id(self.out_spec.zoom, r, c)))
             out["tile_row"].append(r)

@@ -141,3 +141,28 @@ def test_tile_to_points_inverts_rasterize(tmp_path):
         pts.column("lon").to_numpy(), pts.column("lat").to_numpy(), tr, tc, spec)
     np.testing.assert_array_equal(iy2, pts.column("iy").to_numpy())
     np.testing.assert_array_equal(ix2, pts.column("ix").to_numpy())
+
+
+def test_lineage_records_carry_write_metrics(tmp_path):
+    """north_rule: per-partition lineage + METRICS — every tile record
+    carries write_ms and the logical byte count of the written tensor."""
+    from mapchete_xarray_ray.fixtures import make_pages
+    from mapchete_xarray_ray.pipelines.flagship import (
+        default_spec,
+        run_pipeline,
+    )
+    from mapchete_xarray_ray.pipelines.pyramid import run_pyramid_step
+    from mapchete_xarray_ray.state.lineage import read_records
+
+    spec = default_spec(str(tmp_path / "met.zarr"))
+    _collect(run_pipeline(ray.data.from_arrow(make_pages(n=200)), spec))
+    recs = read_records(spec.path)
+    assert recs
+    for rec in recs.values():
+        m = rec["metrics"]
+        assert m["write_ms"] >= 0
+        assert m["bytes"] == 3 * 256 * 256 * 2  # 3 uint16 bands
+    z4 = str(tmp_path / "met4.zarr")
+    _collect(run_pyramid_step(spec.path, z4, how="sum"))
+    for rec in read_records(z4).values():
+        assert rec["metrics"]["bytes"] == 3 * 256 * 256 * 4  # uint32
