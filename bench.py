@@ -240,9 +240,11 @@ def run_curation_once():
     deterministic sample) over the cached pages corpus under the
     current RAY_GRAFT_CPUS; prints one JSON line. The second scaling
     pipeline: text-kernel heavy + one dedup exchange, a different
-    shape from the flagship's rasterize + tile sort."""
-    import time as _time
-
+    shape from the flagship's rasterize + tile sort. Same protocol as
+    the flagship bench: an untimed warm-up run primes the worker pool
+    and parquet metadata so the timed window measures steady-state
+    throughput, not per-process startup (startup in the window would
+    depress the hi-cpu level and distort the efficiency ratio)."""
     import numpy as np
     import pyarrow as pa
     import ray
@@ -264,14 +266,20 @@ def run_curation_once():
         return pa.table({"doc_id": pa.array(h),
                          "text": batch.column("text")})
 
-    t0 = _time.perf_counter()
-    cur = curation_pipeline(
-        ray.data.read_parquet(pages_path, columns=["url", "text"])
-        .map_batches(to_docs, batch_format="pyarrow"))
-    kept = 0
-    for b in cur.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        kept += b.num_rows
-    dt = _time.perf_counter() - t0
+    def run(limit: int | None) -> tuple[float, int]:
+        ds = ray.data.read_parquet(pages_path, columns=["url", "text"])
+        if limit:
+            ds = ds.limit(limit)
+        t0 = time.perf_counter()
+        cur = curation_pipeline(ds.map_batches(to_docs,
+                                               batch_format="pyarrow"))
+        kept = 0
+        for b in cur.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            kept += b.num_rows
+        return time.perf_counter() - t0, kept
+
+    run(limit=max(BENCH_PAGES // 20, 10_000))  # untimed warm-up
+    dt, kept = run(limit=None)
     print(json.dumps({
         "pipeline": "curation", "sec": round(dt, 3),
         "docs": BENCH_PAGES, "kept": kept,
@@ -331,6 +339,10 @@ if __name__ == "__main__":
         scaling()
     elif "--curation-once" in sys.argv:
         run_curation_once()
+    elif "--curation" in sys.argv:
+        sys.exit("--curation only modifies --scaling; use "
+                 "'bench.py --scaling --curation' (or --curation-once "
+                 "for a single run)")
     elif "--gen-only" in sys.argv:
         gen_only()
     else:

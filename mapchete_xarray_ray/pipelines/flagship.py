@@ -247,13 +247,13 @@ def _tile_writer(spec: JobSpec, process_fn=None):
                                             timestamps=spec.timestamps)
             else:
                 n_chunks = store.write_tile(row, col, tensor)
+            write_ms = int((time.perf_counter() - w0) * 1000)
             checksum = zlib.crc32(np.ascontiguousarray(tensor).tobytes())
             write_record(spec.path, {
                 "tile_id": tile_id, "zoom": zoom, "tile_row": row,
                 "tile_col": col, "rows_in": group.num_rows,
                 "chunks_written": n_chunks, "checksum": int(checksum),
-                "metrics": {"write_ms": int((time.perf_counter() - w0)
-                                            * 1000),
+                "metrics": {"write_ms": write_ms,
                             "bytes": int(tensor.nbytes)},
             })
             return pa.table({
@@ -282,18 +282,21 @@ def _tile_writer(spec: JobSpec, process_fn=None):
             return (g.reshape(3, spec.chunk_px, spec.chunk_px)
                      .clip(info.min, info.max).astype(spec.dtype))
 
-        w0 = time.perf_counter()
+        # build first, then time ONLY the store write: "write_ms" must
+        # mean the same thing in every record (a compute-skewed tile is
+        # identifiable from rows_in/bytes; a slow STORE from write_ms)
         if spec.time is not None:
             ts = group.column("warc_ts").to_numpy(zero_copy_only=False)
             uniq = np.array(sorted(set(ts.tolist())), dtype="datetime64[us]")
             per_t = [grids(pix[ts == t], en[ts == t], lt[ts == t]) for t in uniq]
-            tensor4 = np.stack(per_t, axis=1)  # (bands, T, h, w)
-            n_chunks = store.write_tile(row, col, tensor4, timestamps=uniq)
-            written_arr = tensor4  # lineage checksum attests written bytes
+            written_arr = np.stack(per_t, axis=1)  # (bands, T, h, w)
+            w0 = time.perf_counter()
+            n_chunks = store.write_tile(row, col, written_arr,
+                                        timestamps=uniq)
         else:
-            tensor = grids(pix, en, lt)
-            n_chunks = store.write_tile(row, col, tensor)
-            written_arr = tensor
+            written_arr = grids(pix, en, lt)
+            w0 = time.perf_counter()
+            n_chunks = store.write_tile(row, col, written_arr)
         write_ms = int((time.perf_counter() - w0) * 1000)
 
         checksum = zlib.crc32(np.ascontiguousarray(written_arr).tobytes())
@@ -491,14 +494,14 @@ def _salted_merge_writer(spec: JobSpec):
             tensor = total.clip(info.min, info.max).astype(spec.dtype)
             w0 = time.perf_counter()
             n_chunks = store.write_tile(row, col, tensor)
+            write_ms = int((time.perf_counter() - w0) * 1000)
             checksum = zlib.crc32(np.ascontiguousarray(tensor).tobytes())
             n_pages = int(n_pages_col[s:s + L].sum())
             write_record(spec.path, {
                 "tile_id": tile_id, "zoom": zoom, "tile_row": row,
                 "tile_col": col, "rows_in": n_pages, "chunks_written": n_chunks,
                 "checksum": int(checksum), "salted_partials": int(L),
-                "metrics": {"write_ms": int((time.perf_counter() - w0)
-                                            * 1000),
+                "metrics": {"write_ms": write_ms,
                             "bytes": int(tensor.nbytes)},
             })
             out["tile_id"].append(tile_id)

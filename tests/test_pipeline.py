@@ -160,7 +160,7 @@ def test_lineage_records_carry_write_metrics(tmp_path):
     assert recs
     for rec in recs.values():
         m = rec["metrics"]
-        assert m["write_ms"] >= 0
+        assert isinstance(m["write_ms"], int) and m["write_ms"] >= 0
         assert m["bytes"] == 3 * 256 * 256 * 2  # 3 uint16 bands
     z4 = str(tmp_path / "met4.zarr")
     _collect(run_pyramid_step(spec.path, z4, how="sum"))
