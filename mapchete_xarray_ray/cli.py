@@ -54,6 +54,20 @@ def main(argv=None):
     df.add_argument("current")
     df.add_argument("previous")
     df.add_argument("--num-cpus", type=int, default=None)
+    inv = sub.add_parser(
+        "invalidate",
+        help="drop lineage records for tiles so a continue-mode execute "
+             "re-derives exactly them (pair with diff: "
+             "`diff CUR PREV > d.json; invalidate CUR --from-diff d.json`)")
+    inv.add_argument("archive")
+    inv.add_argument("--tiles", default=None,
+                     help="semicolon-separated row,col pairs, e.g. "
+                          "'3,4;3,5' (zoom taken from the archive)")
+    inv.add_argument("--from-diff", default=None,
+                     help="path to a JSON file holding the diff "
+                          "subcommand's output; its 'changed' list is "
+                          "invalidated")
+    inv.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
     import ray
@@ -132,6 +146,25 @@ def main(argv=None):
                             chg.column("tile_row").to_pylist(),
                             chg.column("tile_col").to_pylist())),
                 }))
+        elif args.cmd == "invalidate":
+            from mapchete_xarray_ray.sources.zarr_input import (
+                spec_from_archive,
+            )
+            from mapchete_xarray_ray.state.lineage import invalidate_tiles
+
+            zoom = spec_from_archive(args.archive).zoom
+            pairs = []
+            if args.tiles:
+                pairs += [tuple(int(v) for v in t.split(","))
+                          for t in args.tiles.split(";") if t]
+            if args.from_diff:
+                with open(args.from_diff) as f:
+                    pairs += [tuple(rc) for rc in json.load(f)["changed"]]
+            if not pairs:
+                raise SystemExit("invalidate: pass --tiles and/or --from-diff")
+            n = invalidate_tiles(args.archive,
+                                 [(zoom, r, c) for r, c in pairs])
+            print(json.dumps({"invalidated": n, "path": args.archive}))
         else:  # overviews: E3 chained until --min-zoom
             from mapchete_xarray_ray.pipelines.pyramid import run_pyramid_chain
 

@@ -71,3 +71,35 @@ def completed_tiles(store) -> set[int]:
         if (row, col) in chunk_tiles:
             done.add(int(pack_tile_id(zoom, row, col)))
     return done
+
+
+def _rm(path: str) -> None:
+    from mapchete_xarray_ray.sinks.zarr import _is_remote
+
+    if _is_remote(path):
+        from mapchete_xarray_ray.sinks.zarr import _fs
+
+        fs = _fs(path)
+        if fs.exists(path):
+            fs.rm(path)
+    elif os.path.exists(path):
+        os.unlink(path)
+
+
+def invalidate_tiles(archive_path: str, tiles) -> int:
+    """Drop the lineage records of ``tiles`` ((zoom, row, col) triples)
+    so a continue-mode run re-derives exactly them — the write half of
+    the incremental-recompute loop (``diff`` finds changed tiles,
+    ``invalidate`` marks them stale, ``execute`` in continue mode
+    recomputes only the marked set). Chunks are left in place: a tile
+    without a record is by definition torn/stale (module docstring) and
+    the recompute overwrites the same chunk bytes idempotently.
+    Returns the number of records actually removed."""
+    n = 0
+    existing = read_records(archive_path)
+    for zoom, row, col in tiles:
+        key = (int(zoom), int(row), int(col))
+        if key in existing:
+            _rm(record_path(archive_path, *key))
+            n += 1
+    return n

@@ -150,3 +150,45 @@ def test_cli_diff_empty_archives(tmp_path, capsys):
         ZarrTileStore(default_spec(p, dtype="uint16")).prepare()
     out = _run(capsys, ["diff", paths[0], paths[1]])
     assert out == {"tiles_compared": 0, "tiles_changed": 0, "changed": []}
+
+
+def test_incremental_loop_diff_invalidate_execute(tmp_path, capsys,
+                                                  pages_dir):
+    """The full incremental-recompute loop: execute -> invalidate two
+    tiles (one via --tiles, one via --from-diff) -> continue-mode
+    execute re-derives EXACTLY those; the recomputed archive is
+    byte-identical to the original (diff vs a pristine copy -> 0)."""
+    import shutil
+
+    spec = {"path": str(tmp_path / "inc.zarr"), "zoom": 5,
+            "bounds": [-180.0, 45.0, -135.0, 90.0],
+            "band_names": ["count", "count_en", "count_long"],
+            "dtype": "uint16", "input": {"path": pages_dir}}
+    spec_path = str(tmp_path / "inc.json")
+    json.dump(spec, open(spec_path, "w"))
+
+    first = _run(capsys, ["execute", spec_path])
+    assert first["tiles_written"] >= 2
+    pristine = str(tmp_path / "pristine.zarr")
+    shutil.copytree(spec["path"], pristine)
+
+    from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+    from mapchete_xarray_ray.sources.zarr_input import spec_from_archive
+
+    tiles = sorted(ZarrTileStore(spec_from_archive(spec["path"]))
+                   .existing_tiles())[:2]
+    diff_file = str(tmp_path / "d.json")
+    json.dump({"changed": [list(tiles[1])]}, open(diff_file, "w"))
+    inv = _run(capsys, ["invalidate", spec["path"],
+                        "--tiles", f"{tiles[0][0]},{tiles[0][1]}",
+                        "--from-diff", diff_file])
+    assert inv["invalidated"] == 2
+    # a second invalidate of the same tiles is a no-op
+    again = _run(capsys, ["invalidate", spec["path"],
+                          "--tiles", f"{tiles[0][0]},{tiles[0][1]}"])
+    assert again["invalidated"] == 0
+
+    redo = _run(capsys, ["execute", spec_path])
+    assert redo["tiles_written"] == 2
+    out = _run(capsys, ["diff", spec["path"], pristine])
+    assert out["tiles_changed"] == 0
