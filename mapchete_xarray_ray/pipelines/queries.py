@@ -853,11 +853,19 @@ def _minhash_pairs_ds(sf_dir: str) -> "ray.data.MaterializedDataset":
 def q_minhash_neardup(sf_dir: str):
     """MinHash+LSH near-dup pairs with exact-Jaccard verify >= 0.5.
 
-    SQL-exact since the shingle hash moved to FNV-1a (see
-    ``_minhash_ctes``): the DuckDB twin reproduces signatures, band
-    hashes, LSH candidates and the integer-threshold verify
-    bit-for-bit. Pair-exactness vs a sequential brute-force oracle is
-    additionally tested in tests/test_dedup.py.
+    SQL-exact BELOW the degenerate-bucket valve threshold: with the
+    FNV-1a shingle hash (see ``_minhash_ctes``) the DuckDB twin
+    reproduces signatures, band hashes, LSH candidates and the
+    integer-threshold verify bit-for-bit as long as no band segment
+    holds more than ``max_segment`` (1024) signature-identical docs.
+    Above that — an identical-doc flood — the valve in
+    ``minhash_pairs_pipeline`` deliberately emits a star around the
+    segment representative instead of the quadratic all-pairs listing,
+    so the pair SET differs from ``SQL_MINHASH_NEARDUP`` while the
+    connected components (what dedup consumes) stay identical; see the
+    component-equivalence proof in stages/dedup.py. Pair-exactness vs
+    a sequential brute-force oracle is additionally tested in
+    tests/test_dedup.py.
     """
     return _schema_finalize(_minhash_pairs_ds(sf_dir),
                             {"id_a": pa.int64(), "id_b": pa.int64()})
@@ -1683,7 +1691,7 @@ def _hash_init_cte(n: int) -> str:
     return f"""hinit AS (
   SELECT vec_id, eq,
          row_number() OVER (
-           ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+           ORDER BY (vec_id::HUGEINT * 2654435761) % 4294967296, vec_id
          ) - 1 AS c
   FROM el QUALIFY c < {n}
 )"""
@@ -6937,63 +6945,14 @@ FROM events GROUP BY event_type
 
 REGISTRY: dict[str, tuple] = {
     # Ordering is deliberate: the driver's correctness gate samples the
-    # FIRST 50 entries, so queries that still need a driver witness
-    # (never checked, or no_oracle last round) come first; r3-green
-    # queries with existing CORRECTNESS rows sit at the back.
-    "export_roundtrip": (q_export_roundtrip, _curation_sql(with_text=True)),
-    "pyramid_chain": (q_pyramid_chain, SQL_PYRAMID_CHAIN),
-    "dup_chunks": (q_dup_chunks, SQL_DUP_CHUNKS),
-    "props_rollup": (q_props_rollup, SQL_PROPS_ROLLUP),
-    "lang_len_quantiles": (q_lang_len_quantiles, SQL_LANG_LEN_QUANTILES),
-    "kmeans": (q_kmeans, SQL_KMEANS),
-    "focal_density": (q_focal_density, SQL_FOCAL_DENSITY),
-    "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
-    "grouping_cube": (q_grouping_cube, SQL_GROUPING_CUBE),
-    "focal_pixels": (q_focal_pixels, SQL_FOCAL_PIXELS),
-    "archive_diff": (q_archive_diff, SQL_ARCHIVE_DIFF),
-    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
-    "top_terms_df": (q_top_terms_df, SQL_TOP_TERMS_DF),
-    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
-    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
-    "lang_rebalance": (q_lang_rebalance, SQL_LANG_REBALANCE),
-    "repetition": (q_repetition, SQL_REPETITION),
-    "model_score": (q_model_score, SQL_MODEL_SCORE),
-    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
-    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
-    "centroid_classify": (q_centroid_classify, SQL_CENTROID_CLASSIFY),
-    "price_quantile_sketch": (q_price_quantile_sketch,
-                              SQL_PRICE_QUANTILE_SKETCH),
-    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
-    "top_users_per_type": (q_top_users_per_type, SQL_TOP_USERS_PER_TYPE),
-    "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
-    "pip_antijoin": (q_pip_antijoin, SQL_PIP_ANTIJOIN),
-    "customers_with_orders": (q_customers_with_orders,
-                              SQL_CUSTOMERS_WITH_ORDERS),
-    "customer_order_profile": (q_customer_order_profile,
-                               SQL_CUSTOMER_ORDER_PROFILE),
-    "events_dedup_horizon": (q_events_dedup_horizon,
-                             SQL_EVENTS_DEDUP_HORIZON),
-    "lineitem_rollup": (q_lineitem_rollup, SQL_LINEITEM_ROLLUP),
-    "events_late": (q_events_late, SQL_EVENTS_LATE),
-    "best_per_source": (q_best_per_source, SQL_BEST_PER_SOURCE),
-    "customer_revenue": (q_customer_revenue, SQL_CUSTOMER_REVENUE),
-    "lang_centroid": (q_lang_centroid, SQL_LANG_CENTROID),
-    "pii_scrub": (q_pii_scrub, _pii_sql()),
-    "events_rank": (q_events_rank, SQL_EVENTS_RANK),
-    "events_sorted_head": (q_events_sorted_head, SQL_EVENTS_SORTED_HEAD),
-    "funnel": (q_funnel, SQL_FUNNEL),
-    "retention": (q_retention, SQL_RETENTION),
-    "pagerank": (q_pagerank, SQL_PAGERANK),
-    "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "emb_neardup_lsh": (q_emb_neardup_lsh, _emb_lsh_sql()),
-    "ann_lsh": (q_ann_lsh, _ann_lsh_sql()),
-    "ann_ivf": (q_ann_ivf, _ann_ivf_sql()),
-    "ann_pq": (q_ann_pq, _ann_pq_sql()),
-    "store_roundtrip": (q_store_roundtrip, SQL_RASTERIZE_ROUNDTRIP),
-    "pyramid_roundtrip": (q_pyramid_roundtrip, SQL_PYRAMID_ROUNDTRIP),
-    "tile_assign": (q_tile_assign, SQL_TILE_ASSIGN),
+    # FIRST 50 entries. Round-5 rotation (per VERDICT r4 ask #1): the
+    # 41 queries whose last driver witness predates the round-4
+    # infrastructure changes (collect.py single-execution path,
+    # zarr-sink write metrics, _regroup widths) fill slots 1-41; slots
+    # 42-50 are the nine r4-green queries whose code round 5 touches
+    # (ann.py parity fixes, minhash docstring/valve, diff.py refresh,
+    # zarr-sink verify). The remaining 41 r4-witnessed queries sit at
+    # the back with green CORRECTNESS_r04 rows under unchanged code.
     "pip_join": (q_pip_join, SQL_PIP_JOIN),
     "knn": (q_knn, SQL_KNN),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
@@ -7039,6 +6998,62 @@ REGISTRY: dict[str, tuple] = {
     "lineitem_p95": (q_lineitem_p95, SQL_LINEITEM_P95),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "store_roundtrip_time": (q_store_roundtrip_time, SQL_STORE_ROUNDTRIP_TIME),
+    # --- slots 42-50: r4-green, code touched in round 5 -------------
+    "ann_ivf": (q_ann_ivf, _ann_ivf_sql()),
+    "ann_lsh": (q_ann_lsh, _ann_lsh_sql()),
+    "ann_pq": (q_ann_pq, _ann_pq_sql()),
+    "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "archive_diff": (q_archive_diff, SQL_ARCHIVE_DIFF),
+    "store_roundtrip": (q_store_roundtrip, SQL_RASTERIZE_ROUNDTRIP),
+    "export_roundtrip": (q_export_roundtrip, _curation_sql(with_text=True)),
+    "pyramid_chain": (q_pyramid_chain, SQL_PYRAMID_CHAIN),
+    # --- back 41: r4-witnessed green, code unchanged this round -----
+    "dup_chunks": (q_dup_chunks, SQL_DUP_CHUNKS),
+    "props_rollup": (q_props_rollup, SQL_PROPS_ROLLUP),
+    "lang_len_quantiles": (q_lang_len_quantiles, SQL_LANG_LEN_QUANTILES),
+    "kmeans": (q_kmeans, SQL_KMEANS),
+    "focal_density": (q_focal_density, SQL_FOCAL_DENSITY),
+    "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
+    "grouping_cube": (q_grouping_cube, SQL_GROUPING_CUBE),
+    "focal_pixels": (q_focal_pixels, SQL_FOCAL_PIXELS),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "top_terms_df": (q_top_terms_df, SQL_TOP_TERMS_DF),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
+    "lang_rebalance": (q_lang_rebalance, SQL_LANG_REBALANCE),
+    "repetition": (q_repetition, SQL_REPETITION),
+    "model_score": (q_model_score, SQL_MODEL_SCORE),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "centroid_classify": (q_centroid_classify, SQL_CENTROID_CLASSIFY),
+    "price_quantile_sketch": (q_price_quantile_sketch,
+                              SQL_PRICE_QUANTILE_SKETCH),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "top_users_per_type": (q_top_users_per_type, SQL_TOP_USERS_PER_TYPE),
+    "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
+    "pip_antijoin": (q_pip_antijoin, SQL_PIP_ANTIJOIN),
+    "customers_with_orders": (q_customers_with_orders,
+                              SQL_CUSTOMERS_WITH_ORDERS),
+    "customer_order_profile": (q_customer_order_profile,
+                               SQL_CUSTOMER_ORDER_PROFILE),
+    "events_dedup_horizon": (q_events_dedup_horizon,
+                             SQL_EVENTS_DEDUP_HORIZON),
+    "lineitem_rollup": (q_lineitem_rollup, SQL_LINEITEM_ROLLUP),
+    "events_late": (q_events_late, SQL_EVENTS_LATE),
+    "best_per_source": (q_best_per_source, SQL_BEST_PER_SOURCE),
+    "customer_revenue": (q_customer_revenue, SQL_CUSTOMER_REVENUE),
+    "lang_centroid": (q_lang_centroid, SQL_LANG_CENTROID),
+    "pii_scrub": (q_pii_scrub, _pii_sql()),
+    "events_rank": (q_events_rank, SQL_EVENTS_RANK),
+    "events_sorted_head": (q_events_sorted_head, SQL_EVENTS_SORTED_HEAD),
+    "funnel": (q_funnel, SQL_FUNNEL),
+    "retention": (q_retention, SQL_RETENTION),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
+    "emb_neardup_lsh": (q_emb_neardup_lsh, _emb_lsh_sql()),
+    "pyramid_roundtrip": (q_pyramid_roundtrip, SQL_PYRAMID_ROUNDTRIP),
+    "tile_assign": (q_tile_assign, SQL_TILE_ASSIGN),
 }
 
 # Interop demonstrations: correctness-gated like every other query,

@@ -734,7 +734,12 @@ def hash_init_vectors(corpus: "ray.data.Dataset", n: int,
     hash-uniform 'sample' whose selection is a bounded distributed
     top-n (each batch emits at most n rows, the driver merges
     n x blocks rows), exactly expressible in SQL as ORDER BY hash,
-    vec_id LIMIT n. Returns the (n', dim) QUANTIZED int64 matrix in
+    vec_id LIMIT n. Valid for the full non-negative int64 id range:
+    numpy's int64 product wraps mod 2^64, and since 2^32 divides 2^64
+    the floor-mod by 2^32 still yields the true hash; the SQL twin
+    computes the product in HUGEINT (``_hash_init_cte``) so it agrees
+    without overflow for ids beyond ~3.47e9. Returns the (n', dim)
+    QUANTIZED int64 matrix in
     (hash, id) order (n' = min(n, corpus)); cluster/code index k is
     the row position."""
 
@@ -853,9 +858,13 @@ def ivf_train_int(corpus: "ray.data.Dataset", n_clusters: int = 16,
         for ci in range(nc):
             if counts[ci] > 0:
                 s = np.array(sums[ci], dtype=np.int64)
-                q = normq_int(s)
-                if q.any() or s.any():
-                    new[ci] = q
+                # a non-empty cluster whose integer sum is the zero
+                # vector adopts the zero centroid — normq_int passes
+                # zeros through, and the SQL twin's _NORMQ ssq=0 branch
+                # does the same, so engine and twin agree even on this
+                # degenerate case (only empty clusters keep their
+                # previous centroid, the twin's coalesce(nv, v))
+                new[ci] = normq_int(s)
         cent = new
     return cent
 
@@ -980,16 +989,29 @@ def pq_train_int(corpus: "ray.data.Dataset", dim: int, m_sub: int = 8,
         if isinstance(vcol, pa.ChunkedArray):
             vcol = vcol.combine_chunks()
         vs = vcol.flatten().to_numpy(zero_copy_only=False).reshape(-1, ds_)
-        sums = np.zeros((len(books), kk, ds_), dtype=np.int64)
-        counts = np.zeros((len(books), kk), dtype=np.int64)
-        np.add.at(sums, (ms, ks), vs)
-        np.add.at(counts, (ms, ks), n)
+        # merge partials in PYTHON ints, same as ivf_train_int:
+        # per-component corpus sums can approach int64 range at scale
+        # and numpy would wrap silently; the merge array is only
+        # m_sub x n_codes x ds_ so python-int work is trivial
+        sums = [[[0] * ds_ for _ in range(kk)] for _ in range(len(books))]
+        counts = [[0] * kk for _ in range(len(books))]
+        for row in range(len(ms)):
+            mi, ki = int(ms[row]), int(ks[row])
+            counts[mi][ki] += int(n[row])
+            rv = vs[row]
+            sc = sums[mi][ki]
+            for j in range(ds_):
+                sc[j] += int(rv[j])
         new = books.copy()
-        nz = counts > 0
-        # floor(s/n) via double division — see docstring
-        upd = np.floor(sums[nz].astype(np.float64)
-                       / counts[nz][:, None]).astype(np.int64)
-        new[nz] = upd
+        for mi in range(len(books)):
+            for ki in range(kk):
+                if counts[mi][ki] > 0:
+                    # floor(s/n) via double division — see docstring;
+                    # exact python-int sum -> correctly-rounded double,
+                    # identical to the twin's floor(s::DOUBLE / n)
+                    new[mi, ki] = np.floor(
+                        np.array(sums[mi][ki], dtype=np.float64)
+                        / float(counts[mi][ki])).astype(np.int64)
         books = new
     return books
 

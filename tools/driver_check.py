@@ -1,8 +1,13 @@
 """Simulate the driver's correctness gate: run every registry query at
 a given sf dir and hash-compare against its DuckDB oracle SQL twin.
 
-Usage: python tools/driver_check.py [sf_dir] [query ...]
+Usage: python tools/driver_check.py [--json OUT.json] [sf_dir] [query ...]
 (defaults: /root/testdata/sf0.01, all queries)
+
+--json writes the full per-query result map to a file — the per-round
+full-registry witness VERDICT r4 asked to record alongside
+CORRECTNESS_rNN.json (the driver itself gates only the first 50
+registry slots).
 """
 
 from __future__ import annotations
@@ -48,8 +53,14 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False,
                  logging_level="ERROR")
@@ -62,7 +73,7 @@ def main():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     qs, sqls = E.queries(), E.oracle_sql()
-    fails = []
+    fails, results = [], {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -71,11 +82,14 @@ def main():
             mine = to_pandas(fn(sf_dir))
         except Exception as ex:
             fails.append(name)
+            results[name] = {"err": repr(ex)}
             print(f"{name}: ERROR {ex!r}")
             continue
         dt = time.perf_counter() - t0
         sql = sqls.get(name)
         if sql is None:
+            results[name] = {"rows_only": len(mine), "err": None,
+                             "sec": round(dt, 2)}
             print(f"{name}: rows-only ({len(mine)} rows) [{dt:.2f}s]")
             continue
         oracle = con.execute(sql).fetchdf()
@@ -85,9 +99,19 @@ def main():
         status = "PASS" if (rows and schema and h) else "FAIL"
         if status == "FAIL":
             fails.append(name)
+        results[name] = {"rows_match": rows, "schema_match": schema,
+                         "hash_match": h, "ray_rows": len(mine),
+                         "oracle_rows": len(oracle), "err": None,
+                         "sec": round(dt, 2)}
         print(f"{name}: {status} rows={len(mine)}/{len(oracle)} "
               f"schema={schema} hash={h} [{dt:.2f}s]")
     print(f"\n{'ALL GREEN' if not fails else 'FAILURES: ' + str(fails)}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n": len(results),
+                       "failures": fails, "results": results}, f, indent=1)
     ray.shutdown()
     sys.exit(1 if fails else 0)
 
