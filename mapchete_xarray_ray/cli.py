@@ -68,6 +68,25 @@ def main(argv=None):
                           "subcommand's output; its 'changed' list is "
                           "invalidated")
     inv.add_argument("--num-cpus", type=int, default=None)
+    rf = sub.add_parser(
+        "refresh",
+        help="diff + invalidate + continue-mode execute in one pass: "
+             "re-derive from --input exactly the tiles whose bytes "
+             "diverged from the previous generation")
+    rf.add_argument("current", help="archive to refresh in place")
+    rf.add_argument("previous", help="trusted previous-generation archive")
+    rf.add_argument("--input", required=True,
+                    help="pages parquet path/dir to re-derive from")
+    rf.add_argument("--num-cpus", type=int, default=None)
+    vf = sub.add_parser(
+        "verify",
+        help="lineage audit: re-read every tile and re-derive its crc32 "
+             "against the lineage record — catches silent chunk "
+             "corruption the existence-based resume probe cannot see "
+             "(pair with invalidate: `verify A > v.json` then "
+             "invalidate the bad tiles and re-execute)")
+    vf.add_argument("archive")
+    vf.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
     import ray
@@ -165,6 +184,16 @@ def main(argv=None):
             n = invalidate_tiles(args.archive,
                                  [(zoom, r, c) for r, c in pairs])
             print(json.dumps({"invalidated": n, "path": args.archive}))
+        elif args.cmd == "verify":
+            from mapchete_xarray_ray.pipelines.audit import audit_summary
+
+            print(json.dumps(audit_summary(args.archive)))
+        elif args.cmd == "refresh":
+            from mapchete_xarray_ray.pipelines.diff import refresh_archive
+
+            pages = ray.data.read_parquet(args.input)
+            print(json.dumps(refresh_archive(pages, args.current,
+                                             args.previous)))
         else:  # overviews: E3 chained until --min-zoom
             from mapchete_xarray_ray.pipelines.pyramid import run_pyramid_chain
 

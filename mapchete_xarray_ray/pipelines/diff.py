@@ -57,16 +57,26 @@ def archive_diff_ds(cur_path: str, old_path: str) -> ray.data.Dataset:
         old = ZarrTileStore(ray.get(old_ref))
         rows = batch.column("tile_row").to_numpy(zero_copy_only=False)
         cols = batch.column("tile_col").to_numpy(zero_copy_only=False)
+        def read_bytes(store, r, c):
+            # an undecodable chunk (truncated write, bit rot) is BY
+            # DEFINITION divergent — surface it as changed so the
+            # refresh loop repairs it, instead of killing the whole
+            # diff on one corrupt object
+            try:
+                return np.ascontiguousarray(store.read_tile(r, c)).tobytes()
+            except Exception:
+                return None
+
         tid, chg = [], []
         for r, c in zip(rows, cols):
-            a = cur.read_tile(int(r), int(c))
-            b = old.read_tile(int(r), int(c))
+            a = read_bytes(cur, int(r), int(c))
+            b = read_bytes(old, int(r), int(c))
             tid.append(int(pack_tile_id(zoom, int(r), int(c))))
             # raw bytes, not np.array_equal: NaN != NaN would mark
             # byte-identical float tiles changed (shape/dtype already
             # match via the spec guard)
-            chg.append(0 if np.ascontiguousarray(a).tobytes()
-                       == np.ascontiguousarray(b).tobytes() else 1)
+            chg.append(0 if (a is not None and b is not None and a == b)
+                       else 1)
         return pa.table({"tile_id": pa.array(tid, pa.int64()),
                          "tile_row": batch.column("tile_row").cast(pa.int64()),
                          "tile_col": batch.column("tile_col").cast(pa.int64()),
@@ -78,3 +88,66 @@ def archive_diff_ds(cur_path: str, old_path: str) -> ray.data.Dataset:
     return (ray.data.from_arrow(work)
             .repartition(nblocks_for_cluster(1.0, lo=4))
             .map_batches(diff_tiles, batch_format="pyarrow"))
+
+
+def refresh_archive(pages: ray.data.Dataset, cur_path: str, prev_path: str,
+                    process_fn=None) -> dict:
+    """The incremental-recompute loop as ONE composed pipeline:
+
+        archive_diff(cur, prev) -> invalidate_tiles(cur, changed)
+        -> continue-mode run_pipeline(pages, spec(cur))
+
+    ``cur`` is refreshed IN PLACE from ``pages``; ``prev`` is the
+    trusted previous generation. Tiles whose bytes are identical
+    across the two generations keep their chunks AND lineage records,
+    so the continue-mode pass drops their rows before the shuffle and
+    never touches their files (the reference's tile-exists semantics,
+    tests/test_driver.py:107-118, across generations). Tiles that
+    diverged lose exactly their lineage record and are re-derived from
+    ``pages`` (idempotent: the rewrite replaces the same chunk paths
+    via temp+rename).
+
+    Scale shape: the diff is shuffle-free (tile grid = partitioning),
+    invalidation is |changed| tiny deletes from the driver, and the
+    recompute pays the narrow extract/assign scan over ``pages`` plus
+    a shuffle of ONLY the rows landing in stale tiles (complete tiles
+    are filtered before the exchange).
+
+    A changed tile with NO rows in ``pages`` stays invalidated (chunks
+    present, record absent — the torn-write state, recomputed by the
+    next run that has input for it); the summary reports these under
+    ``stale_uncovered``.
+    """
+    import pyarrow.compute as pc
+
+    from mapchete_xarray_ray.collect import collect_table
+    from mapchete_xarray_ray.pipelines.flagship import run_pipeline
+    from mapchete_xarray_ray.state.lineage import invalidate_tiles
+
+    spec = spec_from_archive(cur_path)
+    tbl = collect_table(archive_diff_ds(cur_path, prev_path))
+    if tbl.num_rows:
+        chg = tbl.filter(pc.equal(tbl.column("changed"), 1))
+        pairs = sorted(zip(chg.column("tile_row").to_pylist(),
+                           chg.column("tile_col").to_pylist()))
+    else:
+        pairs = []
+    invalidated = invalidate_tiles(
+        cur_path, [(spec.zoom, r, c) for r, c in pairs])
+    summary = collect_table(
+        run_pipeline(pages, spec, mode="continue", process_fn=process_fn))
+    if summary.num_rows:
+        recomputed = sorted(zip(summary.column("tile_row").to_pylist(),
+                                summary.column("tile_col").to_pylist()))
+    else:
+        recomputed = []
+    return {
+        "tiles_compared": int(tbl.num_rows),
+        "tiles_changed": len(pairs),
+        "invalidated": invalidated,
+        "tiles_recomputed": len(recomputed),
+        "changed": [[int(r), int(c)] for r, c in pairs],
+        "recomputed": [[int(r), int(c)] for r, c in recomputed],
+        "stale_uncovered": [[int(r), int(c)] for r, c in pairs
+                            if (r, c) not in set(recomputed)],
+    }

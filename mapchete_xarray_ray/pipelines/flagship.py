@@ -285,11 +285,17 @@ def _tile_writer(spec: JobSpec, process_fn=None):
         # build first, then time ONLY the store write: "write_ms" must
         # mean the same thing in every record (a compute-skewed tile is
         # identifiable from rows_in/bytes; a slow STORE from write_ms)
+        time_idxs = None
         if spec.time is not None:
             ts = group.column("warc_ts").to_numpy(zero_copy_only=False)
             uniq = np.array(sorted(set(ts.tolist())), dtype="datetime64[us]")
             per_t = [grids(pix[ts == t], en[ts == t], lt[ts == t]) for t in uniq]
             written_arr = np.stack(per_t, axis=1)  # (bands, T, h, w)
+            # positions written into the archive's time coordinate —
+            # recorded in lineage so the audit (pipelines/audit.py) can
+            # re-read EXACTLY the written slices and re-derive the crc
+            coord = list(spec.timestamps)
+            time_idxs = [coord.index(t) for t in uniq]
             w0 = time.perf_counter()
             n_chunks = store.write_tile(row, col, written_arr,
                                         timestamps=uniq)
@@ -304,14 +310,17 @@ def _tile_writer(spec: JobSpec, process_fn=None):
 
         tile_cell = int(cell_encode(np.array([row]), np.array([col]),
                                     spec.zoom).astype(np.int64)[0])
-        write_record(spec.path, {
+        rec = {
             "tile_id": tile_id, "zoom": zoom, "tile_row": row, "tile_col": col,
             "rows_in": group.num_rows, "chunks_written": n_chunks,
             "checksum": int(checksum),
             "cell_range": [tile_cell, tile_cell],
             "metrics": {"write_ms": write_ms,
                         "bytes": int(written_arr.nbytes)},
-        })
+        }
+        if time_idxs is not None:
+            rec["time_idxs"] = time_idxs
+        write_record(spec.path, rec)
         return pa.table({
             "tile_id": pa.array([tile_id], pa.int64()),
             "tile_row": pa.array([row], pa.int64()),

@@ -7,13 +7,20 @@ setup happens once per actor in ``__init__`` (ST3 pattern), batches
 stay SMALL (wide binary rows — SURVEY.md §7 hard part 6; pass
 ``batch_size=`` explicitly at call sites).
 
-The decode libraries (Pillow/ffmpeg/torchaudio) are NOT in this
-container, so the codec step is STUBBED: ``backend="fake"`` (default)
+The decode libraries (Pillow/PyAV/torchaudio) are NOT in this
+container, so the default codec step is STUBBED: ``backend="fake"``
 derives deterministic per-item features from the payload bytes (real
-Ray plumbing — schema, batching, actor lifecycle — with fake pixels);
-``backend="pil"``-style real backends raise ``NotImplementedError``
-until the dependency exists. The stage interface (input/output
-schema) is what downstream stages compile against and is fully tested.
+Ray plumbing — schema, batching, actor lifecycle — with fake pixels).
+The REAL backends are implemented behind import guards and
+self-upgrade the moment the library exists in the environment:
+``backend="pil"`` (ImageDecodeStage, Pillow) and ``backend="ffmpeg"``
+(FrameSampleStage, PyAV) decode actual payloads into the SAME output
+schema; constructing them without the library raises
+``NotImplementedError`` from the original ImportError. Backend
+selection is tested both ways (tests/test_multimodal.py: the
+real-decode tests ``importorskip`` when the libs are absent). The
+stage interface (input/output schema) is what downstream stages
+compile against and is fully tested under the fake backend.
 """
 
 from __future__ import annotations
@@ -36,15 +43,29 @@ class ImageDecodeStage:
 
     def __init__(self, backend: str = "fake", target_size: int = 64,
                  id_col: str = "id", payload_col: str = "payload"):
-        if backend not in ("fake",):
+        self._pil = None
+        if backend == "pil":
+            # import guard: the stage upgrades to a real decoder the
+            # moment Pillow exists; until then the error names the
+            # missing dependency instead of failing mid-batch
+            try:
+                from PIL import Image
+            except ImportError as ex:
+                raise NotImplementedError(
+                    "image backend 'pil' requires Pillow, which is not "
+                    "available in this environment; use backend='fake'"
+                ) from ex
+            self._pil = Image
+        elif backend != "fake":
             raise NotImplementedError(
-                f"image backend {backend!r} requires a decode library that "
-                "is not available in this environment; use backend='fake'"
+                f"image backend {backend!r} is not supported; "
+                "use backend='fake' or backend='pil'"
             )
+        self.backend = backend
         self.target_size = target_size
         self.id_col = id_col
         self.payload_col = payload_col
-        # expensive setup (model load / codec init) would happen HERE,
+        # expensive setup (model load / codec init) happens HERE,
         # once per actor — not per batch.
 
     def _decode_fake(self, buf: bytes):
@@ -61,7 +82,40 @@ class ImageDecodeStage:
         height = 16 + (int(hist[1]) % 256)
         return width, height, hist / len(arr)
 
+    def _decode_pil(self, buf: bytes):
+        """Real decode: true dims from the container, features = the
+        same 8-bucket brightness histogram as the fake path, but over
+        the grayscale pixels of the ``target_size``-resized image.
+        Undecodable/empty payloads yield (0, 0, zeros) rather than
+        killing the batch."""
+        from io import BytesIO
+
+        try:
+            img = self._pil.open(BytesIO(buf))
+            width, height = img.size
+            g = img.convert("L").resize((self.target_size, self.target_size))
+        except Exception:
+            return 0, 0, np.zeros(IMAGE_FEATURE_DIM)
+        px = np.asarray(g, dtype=np.uint8).ravel()
+        hist = np.bincount(px >> 5,
+                           minlength=IMAGE_FEATURE_DIM)[:IMAGE_FEATURE_DIM]
+        return int(width), int(height), hist / px.size
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._pil is not None:
+            # codec calls are inherently per-item; parallelism comes
+            # from the actor pool across batches, not within one
+            out = [self._decode_pil(buf or b"")
+                   for buf in batch.column(self.payload_col).to_pylist()]
+            feats = (np.stack([f for _, _, f in out]) if out
+                     else np.zeros((0, IMAGE_FEATURE_DIM)))
+            return pa.table({
+                self.id_col: batch.column(self.id_col),
+                "width": pa.array([w for w, _, _ in out], pa.int64()),
+                "height": pa.array([h for _, h, _ in out], pa.int64()),
+                "feature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1)), IMAGE_FEATURE_DIM),
+            })
         # vectorized over the batch: dims and histogram features come
         # from ONE concatenated-bytes pass with a segment bincount
         # (np.add.at on (row, bucket)), not a python loop body per
@@ -101,18 +155,61 @@ class FrameSampleStage:
 
     def __init__(self, backend: str = "fake", stride: int = 2,
                  id_col: str = "id", payload_col: str = "payload"):
-        if backend not in ("fake",):
+        self._av = None
+        if backend == "ffmpeg":
+            # import guard: upgrades to a real demux/decode (PyAV wraps
+            # the ffmpeg libraries) the moment the dependency exists
+            try:
+                import av
+            except ImportError as ex:
+                raise NotImplementedError(
+                    "video backend 'ffmpeg' requires PyAV, which is not "
+                    "available in this environment; use backend='fake'"
+                ) from ex
+            self._av = av
+        elif backend != "fake":
             raise NotImplementedError(
-                f"video backend {backend!r} not available; use backend='fake'"
+                f"video backend {backend!r} is not supported; "
+                "use backend='fake' or backend='ffmpeg'"
             )
+        self.backend = backend
         self.stride = stride
         self.id_col = id_col
         self.payload_col = payload_col
+
+    def _frames_ffmpeg(self, buf: bytes):
+        """Real demux+decode: every ``stride``-th decoded video frame
+        as raw rgb24 bytes. ``n_frames`` is ignored — the container
+        knows its own frame count. Undecodable payloads yield no
+        frames (the row disappears, flat_map semantics)."""
+        from io import BytesIO
+
+        out = []
+        try:
+            with self._av.open(BytesIO(buf)) as container:
+                for fi, frame in enumerate(container.decode(video=0)):
+                    if fi % self.stride == 0:
+                        out.append(
+                            (fi, frame.to_ndarray(format="rgb24").tobytes()))
+        except Exception:
+            return []
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids_out, idx_out, frames = [], [], []
         ids = batch.column(self.id_col).to_pylist()
         payloads = batch.column(self.payload_col).to_pylist()
+        if self._av is not None:
+            for i, buf in enumerate(payloads):
+                for fi, fbuf in self._frames_ffmpeg(buf or b""):
+                    ids_out.append(ids[i])
+                    idx_out.append(fi)
+                    frames.append(fbuf)
+            return pa.table({
+                self.id_col: pa.array(ids_out, pa.int64()),
+                "frame_idx": pa.array(idx_out, pa.int64()),
+                "frame_payload": pa.array(frames, pa.binary()),
+            })
         nframes = batch.column("n_frames").to_pylist()
         for i, (buf, nf) in enumerate(zip(payloads, nframes)):
             buf = buf or b""

@@ -42,11 +42,74 @@ def test_image_decode_schema_and_determinism():
     assert row.column("width").to_pylist() == direct.column("width").to_pylist()
 
 
-def test_real_backend_is_stubbed():
-    with pytest.raises(NotImplementedError, match="fake"):
-        ImageDecodeStage(backend="pil")
+def test_unknown_backend_raises():
     with pytest.raises(NotImplementedError):
-        FrameSampleStage(backend="ffmpeg")
+        ImageDecodeStage(backend="nope")
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(backend="webm")
+
+
+def test_real_backends_guarded_when_libs_absent():
+    """backend='pil'/'ffmpeg' must fail at CONSTRUCTION with a clear
+    dependency message when the decode library is missing — never
+    mid-batch. Skipped where the libraries exist (the upgrade tests
+    below take over)."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            ImageDecodeStage(backend="pil")
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="PyAV"):
+            FrameSampleStage(backend="ffmpeg")
+
+
+def test_pil_backend_decodes_real_png():
+    """Self-upgrading backend: runs only where Pillow exists (skips in
+    environments without it)."""
+    Image = pytest.importorskip("PIL.Image")
+    from io import BytesIO
+
+    img = Image.new("L", (20, 10), color=200)
+    buf = BytesIO()
+    img.save(buf, format="PNG")
+    stage = ImageDecodeStage(backend="pil", target_size=8)
+    out = stage(pa.table({"id": pa.array([1], pa.int64()),
+                          "payload": pa.array([buf.getvalue()], pa.binary())}))
+    assert out.column("width").to_pylist() == [20]
+    assert out.column("height").to_pylist() == [10]
+    feats = np.array(out.column("feature").to_pylist()[0])
+    assert feats.sum() == pytest.approx(1.0)  # histogram normalized
+    assert feats[200 >> 5] == pytest.approx(1.0)  # constant image
+
+
+def test_ffmpeg_backend_decodes_real_video():
+    """Self-upgrading backend: runs only where PyAV exists."""
+    av = pytest.importorskip("av")
+    from io import BytesIO
+
+    raw = BytesIO()
+    with av.open(raw, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=5)
+        stream.width, stream.height = 16, 16
+        stream.pix_fmt = "yuv420p"
+        for i in range(6):
+            frame = av.VideoFrame.from_ndarray(
+                np.full((16, 16, 3), i * 40, dtype=np.uint8), format="rgb24")
+            for pkt in stream.encode(frame):
+                container.mux(pkt)
+        for pkt in stream.encode():
+            container.mux(pkt)
+    stage = FrameSampleStage(backend="ffmpeg", stride=2)
+    out = stage(pa.table({
+        "id": pa.array([7], pa.int64()),
+        "payload": pa.array([raw.getvalue()], pa.binary()),
+        "n_frames": pa.array([6], pa.int64())}))
+    assert out.column("frame_idx").to_pylist() == [0, 2, 4]
+    assert all(len(b) == 16 * 16 * 3
+               for b in out.column("frame_payload").to_pylist())
 
 
 def test_frame_sampling_flatmap_shape():
