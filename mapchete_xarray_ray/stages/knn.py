@@ -63,7 +63,21 @@ _EMPTY = pa.table({
 })
 
 
-def _replicate(ncols: int, nrows: int, lo: int, hi: int, as_query: bool):
+_SALT_MULT = 64  # cap on segments per hot cell; also the fixed grp multiplier
+
+
+def _replicate(ncols: int, nrows: int, lo: int, hi: int, as_query: bool,
+               salt=None):
+    """Replicate rows to the cells of the (lo, hi] Chebyshev shell.
+
+    ``salt``: None, or a ``ray.put`` ref to ``(cells_sorted, s_per_cell)``
+    — the A5 hot-cell split. A hot cell's CANDIDATES are partitioned
+    into ``s`` disjoint segments by id hash; its QUERIES are replicated
+    to all ``s`` segments, so every (query, candidate) pair still meets
+    exactly once and the per-task distance matrix is bounded by the
+    segment size instead of the cell size. The group key becomes
+    ``grp * _SALT_MULT + seg`` (seg=0 everywhere when salt is None, so
+    salted and unsalted plans shuffle the same key space shape)."""
     dr, dc = _shell_offsets(lo, hi)
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -77,19 +91,47 @@ def _replicate(ncols: int, nrows: int, lo: int, hi: int, as_query: bool):
         valid = (rows >= 0) & (rows < nrows)
         idx = np.broadcast_to(np.arange(n)[:, None], rows.shape)[valid]
         grp = rows[valid] * ncols + cols[valid]
+        if salt is None:
+            grp_out, idx_out = grp * _SALT_MULT, idx
+        else:
+            cells, svals = ray.get(salt)
+            s = np.ones(len(grp), dtype=np.int64)
+            if len(cells):
+                pos = np.minimum(np.searchsorted(cells, grp), len(cells) - 1)
+                hit = cells[pos] == grp
+                s[hit] = svals[pos[hit]]
+            if as_query:
+                # one copy per segment of each target cell
+                rep = np.repeat(np.arange(len(grp)), s)
+                starts = np.cumsum(s) - s
+                seg = np.arange(int(s.sum())) - np.repeat(starts, s)
+                grp_out, idx_out = grp[rep] * _SALT_MULT + seg, idx[rep]
+            else:
+                # candidates partition disjointly by id hash
+                ids = batch.column("id").to_numpy(
+                    zero_copy_only=False)[idx].astype(np.uint64)
+                seg = ((ids * np.uint64(2654435761))
+                       % s.astype(np.uint64)).astype(np.int64)
+                grp_out, idx_out = grp * _SALT_MULT + seg, idx
         return pa.table({
-            "id": batch.column("id").take(pa.array(idx)),
-            "x": batch.column("x").take(pa.array(idx)),
-            "y": batch.column("y").take(pa.array(idx)),
-            "grp": pa.array(grp),
-            "is_query": pa.array(np.full(len(grp), as_query)),
+            "id": batch.column("id").take(pa.array(idx_out)),
+            "x": batch.column("x").take(pa.array(idx_out)),
+            "y": batch.column("y").take(pa.array(idx_out)),
+            "grp": pa.array(grp_out),
+            "is_query": pa.array(np.full(len(grp_out), as_query)),
         })
 
     return fn
 
 
-def _cell_topk(k: int):
-    """Per-cell: top-k of each query copy vs the cell's candidates."""
+def _cell_topk(k: int, max_elems: int = 8_000_000):
+    """Per-cell(-segment): top-k of each query copy vs the group's
+    candidates. The (Q, C) float64 distance matrix is built in QUERY
+    CHUNKS of at most ``max_elems`` elements (64 MB), so one task's
+    peak memory is bounded no matter how many query copies land in a
+    group — the salting in :func:`knn_pipeline` bounds C; this bounds
+    Q x C. Chunking changes nothing semantically: each query row's
+    top-k is independent."""
 
     def fn(group: pa.Table) -> pa.Table:
         from mapchete_xarray_ray.stages.ann import rowwise_topk
@@ -100,14 +142,23 @@ def _cell_topk(k: int):
         ys = group.column("y").to_numpy(zero_copy_only=False)
         cid, cx, cy = ids[~isq], xs[~isq], ys[~isq]
         qid, qx, qy = ids[isq], xs[isq], ys[isq]
-        # full (Q, C) distance matrix + one vectorized lexsort — same
-        # float64 expression per pair as the scalar oracle
-        d2 = (qx[:, None] - cx[None, :]) ** 2 + (qy[:, None] - cy[None, :]) ** 2
-        q_sel, c_sel, _rank = rowwise_topk(d2, qid, cid, k)
+        out_q, out_c, out_d = [], [], []
+        step = max(1, max_elems // max(len(cid), 1))
+        for s in range(0, len(qid), step):
+            e = s + step
+            # same float64 expression per pair as the scalar oracle
+            d2 = ((qx[s:e, None] - cx[None, :]) ** 2
+                  + (qy[s:e, None] - cy[None, :]) ** 2)
+            q_sel, c_sel, _rank = rowwise_topk(d2, qid[s:e], cid, k)
+            out_q.append(qid[s:e][q_sel])
+            out_c.append(cid[c_sel])
+            out_d.append(d2[q_sel, c_sel])
+        cat = (lambda parts, dt: np.concatenate(parts) if parts
+               else np.empty(0, dtype=dt))
         return pa.table({
-            "id": pa.array(qid[q_sel], pa.int64()),
-            "neighbor_id": pa.array(cid[c_sel], pa.int64()),
-            "dist2": pa.array(d2[q_sel, c_sel], pa.float64()),
+            "id": pa.array(cat(out_q, np.int64), pa.int64()),
+            "neighbor_id": pa.array(cat(out_c, np.int64), pa.int64()),
+            "dist2": pa.array(cat(out_d, np.float64), pa.float64()),
         })
 
     return fn
@@ -228,12 +279,24 @@ def _semi_join_ids(pts: ray.data.Dataset,
 def knn_pipeline(points: ray.data.Dataset, k: int, cell_span: float,
                  ncols: int, nrows: int, origin_x: float = 0.0,
                  origin_y: float = 0.0, max_rounds: int = 16,
-                 broadcast_limit: int = KNN_BROADCAST_LIMIT) -> ray.data.Dataset:
+                 broadcast_limit: int = KNN_BROADCAST_LIMIT,
+                 hot_cell_limit: int = 16_384) -> ray.data.Dataset:
     """Exact kNN over a Dataset with columns (id:int64, x, y:float64).
 
     Returns a Dataset (id, neighbor_id, rank, dist2). The cell grid is
     ``nrows x ncols`` cells of edge ``cell_span`` anchored at
     (origin_x, origin_y), y growing DOWN (pixel/tile row order).
+
+    Skew (A5, same pre-count pattern as the flagship salted plan): a
+    cell holding more than ``hot_cell_limit`` points would otherwise
+    compute its quadratic distance matrix in ONE straggler task. The
+    pre-count is a per-batch partial -> small groupby (rows = occupied
+    cells) -> driver fold; hot cells split their candidates into
+    ``ceil(count / hot_cell_limit)`` (capped at ``_SALT_MULT``)
+    id-hash segments, and queries targeting a hot cell replicate to
+    every segment. Output is row-identical to the unsalted plan
+    (asserted in tests/test_skew.py): segments partition the cell's
+    candidates disjointly, so the per-id merge sees each pair once.
     """
 
     def add_cells(batch: pa.Table) -> pa.Table:
@@ -247,11 +310,44 @@ def knn_pipeline(points: ray.data.Dataset, k: int, cell_span: float,
     pts = points.map_batches(add_cells, batch_format="pyarrow").materialize()
     n_total = pts.count()
     need = min(k, max(n_total - 1, 0))
+
+    # A5 hot-cell pre-count over the materialized narrow projection
+    def cell_counts(batch: pa.Table) -> pa.Table:
+        g = (batch.column("crow").to_numpy(zero_copy_only=False) * ncols
+             + batch.column("ccol").to_numpy(zero_copy_only=False))
+        uniq, cnt = np.unique(g, return_counts=True)
+        return pa.table({"grp": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    from mapchete_xarray_ray.collect import arrow_block_refs
+
+    hot_cells, hot_s = [], []
+    counts = (pts.map_batches(cell_counts, batch_format="pyarrow")
+                 .groupby("grp").sum("n"))
+    for t in (ray.get(r) for r in arrow_block_refs(counts)):
+        if t.num_columns == 0 or t.num_rows == 0:
+            continue
+        g = t.column("grp").to_numpy(zero_copy_only=False)
+        n = t.column("sum(n)").to_numpy(zero_copy_only=False)
+        m = n > hot_cell_limit
+        if m.any():
+            hot_cells.append(g[m].astype(np.int64))
+            hot_s.append(np.minimum(
+                (n[m] + hot_cell_limit - 1) // hot_cell_limit,
+                _SALT_MULT).astype(np.int64))
+    salt = None
+    if hot_cells:
+        cells = np.concatenate(hot_cells)
+        svals = np.concatenate(hot_s)
+        order = np.argsort(cells)
+        salt = ray.put((cells[order], svals[order]))
+
     # lazy: in the common case the loop runs ONE round, so materializing
     # the candidate layout would cost an extra execution for nothing; a
     # second round recomputes it from the (materialized) pts — cheap
-    cand = pts.map_batches(_replicate(ncols, nrows, 0, 0, as_query=False),
-                           batch_format="pyarrow")
+    cand = pts.map_batches(
+        _replicate(ncols, nrows, 0, 0, as_query=False, salt=salt),
+        batch_format="pyarrow")
 
     finals = []
     unresolved = pts
@@ -260,7 +356,8 @@ def knn_pipeline(points: ray.data.Dataset, k: int, cell_span: float,
     while True:
         rounds += 1
         rep = unresolved.map_batches(
-            _replicate(ncols, nrows, max(prev_r, 0), radius, as_query=True),
+            _replicate(ncols, nrows, max(prev_r, 0), radius, as_query=True,
+                       salt=salt),
             batch_format="pyarrow",
         )
         # consolidate before each sort-shuffle: the exchange cost is

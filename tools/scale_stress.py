@@ -41,15 +41,25 @@ DEDUP_REPLICAS = int(os.environ.get("GRAFT_STRESS_REPLICAS", "10"))
 
 
 def _spill_lines() -> list[str]:
-    from ray._private.internal_api import memory_summary
-
     try:
+        from ray._private.internal_api import memory_summary
+
         txt = memory_summary(stats_only=True)
-    except Exception as ex:  # metrics endpoint flake: receipt, not gate
-        return [f"memory_summary unavailable: {ex!r}"]
-    return [ln.strip() for ln in txt.splitlines()
-            if "Spilled" in ln or "Plasma memory usage" in ln
-            or "Objects consumed" in ln]
+        return [ln.strip() for ln in txt.splitlines()
+                if "Spilled" in ln or "Plasma memory usage" in ln
+                or "Objects consumed" in ln]
+    except Exception:
+        pass
+    # no grpc in this container: read the spill directory directly —
+    # object-store pressure shows up as files under
+    # /tmp/ray/session_*/ray_spilled_objects
+    import glob
+
+    files = glob.glob("/tmp/ray/session_latest/ray_spilled_objects*/**",
+                      recursive=True)
+    files = [f for f in files if os.path.isfile(f)]
+    total = sum(os.path.getsize(f) for f in files)
+    return [f"spilled_files={len(files)} spilled_bytes={total}"]
 
 
 def _dedup_corpus(path: str) -> str:
