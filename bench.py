@@ -237,15 +237,22 @@ def main():
     # round 4 silently truncated the first ~15 query timings from the
     # artifact — persist the COMPLETE sweep (plus every raw run time,
     # so medians/spread are recoverable) to a file the repo keeps
-    bench_out = os.environ.get("GRAFT_BENCH_OUT",
-                               os.path.join(os.path.dirname(
-                                   os.path.abspath(__file__)),
-                                   "BENCH_FULL.json"))
-    try:
-        with open(bench_out, "w") as f:
-            json.dump({**result, "raw_runs": raw}, f, indent=1)
-    except OSError:
-        pass  # read-only checkout: stdout line already has the headline
+    bench_out = os.environ.get("GRAFT_BENCH_OUT")
+    if bench_out is None:
+        if os.environ.get("GRAFT_FLAGSHIP_ONLY"):
+            # never clobber the repo-kept COMPLETE sweep artifact with
+            # an empty-queries flagship-only run
+            bench_out = None
+        else:
+            bench_out = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_FULL.json")
+    if bench_out:
+        try:
+            with open(bench_out, "w") as f:
+                json.dump({**result, "raw_runs": raw}, f, indent=1)
+        except OSError:
+            pass  # read-only checkout: stdout line has the headline
     ray.shutdown()
 
 

@@ -22,16 +22,23 @@ Per-tile verdicts:
   classic torn write; continue mode already recomputes these);
 - ``missing_chunks``    — a record exists but its chunk files are gone
   (external deletion; continue mode would SKIP this tile forever, so
-  the audit is the only thing that catches it).
+  the audit is the only thing that catches it);
+- ``legacy_unverifiable`` — time-axis archive, record predates
+  ``time_idxs``, and the full-range crc does not match. The writer may
+  have covered only a subset of the time coordinate (the bundled
+  narrow path records its checksum over exactly the written slices),
+  so a full-range mismatch is NOT evidence of corruption — the record
+  simply cannot be re-derived. Distinct from ``checksum_mismatch`` so
+  operators are not told to recompute healthy tiles.
 
 Scale shape: same as the diff — no shuffle, the tile grid is the
 partitioning, each task re-reads a disjoint tile set and emits one
 tiny row. The record map is one driver-side LIST + reads of
 per-tile JSONs, broadcast once via ``ray.put``. Time-axis archives
 re-read exactly the written slices (the record's ``time_idxs``); a
-legacy record without them falls back to the full time range, which is
-correct whenever the writer covered every coordinate (the bundled
-process path).
+legacy record without them falls back to the full time range, which
+verifies ``ok`` when the writer covered every coordinate (the bundled
+process path) and otherwise reports ``legacy_unverifiable``.
 """
 
 from __future__ import annotations
@@ -91,8 +98,15 @@ def audit_archive_ds(path: str) -> ray.data.Dataset:
                 status.append("unreadable")
                 continue
             got = zlib.crc32(np.ascontiguousarray(arr).tobytes())
-            status.append("ok" if got == int(checksum)
-                          else "checksum_mismatch")
+            if got == int(checksum):
+                status.append("ok")
+            elif time_idxs is None and st.has_time:
+                # record predates time_idxs: its checksum may cover only
+                # the written slices, which the full-range read cannot
+                # reconstruct — inconclusive, not corruption
+                status.append("legacy_unverifiable")
+            else:
+                status.append("checksum_mismatch")
         return pa.table({
             "tile_id": pa.array(tid, pa.int64()),
             "tile_row": batch.column("tile_row").cast(pa.int64()),

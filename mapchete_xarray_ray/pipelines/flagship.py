@@ -243,8 +243,12 @@ def _tile_writer(spec: JobSpec, process_fn=None):
             tensor = output_cleaned(data, spec)
             w0 = time.perf_counter()
             if tensor.ndim == 4:
+                # tiles reaching the writer have no valid lineage record
+                # (fresh / torn / invalidated) — never merge with the
+                # untrusted existing chunk bytes (repair semantics)
                 n_chunks = store.write_tile(row, col, tensor,
-                                            timestamps=spec.timestamps)
+                                            timestamps=spec.timestamps,
+                                            assume_fresh=True)
             else:
                 n_chunks = store.write_tile(row, col, tensor)
             write_ms = int((time.perf_counter() - w0) * 1000)
@@ -298,7 +302,7 @@ def _tile_writer(spec: JobSpec, process_fn=None):
             time_idxs = [coord.index(t) for t in uniq]
             w0 = time.perf_counter()
             n_chunks = store.write_tile(row, col, written_arr,
-                                        timestamps=uniq)
+                                        timestamps=uniq, assume_fresh=True)
         else:
             written_arr = grids(pix, en, lt)
             w0 = time.perf_counter()

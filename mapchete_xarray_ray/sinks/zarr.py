@@ -495,7 +495,7 @@ class ZarrTileStore:
 
     # --- S3: per-tile write ----------------------------------------------
     def write_tile(self, tile_row: int, tile_col: int, data: np.ndarray,
-                   timestamps=None) -> int:
+                   timestamps=None, assume_fresh: bool = False) -> int:
         """Write one tile's tensor into its chunk file(s).
 
         ``data``: ``(bands, h, w)`` or ``(bands, T, h, w)`` (band-first,
@@ -507,6 +507,15 @@ class ZarrTileStore:
         positions of the (possibly larger) time chunks; missing
         positions fill with nodata. Returns number of chunk files
         written.
+
+        ``assume_fresh``: the time path normally MERGES into an existing
+        chunk (incremental time-slice appends through the store API).
+        The pipeline writer only ever runs for tiles WITHOUT a valid
+        lineage record (fresh, torn write, or invalidated), where
+        existing chunk bytes are untrusted — it passes True so the
+        chunk is rebuilt from nodata fill instead of merged, which is
+        what lets ``refresh`` repair a corrupt or stale time chunk
+        rather than crash on (or preserve garbage from) its bytes.
         """
         if data is None or data.size == 0:
             return 0
@@ -551,11 +560,18 @@ class ZarrTileStore:
         for band_i, band_name in enumerate(spec.band_names):
             for tchunk, positions in by_chunk.items():
                 fname = os.path.join(self.path, band_name, f"{tchunk}.{crow}.{ccol}")
-                buf = _get_bytes(fname)
+                buf = None if assume_fresh else _get_bytes(fname)
                 if buf is not None:
-                    chunk = _decode_chunk(
-                        buf, (tc, self.chunk_px, self.chunk_px), dt,
-                        self.compressor).copy()
+                    try:
+                        chunk = _decode_chunk(
+                            buf, (tc, self.chunk_px, self.chunk_px), dt,
+                            self.compressor).copy()
+                    except Exception as ex:
+                        raise ValueError(
+                            f"existing time chunk {fname} is undecodable "
+                            f"({ex!r}); run `cli verify` + `cli invalidate` "
+                            "(or refresh) to rebuild it from input"
+                        ) from ex
                 else:
                     chunk = np.full((tc, self.chunk_px, self.chunk_px),
                                     spec.nodata, dtype=dt)

@@ -857,7 +857,12 @@ def ivf_train_int(corpus: "ray.data.Dataset", n_clusters: int = 16,
         new = cent.copy()
         for ci in range(nc):
             if counts[ci] > 0:
-                s = np.array(sums[ci], dtype=np.int64)
+                # object dtype keeps the exact python ints: at corpus
+                # scale a component sum can exceed int64, where an
+                # int64 cast would raise (and numpy merge would have
+                # wrapped silently); normq_int only needs tolist() +
+                # astype(float64), both exact-int-safe
+                s = np.array(sums[ci], dtype=object)
                 # a non-empty cluster whose integer sum is the zero
                 # vector adopts the zero centroid — normq_int passes
                 # zeros through, and the SQL twin's _NORMQ ssq=0 branch

@@ -98,6 +98,63 @@ def test_refresh_recomputes_exactly_the_changed_tiles(tmp_path):
     assert len(completed_tiles(store)) == len(store.existing_tiles())
 
 
+def test_refresh_repairs_time_axis_chunks(tmp_path):
+    """Time-axis repair semantics: the continue-mode rewrite of an
+    invalidated tile must NOT merge with the existing chunk bytes
+    (``write_tile(assume_fresh=True)``) — an undecodable chunk would
+    crash the merge read, and a decodable-garbage chunk would keep its
+    garbage at time positions the tile's input doesn't cover, so the
+    refresh loop would never converge. Both corruptions must instead
+    rebuild the chunk to its original fresh-build bytes."""
+    import zlib
+
+    import numpy as np
+
+    pages = make_pages(n=300)
+    time_cfg = {"start": "2022-06-01", "end": "2022-06-11",
+                "steps": ["2022-06-01", "2022-06-04", "2022-06-06",
+                          "2022-06-09", "2022-06-11"]}
+
+    def build(path):
+        spec = default_spec(path, time=time_cfg)
+        collect_table(run_pipeline(ray.data.from_arrow(pages), spec,
+                                   mode="continue"))
+        return spec
+
+    prev_spec = build(str(tmp_path / "prev.zarr"))
+    cur_spec = build(str(tmp_path / "cur.zarr"))
+    store = ZarrTileStore(cur_spec)
+
+    band_dir = os.path.join(cur_spec.path, "count")
+    victim = sorted(f for f in os.listdir(band_dir)
+                    if not f.startswith(".") and len(f.split(".")) == 3)[0]
+    vpath = os.path.join(band_dir, victim)
+    good = open(vpath, "rb").read()
+
+    # variant A: undecodable garbage (truncated/garbage object)
+    open(vpath, "wb").write(b"\x00garbage")
+    res = refresh_archive(ray.data.from_arrow(pages),
+                          cur_spec.path, prev_spec.path)
+    assert res["tiles_changed"] == 1
+    assert open(vpath, "rb").read() == good
+
+    # variant B: VALID zlib of wrong content — decodes fine, but the
+    # garbage must not survive at positions the tile's pages don't
+    # cover (the old merge path would have kept it forever)
+    tc = store.time_chunk
+    fake = np.ones((tc, cur_spec.chunk_px, cur_spec.chunk_px),
+                   dtype=cur_spec.dtype)
+    open(vpath, "wb").write(zlib.compress(fake.tobytes(), 1))
+    res = refresh_archive(ray.data.from_arrow(pages),
+                          cur_spec.path, prev_spec.path)
+    assert res["tiles_changed"] == 1
+    assert open(vpath, "rb").read() == good
+
+    # converged: a third diff sees two identical generations
+    diff = collect_table(archive_diff_ds(cur_spec.path, prev_spec.path))
+    assert diff.column("changed").to_pylist().count(1) == 0
+
+
 def test_refresh_noop_when_generations_match(tmp_path):
     pages = make_pages(n=300)
     prev_spec = _build(pages, str(tmp_path / "prev.zarr"))

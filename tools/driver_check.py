@@ -57,7 +57,11 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("-"):
+            sys.exit("--json requires an output path argument")
         json_out = argv[i + 1]
+        if os.path.isdir(json_out):
+            sys.exit(f"--json target {json_out!r} is a directory")
         argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
