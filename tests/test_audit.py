@@ -4,8 +4,9 @@ Covers every verdict the audit can emit: clean archive all-ok,
 deliberately corrupted chunk (checksum_mismatch for a valid-zlib
 overwrite, unreadable for garbage bytes), record deleted
 (missing_record), chunks deleted under a live record (missing_chunks),
-and a time-axis archive whose records carry ``time_idxs`` so partial
-time writes re-verify exactly.
+a time-axis archive whose records carry ``time_idxs`` so partial
+time writes re-verify exactly, and a legacy time-axis record without
+``time_idxs`` (inconclusive ``legacy_unverifiable``, not corruption).
 """
 
 import json
@@ -102,6 +103,34 @@ def test_audit_time_axis_partial_writes(tmp_path):
     res = audit_summary(spec.path)
     assert res["ok"], res["bad"]
     assert res["tiles"] > 0
+
+
+def test_audit_legacy_time_record_is_inconclusive_not_corrupt(tmp_path):
+    # a record that predates ``time_idxs`` (simulated by stripping the
+    # key) whose checksum covers only the written slices CANNOT be
+    # re-derived from a full-range read: the audit must say
+    # ``legacy_unverifiable``, not ``checksum_mismatch`` — the chunk
+    # bytes are healthy and must not be flagged for recompute
+    spec = _build(tmp_path, n=400,
+                  time={"start": "2022-06-01", "end": "2022-06-11",
+                        "steps": [str(t) for t in
+                                  TIME_STEPS.astype("datetime64[D]")]})
+    n_steps = len(TIME_STEPS)
+    victim = None
+    for fn in sorted(os.listdir(os.path.join(spec.path, "_lineage"))):
+        p = os.path.join(spec.path, "_lineage", fn)
+        rec = json.load(open(p))
+        if len(rec.get("time_idxs") or []) < n_steps:
+            del rec["time_idxs"]
+            json.dump(rec, open(p, "w"))
+            z, r, c = (int(x) for x in fn.removesuffix(".json").split("-"))
+            victim = (r, c)
+            break
+    assert victim is not None, "fixture produced no partial-time tile"
+    res = audit_summary(spec.path)
+    assert res["counts"]["legacy_unverifiable"] == 1
+    assert res["counts"].get("checksum_mismatch") is None
+    assert [victim[0], victim[1], "legacy_unverifiable"] in res["bad"]
 
 
 def test_cli_verify(tmp_path, capsys):
