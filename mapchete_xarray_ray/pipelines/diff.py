@@ -61,10 +61,20 @@ def archive_diff_ds(cur_path: str, old_path: str) -> ray.data.Dataset:
             # an undecodable chunk (truncated write, bit rot) is BY
             # DEFINITION divergent — surface it as changed so the
             # refresh loop repairs it, instead of killing the whole
-            # diff on one corrupt object
+            # diff on one corrupt object. ONLY decode errors, though:
+            # a transient I/O error (object-store timeout/throttle)
+            # must propagate so Ray retries the task, not be reported
+            # as divergence that would invalidate and rewrite a healthy
+            # tile. (zlib/lzma raise their own error types; frombuffer
+            # size mismatch raises ValueError; bz2's OSError-on-garbage
+            # is not distinguishable from I/O, so a corrupt bz2 archive
+            # fails the diff loudly instead — bz2 is a non-default
+            # codec.)
+            import lzma
+            import zlib as _zlib
             try:
                 return np.ascontiguousarray(store.read_tile(r, c)).tobytes()
-            except Exception:
+            except (ValueError, _zlib.error, lzma.LZMAError):
                 return None
 
         tid, chg = [], []

@@ -253,13 +253,19 @@ def _tile_writer(spec: JobSpec, process_fn=None):
                 n_chunks = store.write_tile(row, col, tensor)
             write_ms = int((time.perf_counter() - w0) * 1000)
             checksum = zlib.crc32(np.ascontiguousarray(tensor).tobytes())
-            write_record(spec.path, {
+            rec = {
                 "tile_id": tile_id, "zoom": zoom, "tile_row": row,
                 "tile_col": col, "rows_in": group.num_rows,
                 "chunks_written": n_chunks, "checksum": int(checksum),
                 "metrics": {"write_ms": write_ms,
                             "bytes": int(tensor.nbytes)},
-            })
+            }
+            if tensor.ndim == 4:
+                # full time coverage — record it, or the audit can only
+                # say legacy_unverifiable instead of catching real
+                # corruption on this tile
+                rec["time_idxs"] = list(range(len(spec.timestamps)))
+            write_record(spec.path, rec)
             return pa.table({
                 "tile_id": pa.array([tile_id], pa.int64()),
                 "tile_row": pa.array([row], pa.int64()),

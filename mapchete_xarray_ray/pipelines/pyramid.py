@@ -89,14 +89,23 @@ class PyramidReducer:
             # time only the store write (same "write_ms" meaning as the
             # flagship records — reads/downsample are not write cost)
             w0 = time.perf_counter()
+            time_idxs = None
             if self.in_store.has_time:
                 ts = self.in_spec.timestamps
-                self.out_store.write_tile(r, c, tensor, timestamps=ts)
+                # the overview covers the FULL time coordinate and the
+                # tile is being (re)derived from the child level, so the
+                # existing chunk bytes are never merge-worthy: rebuild
+                # from fill (repair semantics, same as the flagship
+                # writer) and record the coverage so the audit can
+                # re-derive the crc instead of calling it legacy
+                self.out_store.write_tile(r, c, tensor, timestamps=ts,
+                                          assume_fresh=True)
+                time_idxs = list(range(len(ts)))
             else:
                 self.out_store.write_tile(r, c, tensor)
             write_ms = int((time.perf_counter() - w0) * 1000)
             checksum = zlib.crc32(np.ascontiguousarray(tensor).tobytes())
-            write_record(self.out_spec.path, {
+            rec = {
                 "tile_id": int(pack_tile_id(self.out_spec.zoom, r, c)),
                 "zoom": self.out_spec.zoom, "tile_row": r, "tile_col": c,
                 "rows_in": 0, "chunks_written": len(self.out_spec.band_names),
@@ -104,7 +113,10 @@ class PyramidReducer:
                 "input_fragments": [f"{self.in_spec.path}@z{self.in_spec.zoom}"],
                 "metrics": {"write_ms": write_ms,
                             "bytes": int(tensor.nbytes)},
-            })
+            }
+            if time_idxs is not None:
+                rec["time_idxs"] = time_idxs
+            write_record(self.out_spec.path, rec)
             out["tile_id"].append(int(pack_tile_id(self.out_spec.zoom, r, c)))
             out["tile_row"].append(r)
             out["tile_col"].append(c)

@@ -105,6 +105,39 @@ def test_audit_time_axis_partial_writes(tmp_path):
     assert res["tiles"] > 0
 
 
+def test_audit_catches_corruption_on_full_coverage_time_records(tmp_path):
+    # the process-hook 4-D path covers the FULL time coordinate and
+    # records time_idxs accordingly, so real silent corruption reports
+    # checksum_mismatch — not the inconclusive legacy_unverifiable
+    TIME = {"start": "2022-06-01", "end": "2022-06-03",
+            "steps": ["2022-06-01", "2022-06-02", "2022-06-03"]}
+
+    def full_time_process(tile, pages, spec_):
+        if pages.num_rows == 0:
+            return "empty"
+        base = np.full((len(spec_.band_names), 3,
+                        spec_.chunk_px, spec_.chunk_px),
+                       pages.num_rows % 251, dtype=spec_.dtype)
+        return base
+
+    spec = default_spec(str(tmp_path / "out.zarr"), time=TIME)
+    collect_table(run_pipeline(ray.data.from_arrow(make_pages(n=300)),
+                               spec, process_fn=full_time_process))
+    res = audit_summary(spec.path)
+    assert res["ok"], res["bad"]
+
+    from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+
+    tc = ZarrTileStore(spec).time_chunk
+    path, _fn = _first_chunk(spec)
+    arr = np.zeros(tc * spec.chunk_px * spec.chunk_px, dtype=spec.dtype)
+    arr[0] = 7  # valid zlib, wrong content: silent bit rot
+    open(path, "wb").write(zlib.compress(arr.tobytes(), 1))
+    res = audit_summary(spec.path)
+    assert res["counts"]["checksum_mismatch"] == 1
+    assert res["counts"].get("legacy_unverifiable") is None
+
+
 def test_audit_legacy_time_record_is_inconclusive_not_corrupt(tmp_path):
     # a record that predates ``time_idxs`` (simulated by stripping the
     # key) whose checksum covers only the written slices CANNOT be

@@ -1,5 +1,7 @@
 """Zarr-as-input source, mosaic window reads, pyramid (E2/E3, F6)."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -225,6 +227,55 @@ def test_pyramid_time_axis_archive(tmp_path):
         want = sum(int(written[rc][0, t].sum())
                    for rc in [(0, 0), (0, 1), (1, 0), (1, 1)])
         assert int(parent[0, t].astype(np.int64).sum()) == want, t
+
+
+def test_pyramid_time_overview_repairs_corrupt_chunk(tmp_path):
+    """A corrupt time-axis overview chunk must be rebuildable through
+    invalidate + rerun: the overview writer covers the full time
+    coordinate, so its rewrite must NOT merge-read the existing
+    (undecodable) bytes — it rebuilds from fill and converges to the
+    original bytes. Its lineage record carries time_idxs, so the audit
+    reports real corruption as checksum_mismatch."""
+    import numpy as np
+
+    from mapchete_xarray_ray.pipelines.audit import audit_summary
+    from mapchete_xarray_ray.sinks.zarr import ZarrTileStore
+    from mapchete_xarray_ray.sources.zarr_input import spec_from_archive
+    from mapchete_xarray_ray.spec import JobSpec
+    from mapchete_xarray_ray.state.lineage import invalidate_tiles
+
+    TIME = {"start": "2022-06-01", "end": "2022-06-03",
+            "steps": ["2022-06-01", "2022-06-02", "2022-06-03"]}
+    spec = JobSpec(path=str(tmp_path / "t5.zarr"), zoom=5,
+                   bounds=(-180.0, 45.0, -135.0, 90.0), bands=1,
+                   dtype="uint16", time=TIME)
+    store = ZarrTileStore(spec)
+    store.prepare()
+    rng = np.random.default_rng(13)
+    ts = np.array(TIME["steps"], dtype="datetime64[us]")
+    for r, c in [(0, 0), (0, 1), (1, 0), (1, 1)]:
+        store.write_tile(r, c, rng.integers(0, 200, (1, 3, 256, 256),
+                                            dtype=np.uint16),
+                         timestamps=ts)
+    z4_path = str(tmp_path / "t4.zarr")
+    _collect(run_pyramid_step(spec.path, z4_path, how="sum"))
+    assert audit_summary(z4_path)["ok"]
+
+    z4 = spec_from_archive(z4_path)
+    band_dir = os.path.join(z4_path, z4.band_names[0])
+    victim = sorted(f for f in os.listdir(band_dir)
+                    if not f.startswith(".") and len(f.split(".")) == 3)[0]
+    vpath = os.path.join(band_dir, victim)
+    good = open(vpath, "rb").read()
+
+    open(vpath, "wb").write(b"\x00garbage")  # undecodable
+    t, cr, cc = (int(x) for x in victim.split("."))
+    row0, _r1, col0, _c1 = z4.tile_range()
+    invalidate_tiles(z4_path, [(z4.zoom, cr + row0, cc + col0)])
+    # pre-fix this crashed in the merge read of the garbage bytes
+    _collect(run_pyramid_step(spec.path, z4_path, how="sum"))
+    assert open(vpath, "rb").read() == good
+    assert audit_summary(z4_path)["ok"]
 
 
 def test_consolidated_metadata_serves_every_open(archive, tmp_path):

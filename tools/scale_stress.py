@@ -100,7 +100,11 @@ def run_shape(shape: str) -> dict:
         pages_path = f"/tmp/mxr_stress_pages_{STRESS_PAGES}"
         bench.synth_pages_parquet(STRESS_PAGES, pages_path)
     else:
-        corpus = _dedup_corpus("/tmp/mxr_stress_corpus")
+        # replica count in the cache path: a rerun with a different
+        # GRAFT_STRESS_REPLICAS must not reuse (and mis-report) the
+        # previous corpus
+        corpus = _dedup_corpus(
+            f"/tmp/mxr_stress_corpus_x{DEDUP_REPLICAS}")
     prep_s = time.perf_counter() - t_prep
 
     t0 = time.perf_counter()
