@@ -237,16 +237,16 @@ def main():
     # round 4 silently truncated the first ~15 query timings from the
     # artifact — persist the COMPLETE sweep (plus every raw run time,
     # so medians/spread are recoverable) to a file the repo keeps
-    bench_out = os.environ.get("GRAFT_BENCH_OUT")
-    if bench_out is None:
-        if os.environ.get("GRAFT_FLAGSHIP_ONLY"):
-            # never clobber the repo-kept COMPLETE sweep artifact with
-            # an empty-queries flagship-only run
-            bench_out = None
-        else:
-            bench_out = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_FULL.json")
+    if os.environ.get("GRAFT_FLAGSHIP_ONLY"):
+        # a flagship-only run has an empty-queries result: NEVER write
+        # the artifact (even to an explicit GRAFT_BENCH_OUT — a reused
+        # command line must not clobber the repo-kept complete sweep);
+        # the stdout line carries everything this mode measures
+        bench_out = None
+    else:
+        bench_out = os.environ.get("GRAFT_BENCH_OUT") or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_FULL.json")
     if bench_out:
         try:
             with open(bench_out, "w") as f:

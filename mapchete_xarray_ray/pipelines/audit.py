@@ -43,6 +43,7 @@ process path) and otherwise reports ``legacy_unverifiable``.
 
 from __future__ import annotations
 
+import lzma
 import zlib
 
 import numpy as np
@@ -92,9 +93,14 @@ def audit_archive_ds(path: str) -> ray.data.Dataset:
                 status.append("missing_chunks")
                 continue
             checksum, time_idxs = rec
+            # only DECODE errors mean "unreadable" (truncated write,
+            # bit rot); a transient I/O error (object-store timeout /
+            # throttle) must propagate so Ray retries the task — a
+            # healthy tile must never be reported as corrupt over one
+            # throttled GET (same split as pipelines/diff.py)
             try:
                 arr = st.read_tile(r, c, time_idxs=time_idxs)
-            except Exception:
+            except (ValueError, zlib.error, lzma.LZMAError):
                 status.append("unreadable")
                 continue
             got = zlib.crc32(np.ascontiguousarray(arr).tobytes())

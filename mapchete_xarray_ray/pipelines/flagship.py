@@ -303,9 +303,9 @@ def _tile_writer(spec: JobSpec, process_fn=None):
             written_arr = np.stack(per_t, axis=1)  # (bands, T, h, w)
             # positions written into the archive's time coordinate —
             # recorded in lineage so the audit (pipelines/audit.py) can
-            # re-read EXACTLY the written slices and re-derive the crc
-            coord = list(spec.timestamps)
-            time_idxs = [coord.index(t) for t in uniq]
+            # re-read EXACTLY the written slices and re-derive the crc;
+            # the STORE's mapping, so record and write cannot diverge
+            time_idxs = store.time_indices(uniq)
             w0 = time.perf_counter()
             n_chunks = store.write_tile(row, col, written_arr,
                                         timestamps=uniq, assume_fresh=True)

@@ -130,6 +130,16 @@ def _exists(path: str) -> bool:
     return _fs(path).exists(path) if _is_remote(path) else os.path.exists(path)
 
 
+def _delete_bytes(path: str) -> None:
+    """Remove a file/object if present (idempotent)."""
+    if _is_remote(path):
+        fs = _fs(path)
+        if fs.exists(path):
+            fs.rm(path)
+    elif os.path.exists(path):
+        os.unlink(path)
+
+
 def _listdir(path: str) -> list[str]:
     """Base names under a directory/prefix; [] if absent. ``.tmp-``
     in-flight/stale atomic-write siblings (see _put_bytes) are never
@@ -485,6 +495,21 @@ class ZarrTileStore:
         row0, _r1, col0, _c1 = self.spec.tile_range()
         return tile_row - row0, tile_col - col0
 
+    def time_indices(self, timestamps) -> list[int]:
+        """Positions of ``timestamps`` in the archive's time coordinate
+        — THE mapping that decides where written slices land. Lineage
+        records must use this same method for their ``time_idxs`` so
+        the audit re-reads exactly what was written (a second copy of
+        this logic could silently diverge)."""
+        coord = list(self.spec.timestamps)
+        idxs = []
+        for t in np.array(timestamps, dtype="datetime64[us]"):
+            if t not in coord:
+                raise ValueError(
+                    f"time slice {t} not available to insert: {coord}")
+            idxs.append(coord.index(t))
+        return idxs
+
     def chunk_files(self, band: str, crow: int, ccol: int) -> list[str]:
         self._sync_time_chunk()
         if self.has_time:
@@ -512,10 +537,13 @@ class ZarrTileStore:
         chunk (incremental time-slice appends through the store API).
         The pipeline writer only ever runs for tiles WITHOUT a valid
         lineage record (fresh, torn write, or invalidated), where
-        existing chunk bytes are untrusted — it passes True so the
-        chunk is rebuilt from nodata fill instead of merged, which is
-        what lets ``refresh`` repair a corrupt or stale time chunk
-        rather than crash on (or preserve garbage from) its bytes.
+        existing chunk bytes are untrusted — it passes True so touched
+        chunks are rebuilt from nodata fill instead of merged, and the
+        tile's UNtouched time-chunk files are deleted (they'd otherwise
+        preserve stale/corrupt bytes at positions the new input doesn't
+        cover, invisible to the audit). This is what lets ``refresh``
+        repair a corrupt or stale time chunk rather than crash on (or
+        preserve garbage from) its bytes.
         """
         if data is None or data.size == 0:
             return 0
@@ -546,18 +574,27 @@ class ZarrTileStore:
             raise ValueError(f"expected (bands, T, h, w), got {data.shape}")
         if timestamps is None:
             raise ValueError("timestamps required for time-axis writes")
-        coord = list(self.spec.timestamps)
-        idxs = []
-        for t in np.array(timestamps, dtype="datetime64[us]"):
-            if t not in coord:
-                raise ValueError(f"time slice {t} not available to insert: {coord}")
-            idxs.append(coord.index(t))
+        idxs = self.time_indices(timestamps)
         tc = self.time_chunk
         # group written slices by their target time chunk
         by_chunk: dict[int, list[tuple[int, int]]] = {}
         for data_pos, coord_idx in enumerate(idxs):
             by_chunk.setdefault(coord_idx // tc, []).append((data_pos, coord_idx))
+        n_tchunks = math.ceil(self.n_time / tc)
         for band_i, band_name in enumerate(spec.band_names):
+            if assume_fresh:
+                # the fresh derivation DEFINES the tile's complete
+                # content: time chunks it does not touch must not
+                # survive from the untrusted previous state (stale or
+                # corrupt bytes at positions the new input doesn't
+                # cover would evade the audit — the new record's
+                # time_idxs covers only the written slices — and make
+                # the diff/refresh loop non-convergent). Deleted
+                # positions read back as fill, like a fresh build.
+                for t in range(n_tchunks):
+                    if t not in by_chunk:
+                        _delete_bytes(os.path.join(
+                            self.path, band_name, f"{t}.{crow}.{ccol}"))
             for tchunk, positions in by_chunk.items():
                 fname = os.path.join(self.path, band_name, f"{tchunk}.{crow}.{ccol}")
                 buf = None if assume_fresh else _get_bytes(fname)

@@ -222,6 +222,43 @@ def test_tile_exists_probes_all_time_chunks(tmp_path):
     assert (2, 2) in store.existing_tiles()
 
 
+def test_assume_fresh_deletes_untouched_time_chunks(tmp_path):
+    """Repair semantics must cover the WHOLE tile: an assume_fresh
+    rewrite whose slices touch only some time chunks deletes the
+    others — stale/corrupt bytes at positions the new derivation does
+    not cover must not survive (they would evade the audit, whose
+    time_idxs re-read covers only the written slices, and make the
+    diff/refresh loop non-convergent). The merge path (default) keeps
+    them: incremental time-slice appends stay incremental."""
+    time = {"start": "2022-06-01", "end": "2022-06-11", "chunksize": 2,
+            "steps": ["2022-06-01", "2022-06-04", "2022-06-06",
+                      "2022-06-09", "2022-06-11"]}
+    spec = make_spec(tmp_path, time=time, dtype="uint16", bands=1)
+    store = ZarrTileStore(spec)
+    store.prepare()
+    ts = np.array(time["steps"], dtype="datetime64[us]")
+    full = np.full((1, 5, 256, 256), 7, dtype=np.uint16)
+    store.write_tile(2, 2, full, timestamps=ts)
+    band = spec.band_names[0]
+    assert os.path.exists(os.path.join(spec.path, band, "0.2.2"))
+    assert os.path.exists(os.path.join(spec.path, band, "2.2.2"))
+
+    # merge rewrite of slice 0 only: later chunks untouched
+    one = np.full((1, 1, 256, 256), 9, dtype=np.uint16)
+    store.write_tile(2, 2, one, timestamps=ts[:1])
+    assert os.path.exists(os.path.join(spec.path, band, "2.2.2"))
+
+    # fresh rewrite of slice 0 only: chunks 1 and 2 are deleted and
+    # their positions read back as fill
+    store.write_tile(2, 2, one, timestamps=ts[:1], assume_fresh=True)
+    assert not os.path.exists(os.path.join(spec.path, band, "1.2.2"))
+    assert not os.path.exists(os.path.join(spec.path, band, "2.2.2"))
+    back = store.read_tile(2, 2)
+    assert back.shape == (1, 5, 256, 256)
+    assert (back[0, 0] == 9).all()
+    assert (back[0, 1:] == spec.nodata).all()
+
+
 def test_write_tile_rejects_band_mismatch(tmp_path):
     spec = make_spec(tmp_path, bands=2)
     store = ZarrTileStore(spec)

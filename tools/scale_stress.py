@@ -152,7 +152,12 @@ def run_shape(shape: str) -> dict:
         fn, _sql = REGISTRY["dedup_canonical"]
         res = fn(corpus)
         rows = res.num_rows if hasattr(res, "num_rows") else res.count()
-        unit, n_in = "docs", 5000 * DEDUP_REPLICAS
+        import pyarrow.parquet as pq
+
+        # actual corpus row count, not an assumption about the fixture
+        unit = "docs"
+        n_in = pq.ParquetFile(
+            os.path.join(corpus, "documents.parquet")).metadata.num_rows
     else:
         raise SystemExit(f"unknown shape {shape!r}")
     wall = time.perf_counter() - t0
