@@ -155,6 +155,53 @@ def test_refresh_repairs_time_axis_chunks(tmp_path):
     assert diff.column("changed").to_pylist().count(1) == 0
 
 
+def test_refresh_converges_on_uncovered_time_positions(tmp_path):
+    """The non-convergence scenario: garbage planted at a time chunk
+    the tile's input does NOT cover. The rewrite's slices never touch
+    that chunk, so a merge-or-touched-only rebuild would leave the
+    garbage in place and every subsequent diff would flag the tile
+    changed forever. assume_fresh must DELETE the uncovered chunk so
+    the archive converges to the fresh-build bytes."""
+    pages = make_pages(n=300)
+    # chunksize 2 over 5 steps -> 3 time chunks per tile; with ~5
+    # pages per tile most tiles cover only a subset of the chunks
+    time_cfg = {"start": "2022-06-01", "end": "2022-06-11",
+                "chunksize": 2,
+                "steps": ["2022-06-01", "2022-06-04", "2022-06-06",
+                          "2022-06-09", "2022-06-11"]}
+
+    def build(path):
+        spec = default_spec(path, time=time_cfg)
+        collect_table(run_pipeline(ray.data.from_arrow(pages), spec,
+                                   mode="continue"))
+        return spec
+
+    prev_spec = build(str(tmp_path / "prev.zarr"))
+    cur_spec = build(str(tmp_path / "cur.zarr"))
+
+    band_dir = os.path.join(cur_spec.path, "count")
+    chunks = [f for f in os.listdir(band_dir)
+              if not f.startswith(".") and len(f.split(".")) == 3]
+    by_tile = {}
+    for f in chunks:
+        t, r, c = (int(x) for x in f.split("."))
+        by_tile.setdefault((r, c), set()).add(t)
+    victim = next(((rc, t) for rc, ts in sorted(by_tile.items())
+                   for t in range(3) if t not in ts), None)
+    assert victim is not None, "every tile covers every time chunk"
+    (r, c), t = victim
+    alien = os.path.join(band_dir, f"{t}.{r}.{c}")
+    open(alien, "wb").write(b"\x00garbage")
+
+    res = refresh_archive(ray.data.from_arrow(pages),
+                          cur_spec.path, prev_spec.path)
+    assert res["tiles_changed"] == 1
+    assert not os.path.exists(alien)
+    # converged: a second diff sees two identical generations
+    diff = collect_table(archive_diff_ds(cur_spec.path, prev_spec.path))
+    assert diff.column("changed").to_pylist().count(1) == 0
+
+
 def test_refresh_noop_when_generations_match(tmp_path):
     pages = make_pages(n=300)
     prev_spec = _build(pages, str(tmp_path / "prev.zarr"))
